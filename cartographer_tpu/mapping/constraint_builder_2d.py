@@ -1,0 +1,185 @@
+"""Loop-closure constraint search for 2D.
+
+Reference: internal/constraints/constraint_builder_2d.cc:59-343. For each
+(node, finished submap) pair (distance-gated + per-submap sampled), run the
+fast correlative matcher (branch-and-bound, min_score gate) and refine with
+the Gauss-Newton matcher; emit an INTER_SUBMAP constraint with loop-closure
+weights. Global (cross-trajectory) searches use MatchFullSubmap with
+global_localization_min_score.
+
+Structure vs the reference: the reference dispatches one ThreadPool task per
+pair plus a memoized matcher-construction task per submap. Here searches are
+queued and executed in deterministic batches when the pose graph drains its
+work queue (`run_pending`); the device parallelizes candidate scoring inside
+each match, and pyramid construction is memoized per submap just like
+DispatchScanMatcherConstruction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from cartographer_tpu import metrics
+from cartographer_tpu.common.config import ConstraintBuilderOptions
+from cartographer_tpu.common.fixed_ratio_sampler import FixedRatioSampler
+from cartographer_tpu.common.histogram import Histogram
+from cartographer_tpu.mapping.grid_2d import Grid2D
+from cartographer_tpu.mapping.id import NodeId, SubmapId
+from cartographer_tpu.mapping.scan_matching_2d import CeresScanMatcher2D
+from cartographer_tpu.mapping.trajectory_node import TrajectoryNodeData
+from cartographer_tpu.ops.scan_matching.fast_correlative_2d import (
+    FastCorrelativeScanMatcher2D,
+)
+from cartographer_tpu.transform import rigid2
+
+INTRA_SUBMAP = "INTRA_SUBMAP"
+INTER_SUBMAP = "INTER_SUBMAP"
+
+
+@dataclasses.dataclass
+class ConstraintPose:
+    zbar_ij: np.ndarray  # SE(2) (3,) observed submap->node
+    translation_weight: float
+    rotation_weight: float
+
+
+@dataclasses.dataclass
+class Constraint:
+    submap_id: SubmapId
+    node_id: NodeId
+    pose: ConstraintPose
+    tag: str  # INTRA_SUBMAP | INTER_SUBMAP
+
+
+@dataclasses.dataclass
+class _PendingSearch:
+    submap_id: SubmapId
+    node_id: NodeId
+    constant_data: TrajectoryNodeData
+    initial_relative_pose: Optional[np.ndarray]  # None => global (full submap)
+
+
+class ConstraintBuilder2D:
+    def __init__(self, options: ConstraintBuilderOptions):
+        self._options = options
+        self._samplers: Dict[SubmapId, FixedRatioSampler] = {}
+        self._matchers: Dict[SubmapId, FastCorrelativeScanMatcher2D] = {}
+        self._submap_grids: Dict[SubmapId, Grid2D] = {}
+        self._ceres_matcher = CeresScanMatcher2D(options.ceres_scan_matcher)
+        self._pending: List[_PendingSearch] = []
+        self._score_histogram = Histogram()
+        self._num_finished_nodes = 0
+        self._submap_local_poses: Dict[SubmapId, np.ndarray] = {}
+
+    def _sampler(self, submap_id: SubmapId) -> FixedRatioSampler:
+        if submap_id not in self._samplers:
+            self._samplers[submap_id] = FixedRatioSampler(self._options.sampling_ratio)
+        return self._samplers[submap_id]
+
+    def _matcher(self, submap_id: SubmapId) -> FastCorrelativeScanMatcher2D:
+        # Memoized per-submap pyramid (DispatchScanMatcherConstruction).
+        if submap_id not in self._matchers:
+            self._matchers[submap_id] = FastCorrelativeScanMatcher2D(
+                self._submap_grids[submap_id],
+                self._options.fast_correlative_scan_matcher,
+            )
+        return self._matchers[submap_id]
+
+    def maybe_add_constraint(
+        self,
+        submap_id: SubmapId,
+        grid: Grid2D,
+        node_id: NodeId,
+        constant_data: TrajectoryNodeData,
+        initial_relative_pose: np.ndarray,
+    ) -> None:
+        if (
+            np.linalg.norm(initial_relative_pose[:2])
+            > self._options.max_constraint_distance
+        ):
+            return
+        if not self._sampler(submap_id).pulse():
+            return
+        self._submap_grids.setdefault(submap_id, grid)
+        self._pending.append(
+            _PendingSearch(submap_id, node_id, constant_data, initial_relative_pose)
+        )
+
+    def maybe_add_global_constraint(
+        self,
+        submap_id: SubmapId,
+        grid: Grid2D,
+        node_id: NodeId,
+        constant_data: TrajectoryNodeData,
+    ) -> None:
+        self._submap_grids.setdefault(submap_id, grid)
+        self._pending.append(
+            _PendingSearch(submap_id, node_id, constant_data, None)
+        )
+
+    def notify_end_of_node(self) -> None:
+        self._num_finished_nodes += 1
+
+    def run_pending(self) -> List[Constraint]:
+        """Execute queued searches; returns found constraints (WhenDone)."""
+        results: List[Constraint] = []
+        pending, self._pending = self._pending, []
+        for search in pending:
+            constraint = self._compute_constraint(search)
+            if constraint is not None:
+                results.append(constraint)
+        metrics.constraints_found.increment(len(results))
+        return results
+
+    def num_pending(self) -> int:
+        return len(self._pending)
+
+    def _compute_constraint(self, search: _PendingSearch) -> Optional[Constraint]:
+        metrics.constraints_searched.increment()
+        matcher = self._matcher(search.submap_id)
+        cloud = search.constant_data.filtered_gravity_aligned_point_cloud
+        grid = self._submap_grids[search.submap_id]
+        submap_local_pose = self._submap_local_pose(search.submap_id)
+
+        if search.initial_relative_pose is None:
+            result = matcher.match_full_submap(
+                cloud, self._options.global_localization_min_score
+            )
+        else:
+            initial_pose = rigid2.compose(
+                submap_local_pose, search.initial_relative_pose
+            )
+            result = matcher.match(initial_pose, cloud, self._options.min_score)
+        if result is None:
+            return None
+        self._score_histogram.add(result.score)
+        metrics.constraint_scores.observe(result.score)
+
+        # Gauss-Newton refinement with the BnB pose as target
+        # (constraint_builder_2d.cc:246-249).
+        refined_pose, _ = self._ceres_matcher.match(
+            result.pose[:2], result.pose, cloud, grid
+        )
+        zbar_ij = rigid2.compose(rigid2.inverse(submap_local_pose), refined_pose)
+        return Constraint(
+            submap_id=search.submap_id,
+            node_id=search.node_id,
+            pose=ConstraintPose(
+                zbar_ij=zbar_ij,
+                translation_weight=self._options.loop_closure_translation_weight,
+                rotation_weight=self._options.loop_closure_rotation_weight,
+            ),
+            tag=INTER_SUBMAP,
+        )
+
+    def set_submap_local_pose(self, submap_id: SubmapId, pose: np.ndarray) -> None:
+        self._submap_local_poses[submap_id] = np.asarray(pose)
+
+    def _submap_local_pose(self, submap_id: SubmapId) -> np.ndarray:
+        return self._submap_local_poses[submap_id]
+
+    def score_histogram(self) -> Histogram:
+        return self._score_histogram

@@ -1,0 +1,147 @@
+"""2D submaps and the two-active-submaps scheme.
+
+Reference: mapping/2d/submap_2d.cc:137-219. A submap has a local pose (pure
+translation at the first scan's origin), a grid, and a range-data count.
+There are always (up to) two active submaps; a new one starts every
+`num_range_data` inserts, and a submap is finished after 2*num_range_data
+inserts, so every scan lands in exactly two submaps (except at the start).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cartographer_tpu.common.config import SubmapsOptions2D
+from cartographer_tpu.mapping import probability_values as pv
+from cartographer_tpu.mapping.grid_2d import Grid2D, make_grid, world_to_cell
+from cartographer_tpu.ops import raycast_2d
+from cartographer_tpu.sensor.data import RangeData
+from cartographer_tpu.transform import rigid2
+
+
+def _round_up_pow2(n: int, minimum: int = 64) -> int:
+    v = minimum
+    while v < n:
+        v *= 2
+    return v
+
+
+@dataclasses.dataclass
+class Submap2D:
+    local_pose: np.ndarray  # SE(2) (3,) — translation only (rotation 0)
+    grid: Grid2D
+    num_range_data: int = 0
+    insertion_finished: bool = False
+
+    def finish(self) -> None:
+        self.insertion_finished = True
+
+
+class ActiveSubmaps2D:
+    def __init__(self, options: SubmapsOptions2D):
+        self._options = options
+        self._submaps: List[Submap2D] = []
+        grid_opts = options.grid_options_2d
+        if grid_opts.grid_type == "PROBABILITY_GRID":
+            ins = options.range_data_inserter.probability_grid_range_data_inserter
+            self._hit_log_odds = pv.hit_update_log_odds(ins.hit_probability)
+            self._miss_log_odds = pv.miss_update_log_odds(ins.miss_probability)
+            self._insert_free_space = ins.insert_free_space
+        else:
+            raise NotImplementedError(
+                f"grid type {grid_opts.grid_type} (TSDF pending)"
+            )
+
+    def submaps(self) -> List[Submap2D]:
+        return list(self._submaps)
+
+    def insert_range_data(self, range_data: RangeData) -> List[Submap2D]:
+        """Insert (already in local frame); returns submaps after insertion.
+
+        Mirrors ActiveSubmaps2D::InsertRangeData (submap_2d.cc:161-174):
+        starts a new submap when the newest one has seen num_range_data
+        scans; finishes/drops the oldest at 2x.
+        """
+        if (
+            not self._submaps
+            or self._submaps[-1].num_range_data == self._options.num_range_data
+        ):
+            self._add_submap(range_data.origin[:2])
+        self._insert(range_data)
+        for submap in self._submaps:
+            submap.num_range_data += 1
+        if self._submaps[0].num_range_data == 2 * self._options.num_range_data:
+            # Stays in the list (and in the returned insertion result) until
+            # the next _add_submap pops it — the pose graph reads the
+            # insertion_finished flag off the returned submaps.
+            self._submaps[0].finish()
+        return list(self._submaps)
+
+    def _add_submap(self, origin_xy: np.ndarray) -> None:
+        grid_opts = self._options.grid_options_2d
+        grid = make_grid(
+            np.asarray(origin_xy, dtype=np.float32),
+            grid_opts.resolution,
+            grid_opts.grid_size,
+        )
+        self._submaps.append(
+            Submap2D(
+                local_pose=rigid2.make(np.asarray(origin_xy, np.float64), 0.0),
+                grid=grid,
+            )
+        )
+        if len(self._submaps) > 2:
+            self._submaps.pop(0)
+
+    def _insert(self, range_data: RangeData) -> None:
+        res = self._options.grid_options_2d.resolution
+        hits = range_data.returns.points[:, :2]
+        misses = range_data.misses.points[:, :2]
+        n_hits, n_miss = len(hits), len(misses)
+        if n_hits + n_miss == 0:
+            return
+        ends = np.concatenate([hits, misses], axis=0)
+        is_hit = np.zeros(n_hits + n_miss, bool)
+        is_hit[:n_hits] = True
+        n_pad = _round_up_pow2(n_hits + n_miss)
+        ends_p = np.zeros((n_pad, 2), np.float32)
+        ends_p[: n_hits + n_miss] = ends
+        valid = np.zeros(n_pad, bool)
+        valid[: n_hits + n_miss] = True
+        is_hit_p = np.zeros(n_pad, bool)
+        is_hit_p[: n_hits + n_miss] = is_hit
+
+        origin = range_data.origin[:2].astype(np.float64)
+        max_len = float(
+            np.max(np.linalg.norm(ends - origin[None, :], axis=1), initial=res)
+        )
+        # <= resolution/2 sample spacing, rounded to a power of two so the
+        # number of jit variants stays logarithmic.
+        num_steps = _round_up_pow2(int(np.ceil(max_len / (0.5 * res))), 32)
+
+        for submap in self._submaps:
+            grid = submap.grid
+            origin_cell = world_to_cell(grid, jnp.asarray(origin, jnp.float32))
+            ends_cell = world_to_cell(grid, jnp.asarray(ends_p))
+            new_log_odds, new_known = raycast_2d.insert_scan(
+                grid.log_odds,
+                grid.known,
+                origin_cell,
+                ends_cell,
+                jnp.asarray(is_hit_p),
+                jnp.asarray(valid),
+                self._hit_log_odds,
+                self._miss_log_odds,
+                num_steps,
+                self._insert_free_space,
+            )
+            submap.grid = Grid2D(
+                log_odds=new_log_odds,
+                known=new_known,
+                origin=grid.origin,
+                resolution=grid.resolution,
+            )

@@ -1,0 +1,183 @@
+"""Metrics with null-object defaults.
+
+Reference: cartographer/metrics/{counter,gauge,histogram,family_factory}.h and
+metrics/register.cc:31-41 — instrumentation is free unless a real family
+factory is registered; a Prometheus-style exporter can be layered on top.
+"""
+
+from __future__ import annotations
+
+import bisect
+import threading
+from typing import Dict, List, Optional, Sequence
+
+
+class Counter:
+    def increment(self, by: float = 1.0) -> None:
+        pass
+
+    def value(self) -> float:
+        return 0.0
+
+
+class Gauge:
+    def set(self, value: float) -> None:
+        pass
+
+    def increment(self, by: float = 1.0) -> None:
+        pass
+
+    def decrement(self, by: float = 1.0) -> None:
+        pass
+
+    def value(self) -> float:
+        return 0.0
+
+
+class HistogramMetric:
+    def observe(self, value: float) -> None:
+        pass
+
+
+class _RealCounter(Counter):
+    def __init__(self):
+        self._value = 0.0
+        self._lock = threading.Lock()
+
+    def increment(self, by: float = 1.0) -> None:
+        with self._lock:
+            self._value += by
+
+    def value(self) -> float:
+        return self._value
+
+
+class _RealGauge(Gauge):
+    def __init__(self):
+        self._value = 0.0
+        self._lock = threading.Lock()
+
+    def set(self, value: float) -> None:
+        with self._lock:
+            self._value = value
+
+    def increment(self, by: float = 1.0) -> None:
+        with self._lock:
+            self._value += by
+
+    def decrement(self, by: float = 1.0) -> None:
+        with self._lock:
+            self._value -= by
+
+    def value(self) -> float:
+        return self._value
+
+
+class _RealHistogram(HistogramMetric):
+    def __init__(self, boundaries: Sequence[float]):
+        self._boundaries = list(boundaries)
+        self._counts = [0] * (len(self._boundaries) + 1)
+        self._sum = 0.0
+        self._lock = threading.Lock()
+
+    def observe(self, value: float) -> None:
+        with self._lock:
+            self._counts[bisect.bisect_left(self._boundaries, value)] += 1
+            self._sum += value
+
+    def counts(self) -> List[int]:
+        return list(self._counts)
+
+
+def score_histogram_boundaries(lo: float, hi: float, n: int = 20) -> List[float]:
+    return [lo + (hi - lo) * i / n for i in range(1, n + 1)]
+
+
+class FamilyFactory:
+    """Null by default; `enable_collection()` swaps in real metrics."""
+
+    def __init__(self, real: bool = False):
+        self._real = real
+        self._registry: Dict[str, object] = {}
+
+    def counter(self, name: str, description: str = "") -> Counter:
+        return self._get(name, lambda: _RealCounter() if self._real else Counter())
+
+    def gauge(self, name: str, description: str = "") -> Gauge:
+        return self._get(name, lambda: _RealGauge() if self._real else Gauge())
+
+    def histogram(
+        self, name: str, description: str = "", boundaries: Optional[Sequence[float]] = None
+    ) -> HistogramMetric:
+        return self._get(
+            name,
+            lambda: _RealHistogram(boundaries or score_histogram_boundaries(0, 1))
+            if self._real
+            else HistogramMetric(),
+        )
+
+    def _get(self, name, ctor):
+        if name not in self._registry:
+            self._registry[name] = ctor()
+        return self._registry[name]
+
+
+_factory = FamilyFactory(real=False)
+
+
+def register_family_factory(factory: FamilyFactory) -> None:
+    """Swap the global factory (RegisterAllMetrics analog) and re-register."""
+    global _factory
+    _factory = factory
+    _register_all()
+
+
+def enable_collection() -> FamilyFactory:
+    factory = FamilyFactory(real=True)
+    register_family_factory(factory)
+    return factory
+
+
+# Metric handles used across the engine (null until enabled). Mirrors the 8
+# subsystems wired in metrics/register.cc.
+local_slam_latency = _factory.gauge("mapping_2d_local_trajectory_builder_latency")
+local_slam_real_time_ratio = _factory.gauge(
+    "mapping_2d_local_trajectory_builder_real_time_ratio"
+)
+pose_graph_work_queue_size = _factory.gauge("mapping_pose_graph_work_queue_size")
+pose_graph_work_queue_delay = _factory.gauge("mapping_pose_graph_work_queue_delay")
+pose_graph_constraints_inter = _factory.gauge("mapping_constraints_inter_submap")
+pose_graph_constraints_intra = _factory.gauge("mapping_constraints_intra_submap")
+constraint_scores = _factory.histogram("mapping_constraint_builder_scores")
+constraints_found = _factory.counter("mapping_constraint_builder_constraints_found")
+constraints_searched = _factory.counter(
+    "mapping_constraint_builder_constraints_searched"
+)
+optimization_runs = _factory.counter("mapping_pose_graph_optimizations")
+
+
+def _register_all() -> None:
+    global local_slam_latency, local_slam_real_time_ratio
+    global pose_graph_work_queue_size, pose_graph_work_queue_delay
+    global pose_graph_constraints_inter, pose_graph_constraints_intra
+    global constraint_scores, constraints_found, constraints_searched
+    global optimization_runs
+    local_slam_latency = _factory.gauge("mapping_2d_local_trajectory_builder_latency")
+    local_slam_real_time_ratio = _factory.gauge(
+        "mapping_2d_local_trajectory_builder_real_time_ratio"
+    )
+    pose_graph_work_queue_size = _factory.gauge("mapping_pose_graph_work_queue_size")
+    pose_graph_work_queue_delay = _factory.gauge("mapping_pose_graph_work_queue_delay")
+    pose_graph_constraints_inter = _factory.gauge("mapping_constraints_inter_submap")
+    pose_graph_constraints_intra = _factory.gauge("mapping_constraints_intra_submap")
+    constraint_scores = _factory.histogram(
+        "mapping_constraint_builder_scores",
+        boundaries=score_histogram_boundaries(0.0, 1.0),
+    )
+    constraints_found = _factory.counter(
+        "mapping_constraint_builder_constraints_found"
+    )
+    constraints_searched = _factory.counter(
+        "mapping_constraint_builder_constraints_searched"
+    )
+    optimization_runs = _factory.counter("mapping_pose_graph_optimizations")

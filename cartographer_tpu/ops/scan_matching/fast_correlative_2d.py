@@ -1,0 +1,278 @@
+"""Loop-closure matching: multi-resolution max pyramid + branch-and-bound.
+
+Reference: internal/2d/scan_matching/fast_correlative_scan_matcher_2d.cc
+:41-378. PrecomputationGrid2D(width w) stores, per cell (x, y), the max grid
+probability over the w x w window starting at (x, y); widths 1, 2, ...,
+2^(depth-1). BranchAndBound does DFS over (angle, x, y) offsets with the
+pooled value as an admissible bound (pooled max >= any descendant's score).
+
+TPU-native reformulation:
+* Pyramid: built by iterated shift-max doubling — pool_{2w} =
+  max(pool_w, shift_x(pool_w, w), shift_y(pool_w, w), shift_xy(pool_w, w)) —
+  O(H*W*log) elementwise work, no sliding-window deques. Cells shifted in
+  from beyond the grid use MIN_PROBABILITY (the score of unknown space), so
+  the admissible-bound property is preserved exactly.
+* BnB: level-synchronous beam. All surviving candidates of a depth are
+  scored in one batched gather; each level also scores its most promising
+  candidates at full resolution (every internal candidate's (x, y) is itself
+  a valid leaf) to obtain true lower bounds, then prunes bound <= best.
+  This keeps the DFS's exactness — a pruned candidate's bound is <= a real
+  leaf score, so no descendant can win — while scoring thousands of
+  candidates per device step instead of one.
+
+Deviation from the reference: candidates whose scan points fall outside the
+grid are scored with MIN_PROBABILITY for those points instead of being
+excluded by SearchParameters::ShrinkToFit; near-edge placements score low
+rather than being pruned a priori.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cartographer_tpu.common.config import FastCorrelativeScanMatcherOptions2D
+from cartographer_tpu.mapping import probability_values as pv
+from cartographer_tpu.mapping.grid_2d import Grid2D
+from cartographer_tpu.ops.scan_matching.correlative_2d import compute_angular_step
+from cartographer_tpu.transform import rigid2
+
+_MAX_CANDIDATES = 1 << 16  # per-level beam cap (see module docstring)
+_LEAF_PROBE = 256  # candidates probed at full resolution per level
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def compute_pyramid(prob: jax.Array, depth: int) -> jax.Array:
+    """[depth, H, W]: level l pools over 2^l x 2^l windows starting at cell."""
+    levels = [prob]
+    current = prob
+    for l in range(1, depth):
+        w = 1 << (l - 1)
+        pad_x = jnp.pad(
+            current, ((0, 0), (0, w)), constant_values=pv.MIN_PROBABILITY
+        )[:, w:]
+        row = jnp.maximum(current, pad_x)
+        pad_y = jnp.pad(row, ((0, w), (0, 0)), constant_values=pv.MIN_PROBABILITY)[
+            w:, :
+        ]
+        current = jnp.maximum(row, pad_y)
+        levels.append(current)
+    return jnp.stack(levels)
+
+
+@jax.jit
+def _score_level(
+    pool: jax.Array,  # [H, W] pooled probabilities at one level
+    ix: jax.Array,  # [A, N] int32 discretized scan x per angle
+    iy: jax.Array,  # [A, N]
+    point_mask: jax.Array,  # [N]
+    angle_idx: jax.Array,  # [C]
+    xoff: jax.Array,  # [C]
+    yoff: jax.Array,  # [C]
+    cand_mask: jax.Array,  # [C]
+):
+    cix = ix[angle_idx] + xoff[:, None]
+    ciy = iy[angle_idx] + yoff[:, None]
+    vals = pool.at[ciy, cix].get(mode="fill", fill_value=pv.MIN_PROBABILITY)
+    count = jnp.maximum(jnp.sum(point_mask), 1)
+    scores = jnp.sum(vals * point_mask[None, :], axis=-1) / count
+    return jnp.where(cand_mask, scores, -jnp.inf)
+
+
+def _pad_pow2(arr: np.ndarray, minimum: int = 256, fill=0):
+    n = len(arr)
+    size = minimum
+    while size < n:
+        size *= 2
+    out = np.full((size,) + arr.shape[1:], fill, dtype=arr.dtype)
+    out[:n] = arr
+    mask = np.zeros(size, bool)
+    mask[:n] = True
+    return out, mask
+
+
+@dataclasses.dataclass
+class MatchResult:
+    score: float
+    pose: np.ndarray  # SE(2) (3,)
+
+
+class FastCorrelativeScanMatcher2D:
+    def __init__(self, grid: Grid2D, options: FastCorrelativeScanMatcherOptions2D):
+        self._options = options
+        self._depth = options.branch_and_bound_depth
+        self._resolution = grid.resolution
+        self._origin = np.asarray(grid.origin)
+        self._shape = (grid.size, grid.size)
+        self._pyramid = compute_pyramid(grid.probability(), self._depth)
+        self._pyramid.block_until_ready()
+
+    def match(
+        self,
+        initial_pose_estimate: np.ndarray,
+        point_cloud: np.ndarray,  # (N, 2+)
+        min_score: float,
+    ) -> Optional[MatchResult]:
+        opts = self._options
+        return self._match_with_window(
+            initial_pose_estimate,
+            point_cloud,
+            min_score,
+            opts.linear_search_window,
+            opts.angular_search_window,
+        )
+
+    def match_full_submap(
+        self, point_cloud: np.ndarray, min_score: float
+    ) -> Optional[MatchResult]:
+        # Search window centered on the grid covering it fully, +-pi
+        # (fast_correlative_scan_matcher_2d.cc MatchFullSubmap).
+        center = self._origin + 0.5 * self._resolution * np.array(
+            [self._shape[1], self._shape[0]]
+        )
+        return self._match_with_window(
+            rigid2.make(center, 0.0),
+            point_cloud,
+            min_score,
+            1e6 * self._resolution,
+            math.pi,
+        )
+
+    def _match_with_window(
+        self,
+        initial_pose_estimate: np.ndarray,
+        point_cloud: np.ndarray,
+        min_score: float,
+        linear_search_window: float,
+        angular_search_window: float,
+    ) -> Optional[MatchResult]:
+        initial_rotation = float(initial_pose_estimate[2])
+        rot = rigid2.make(np.zeros(2), initial_rotation)
+        rotated = rigid2.apply(rot, np.asarray(point_cloud[:, :2], np.float64))
+        max_scan_range = float(
+            np.max(np.linalg.norm(rotated, axis=1), initial=3.0 * self._resolution)
+        )
+        step = compute_angular_step(self._resolution, max_scan_range)
+        num_angular = int(math.ceil(angular_search_window / step))
+        num_scans = 2 * num_angular + 1
+        angles = (np.arange(num_scans) - num_angular) * step
+
+        # Discretize every rotated scan once (DiscretizeScans).
+        cos_a = np.cos(angles)[:, None]
+        sin_a = np.sin(angles)[:, None]
+        px, py = rotated[:, 0][None, :], rotated[:, 1][None, :]
+        wx = cos_a * px - sin_a * py + initial_pose_estimate[0]
+        wy = sin_a * px + cos_a * py + initial_pose_estimate[1]
+        ix = np.floor((wx - self._origin[0]) / self._resolution).astype(np.int32)
+        iy = np.floor((wy - self._origin[1]) / self._resolution).astype(np.int32)
+        points_p, point_mask = _pad_pow2(np.ones(rotated.shape[0], bool), 64)
+        n_pad = len(point_mask)
+        ix_p = np.zeros((num_scans, n_pad), np.int32)
+        iy_p = np.zeros((num_scans, n_pad), np.int32)
+        ix_p[:, : ix.shape[1]] = ix
+        iy_p[:, : iy.shape[1]] = iy
+        # Out-of-grid padding points read MIN_PROBABILITY; mask them instead.
+        point_mask = np.zeros(n_pad, bool)
+        point_mask[: ix.shape[1]] = True
+
+        ix_d = jnp.asarray(ix_p)
+        iy_d = jnp.asarray(iy_p)
+        pmask_d = jnp.asarray(point_mask)
+
+        num_linear = int(math.ceil(linear_search_window / self._resolution))
+        # Clamp the window to offsets that can overlap the grid at all.
+        num_linear = min(num_linear, max(self._shape) + 1)
+        top_stride = 1 << (self._depth - 1)
+        offs = np.arange(-num_linear, num_linear + 1, top_stride, dtype=np.int32)
+
+        a_grid, x_grid, y_grid = np.meshgrid(
+            np.arange(num_scans, dtype=np.int32), offs, offs, indexing="ij"
+        )
+        cand_a = a_grid.ravel()
+        cand_x = x_grid.ravel()
+        cand_y = y_grid.ravel()
+
+        best_score = float(min_score)
+        best: Optional[Tuple[float, int, int, int]] = None
+
+        def score_at(depth, a, x, y):
+            """Chunked batched scoring of candidates at a pyramid level."""
+            out = np.empty(len(a), np.float32)
+            for s in range(0, len(a), _MAX_CANDIDATES):
+                e = min(s + _MAX_CANDIDATES, len(a))
+                a_p, cmask = _pad_pow2(a[s:e], 256)
+                x_p, _ = _pad_pow2(x[s:e], 256)
+                y_p, _ = _pad_pow2(y[s:e], 256)
+                out[s:e] = np.asarray(
+                    _score_level(
+                        self._pyramid[depth],
+                        ix_d,
+                        iy_d,
+                        pmask_d,
+                        jnp.asarray(a_p),
+                        jnp.asarray(x_p),
+                        jnp.asarray(y_p),
+                        jnp.asarray(cmask),
+                    )
+                )[: e - s]
+            return out
+
+        for depth in range(self._depth - 1, -1, -1):
+            if len(cand_a) == 0:
+                break
+            scores = score_at(depth, cand_a, cand_x, cand_y)
+
+            if depth == 0:
+                i = int(np.argmax(scores))
+                if scores[i] > best_score:
+                    best_score = float(scores[i])
+                    best = (best_score, cand_a[i], cand_x[i], cand_y[i])
+                break
+
+            # Probe the most promising candidates at full resolution: their
+            # (x, y) as-is are valid leaves, giving true lower bounds.
+            probe = np.argsort(-scores)[:_LEAF_PROBE]
+            leaf_scores = score_at(0, cand_a[probe], cand_x[probe], cand_y[probe])
+            j = int(np.argmax(leaf_scores))
+            if leaf_scores[j] > best_score:
+                best_score = float(leaf_scores[j])
+                k = probe[j]
+                best = (best_score, cand_a[k], cand_x[k], cand_y[k])
+
+            keep = scores > best_score
+            cand_a, cand_x, cand_y = cand_a[keep], cand_x[keep], cand_y[keep]
+            scores = scores[keep]
+            if len(cand_a) > _MAX_CANDIDATES:
+                # Beam cap: keep the best-bounded survivors. Exactness is
+                # lost only if this triggers (rare; pruning bites first).
+                order = np.argsort(-scores)[:_MAX_CANDIDATES]
+                cand_a, cand_x, cand_y = cand_a[order], cand_x[order], cand_y[order]
+
+            # Expand each survivor into up to 4 children at half stride.
+            half = 1 << (depth - 1)
+            child_a = np.repeat(cand_a, 4)
+            child_x = np.repeat(cand_x, 4) + np.tile([0, half, 0, half], len(cand_a))
+            child_y = np.repeat(cand_y, 4) + np.tile([0, 0, half, half], len(cand_a))
+            in_bounds = (child_x <= num_linear) & (child_y <= num_linear)
+            cand_a, cand_x, cand_y = (
+                child_a[in_bounds],
+                child_x[in_bounds],
+                child_y[in_bounds],
+            )
+
+        if best is None:
+            return None
+        _, ba, bx, by = best
+        dtheta = float(angles[ba])
+        pose = rigid2.make(
+            np.asarray(initial_pose_estimate[:2], np.float64)
+            + [bx * self._resolution, by * self._resolution],
+            rigid2.normalize_angle(initial_rotation + dtheta),
+        )
+        return MatchResult(score=best_score, pose=pose)

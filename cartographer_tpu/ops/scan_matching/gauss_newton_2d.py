@@ -1,0 +1,148 @@
+"""Scan-match refinement: Levenberg-Marquardt on device (Ceres replacement).
+
+Reference: internal/2d/scan_matching/ceres_scan_matcher_2d.cc:53-107 with
+residuals from occupied_space_cost_function_2d.cc:30-117 (bicubic-
+interpolated correspondence cost per point, scaled by
+occupied_space_weight/sqrt(N)), translation_delta_cost_functor_2d.h and
+rotation_delta_cost_functor_2d.h (weighted deltas from the target pose).
+
+The reference solves with Ceres LM + DENSE_QR over 3 parameters. Here: the
+same residuals, analytic normal equations (J^T J is 3x3), and a fixed
+`max_num_iterations` LM loop with gain-based lambda control — fully jitted,
+vmappable over scans. Bicubic interpolation is Catmull-Rom (cubic Hermite
+with central-difference derivatives), matching ceres::BiCubicInterpolator;
+out-of-grid reads return the max correspondence cost
+(occupied_space_cost_function_2d.cc kPadding adapter).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cartographer_tpu.mapping import probability_values as pv
+
+
+def _cubic_weights(t):
+    """Catmull-Rom basis for samples at offsets (-1, 0, 1, 2)."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = -0.5 * t3 + t2 - 0.5 * t
+    w1 = 1.5 * t3 - 2.5 * t2 + 1.0
+    w2 = -1.5 * t3 + 2.0 * t2 + 0.5 * t
+    w3 = 0.5 * t3 - 0.5 * t2
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def interp_bicubic(cost_grid: jax.Array, u: jax.Array, v: jax.Array):
+    """Catmull-Rom bicubic sample of cost_grid [H, W] at fractional cell
+    coords (u=x-ish col coord, v=row coord); cell centers at integers.
+    Out-of-bounds -> MAX_CORRESPONDENCE_COST. Differentiable in (u, v)."""
+    iu = jnp.floor(u).astype(jnp.int32)
+    iv = jnp.floor(v).astype(jnp.int32)
+    tu = u - iu
+    tv = v - iv
+    offs = jnp.arange(-1, 3, dtype=jnp.int32)
+    rows = iv[..., None, None] + offs[:, None]  # [..., 4, 1]
+    cols = iu[..., None, None] + offs[None, :]  # [..., 1, 4]
+    rows, cols = jnp.broadcast_arrays(rows, cols)
+    patch = cost_grid.at[rows, cols].get(
+        mode="fill", fill_value=pv.MAX_CORRESPONDENCE_COST
+    )  # [..., 4, 4]
+    wu = _cubic_weights(tu)  # [..., 4]
+    wv = _cubic_weights(tv)
+    return jnp.einsum("...i,...ij,...j->...", wv, patch, wu)
+
+
+def _residuals(
+    pose,  # [3] (x, y, theta)
+    cost_grid,
+    origin,
+    resolution,
+    points,  # [N, 2]
+    point_mask,  # [N]
+    target_translation,  # [2]
+    target_angle,  # scalar
+    occupied_space_weight_per_point,
+    translation_weight,
+    rotation_weight,
+):
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    wx = c * points[:, 0] - s * points[:, 1] + pose[0]
+    wy = s * points[:, 0] + c * points[:, 1] + pose[1]
+    u = (wx - origin[0]) / resolution - 0.5
+    v = (wy - origin[1]) / resolution - 0.5
+    occ = interp_bicubic(cost_grid, u, v) * occupied_space_weight_per_point
+    occ = jnp.where(point_mask, occ, 0.0)
+    extra = jnp.stack(
+        [
+            translation_weight * (pose[0] - target_translation[0]),
+            translation_weight * (pose[1] - target_translation[1]),
+            rotation_weight * (pose[2] - target_angle),
+        ]
+    )
+    return jnp.concatenate([occ, extra])
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def match(
+    cost_grid: jax.Array,  # f32 [H, W] correspondence cost (unknown -> 0.9)
+    origin: jax.Array,  # f32 [2]
+    initial_pose: jax.Array,  # f32 [3]
+    target_translation: jax.Array,  # f32 [2]
+    points: jax.Array,  # f32 [N, 2]
+    point_mask: jax.Array,  # bool [N]
+    resolution: float,
+    occupied_space_weight: float,
+    translation_weight: float,
+    rotation_weight: float,
+    max_iterations: int = 20,
+):
+    """Returns (pose [3], final cost). LM with diagonal damping."""
+    num_points = jnp.maximum(jnp.sum(point_mask), 1)
+    osw = occupied_space_weight / jnp.sqrt(num_points.astype(jnp.float32))
+
+    def res_fn(pose):
+        return _residuals(
+            pose,
+            cost_grid,
+            origin,
+            resolution,
+            points,
+            point_mask,
+            target_translation,
+            initial_pose[2],
+            osw,
+            translation_weight,
+            rotation_weight,
+        )
+
+    def cost_of(pose):
+        r = res_fn(pose)
+        return 0.5 * jnp.sum(r * r)
+
+    def step(carry, _):
+        pose, lam, cost = carry
+        r = res_fn(pose)
+        jac = jax.jacfwd(res_fn)(pose)  # [R, 3]
+        jtj = jac.T @ jac
+        jtr = jac.T @ r
+        damped = jtj + lam * jnp.diag(jnp.diag(jtj))
+        delta = -jnp.linalg.solve(damped, jtr)
+        new_pose = pose + delta
+        new_cost = cost_of(new_pose)
+        accept = new_cost < cost
+        pose = jnp.where(accept, new_pose, pose)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0)
+        return (pose, lam, cost), None
+
+    init = (
+        initial_pose.astype(jnp.float32),
+        jnp.float32(1e-4),
+        cost_of(initial_pose.astype(jnp.float32)),
+    )
+    (pose, _, cost), _ = jax.lax.scan(step, init, None, length=max_iterations)
+    return pose, cost
