@@ -1,0 +1,218 @@
+"""MapBuilder: the library's public API facade.
+
+Reference: mapping/map_builder.cc:77-402 and map_builder_interface.h:44-115.
+Wires the sensor collator, per-trajectory CollatedTrajectoryBuilder ->
+GlobalTrajectoryBuilder (internal/global_trajectory_builder.cc:36-143) ->
+pose graph, plus trajectory lifecycle and serialization entry points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Set
+
+import numpy as np
+
+from cartographer_tpu.common.config import (
+    MapBuilderOptions,
+    TrajectoryBuilderOptions,
+)
+from cartographer_tpu.common.time import Time
+from cartographer_tpu.mapping.id import NodeId, SubmapId
+from cartographer_tpu.mapping.local_trajectory_builder_2d import (
+    LocalTrajectoryBuilder2D,
+    MatchingResult,
+)
+from cartographer_tpu.mapping.pose_graph_2d import PoseGraph2D
+from cartographer_tpu.mapping.trimmers import PureLocalizationTrimmer
+from cartographer_tpu.sensor.collator import Collator, TrajectoryCollator
+from cartographer_tpu.sensor.data import (
+    FixedFramePoseData,
+    ImuData,
+    LandmarkData,
+    OdometryData,
+    TimedPointCloudData,
+)
+
+# callback(trajectory_id, time, local_pose, range_data_in_local, insertion_result)
+LocalSlamResultCallback = Callable
+
+
+@dataclasses.dataclass
+class _QueuedData:
+    time: Time
+    payload: object
+
+
+class GlobalTrajectoryBuilder:
+    """Glue: local SLAM result -> pose_graph.add_node -> user callback
+    (internal/global_trajectory_builder.cc:36-143)."""
+
+    def __init__(
+        self,
+        local_trajectory_builder: Optional[LocalTrajectoryBuilder2D],
+        trajectory_id: int,
+        pose_graph: PoseGraph2D,
+        local_slam_result_callback: Optional[LocalSlamResultCallback],
+    ):
+        self._local_trajectory_builder = local_trajectory_builder
+        self._trajectory_id = trajectory_id
+        self._pose_graph = pose_graph
+        self._local_slam_result_callback = local_slam_result_callback
+
+    def add_sensor_data(self, sensor_id: str, data) -> None:
+        if isinstance(data, TimedPointCloudData):
+            if self._local_trajectory_builder is None:
+                return
+            matching_result = self._local_trajectory_builder.add_range_data(
+                sensor_id, data
+            )
+            if matching_result is None:
+                return
+            node_id = None
+            if matching_result.insertion_result is not None:
+                node_id = self._pose_graph.add_node(
+                    matching_result.insertion_result.constant_data,
+                    self._trajectory_id,
+                    matching_result.insertion_result.insertion_submaps,
+                )
+            if self._local_slam_result_callback:
+                self._local_slam_result_callback(
+                    self._trajectory_id,
+                    matching_result.time,
+                    matching_result.local_pose,
+                    matching_result.range_data_in_local,
+                    matching_result.insertion_result,
+                )
+        elif isinstance(data, ImuData):
+            if self._local_trajectory_builder is not None:
+                self._local_trajectory_builder.add_imu_data(data)
+            self._pose_graph.add_imu_data(self._trajectory_id, data)
+        elif isinstance(data, OdometryData):
+            if self._local_trajectory_builder is not None:
+                self._local_trajectory_builder.add_odometry_data(data)
+            self._pose_graph.add_odometry_data(self._trajectory_id, data)
+        elif isinstance(data, FixedFramePoseData):
+            self._pose_graph.add_fixed_frame_pose_data(self._trajectory_id, data)
+        elif isinstance(data, LandmarkData):
+            raise NotImplementedError("landmarks pending")
+        else:
+            raise TypeError(f"unsupported sensor data {type(data)}")
+
+
+class CollatedTrajectoryBuilder:
+    """Routes sensor data through the collator
+    (internal/collated_trajectory_builder.cc:31-87)."""
+
+    def __init__(
+        self,
+        collator,
+        trajectory_id: int,
+        expected_sensor_ids: Set[str],
+        wrapped: GlobalTrajectoryBuilder,
+    ):
+        self._collator = collator
+        self._trajectory_id = trajectory_id
+        self._wrapped = wrapped
+        self._collator.add_trajectory(
+            trajectory_id, expected_sensor_ids, self._handle_collated
+        )
+
+    def add_sensor_data(self, sensor_id: str, data) -> None:
+        self._collator.add_sensor_data(
+            self._trajectory_id, sensor_id, _QueuedData(data.time, data)
+        )
+
+    def _handle_collated(self, sensor_id: str, queued: _QueuedData) -> None:
+        self._wrapped.add_sensor_data(sensor_id, queued.payload)
+
+
+class MapBuilder:
+    def __init__(self, options: MapBuilderOptions):
+        assert options.use_trajectory_builder_2d != options.use_trajectory_builder_3d, (
+            "Exactly one of use_trajectory_builder_2d / 3d must be set."
+        )
+        self._options = options
+        if options.use_trajectory_builder_2d:
+            self._pose_graph = PoseGraph2D(options.pose_graph)
+        else:
+            from cartographer_tpu.mapping.pose_graph_3d import PoseGraph3D
+
+            self._pose_graph = PoseGraph3D(options.pose_graph)
+        self._collator = (
+            TrajectoryCollator() if options.collate_by_trajectory else Collator()
+        )
+        self._trajectory_builders: List[CollatedTrajectoryBuilder] = []
+        self._all_trajectory_builder_options: List[TrajectoryBuilderOptions] = []
+
+    @property
+    def pose_graph(self):
+        return self._pose_graph
+
+    def num_trajectory_builders(self) -> int:
+        return len(self._trajectory_builders)
+
+    def get_trajectory_builder(self, trajectory_id: int):
+        return self._trajectory_builders[trajectory_id]
+
+    def add_trajectory_builder(
+        self,
+        expected_sensor_ids: Set[str],
+        trajectory_options: TrajectoryBuilderOptions,
+        local_slam_result_callback: Optional[LocalSlamResultCallback] = None,
+    ) -> int:
+        trajectory_id = len(self._trajectory_builders)
+        if self._options.use_trajectory_builder_2d:
+            range_ids = {
+                s for s in expected_sensor_ids if s.startswith("range")
+            } or expected_sensor_ids
+            local_builder = LocalTrajectoryBuilder2D(
+                trajectory_options.trajectory_builder_2d,
+                range_ids,
+            )
+        else:
+            from cartographer_tpu.mapping.local_trajectory_builder_3d import (
+                LocalTrajectoryBuilder3D,
+            )
+
+            range_ids = {
+                s for s in expected_sensor_ids if s.startswith("range")
+            } or expected_sensor_ids
+            local_builder = LocalTrajectoryBuilder3D(
+                trajectory_options.trajectory_builder_3d, range_ids
+            )
+        if trajectory_options.pure_localization_trimmer is not None:
+            self._pose_graph.add_trimmer(
+                PureLocalizationTrimmer(
+                    trajectory_id,
+                    trajectory_options.pure_localization_trimmer.max_submaps_to_keep,
+                )
+            )
+        global_builder = GlobalTrajectoryBuilder(
+            local_builder,
+            trajectory_id,
+            self._pose_graph,
+            local_slam_result_callback,
+        )
+        self._trajectory_builders.append(
+            CollatedTrajectoryBuilder(
+                self._collator, trajectory_id, expected_sensor_ids, global_builder
+            )
+        )
+        self._all_trajectory_builder_options.append(trajectory_options)
+        self._pose_graph.add_trajectory_if_needed(trajectory_id)
+        return trajectory_id
+
+    def finish_trajectory(self, trajectory_id: int) -> None:
+        self._collator.finish_trajectory(trajectory_id)
+        self._pose_graph.finish_trajectory(trajectory_id)
+
+    def serialize_state(self, include_unfinished_submaps: bool = True):
+        from cartographer_tpu.io.serialization import serialize_state
+
+        return serialize_state(self, include_unfinished_submaps)
+
+    def load_state(self, state, load_frozen_state: bool = True):
+        from cartographer_tpu.io.serialization import load_state
+
+        return load_state(self, state, load_frozen_state)

@@ -59,7 +59,10 @@ def score_candidates(
     idx_y = iy[:, None, None, :] + offs[None, :, None, None]  # [A, D, 1, N]
     idx_x = ix[:, None, None, :] + offs[None, None, :, None]  # [A, 1, D, N]
     idx_y, idx_x = jnp.broadcast_arrays(idx_y, idx_x)
-    vals = prob.at[idx_y, idx_x].get(mode="fill", fill_value=pv.MIN_PROBABILITY)
+    # Negative indices wrap in JAX gathers; mask them out explicitly.
+    oob = (idx_x < 0) | (idx_x >= w) | (idx_y < 0) | (idx_y >= h)
+    vals = prob[jnp.clip(idx_y, 0, h - 1), jnp.clip(idx_x, 0, w - 1)]
+    vals = jnp.where(oob, pv.MIN_PROBABILITY, vals)
     count = jnp.maximum(jnp.sum(point_mask), 1)
     mean_prob = (
         jnp.sum(vals * point_mask[None, None, None, :], axis=-1) / count

@@ -77,9 +77,13 @@ def _score_level(
     yoff: jax.Array,  # [C]
     cand_mask: jax.Array,  # [C]
 ):
+    h, w = pool.shape
     cix = ix[angle_idx] + xoff[:, None]
     ciy = iy[angle_idx] + yoff[:, None]
-    vals = pool.at[ciy, cix].get(mode="fill", fill_value=pv.MIN_PROBABILITY)
+    # Negative indices wrap in JAX gathers; mask them out explicitly.
+    oob = (cix < 0) | (cix >= w) | (ciy < 0) | (ciy >= h)
+    vals = pool[jnp.clip(ciy, 0, h - 1), jnp.clip(cix, 0, w - 1)]
+    vals = jnp.where(oob, pv.MIN_PROBABILITY, vals)
     count = jnp.maximum(jnp.sum(point_mask), 1)
     scores = jnp.sum(vals * point_mask[None, :], axis=-1) / count
     return jnp.where(cand_mask, scores, -jnp.inf)

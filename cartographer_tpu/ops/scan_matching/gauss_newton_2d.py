@@ -48,9 +48,11 @@ def interp_bicubic(cost_grid: jax.Array, u: jax.Array, v: jax.Array):
     rows = iv[..., None, None] + offs[:, None]  # [..., 4, 1]
     cols = iu[..., None, None] + offs[None, :]  # [..., 1, 4]
     rows, cols = jnp.broadcast_arrays(rows, cols)
-    patch = cost_grid.at[rows, cols].get(
-        mode="fill", fill_value=pv.MAX_CORRESPONDENCE_COST
-    )  # [..., 4, 4]
+    h, w = cost_grid.shape
+    # Negative indices wrap in JAX gathers; mask them out explicitly.
+    oob = (rows < 0) | (rows >= h) | (cols < 0) | (cols >= w)
+    patch = cost_grid[jnp.clip(rows, 0, h - 1), jnp.clip(cols, 0, w - 1)]
+    patch = jnp.where(oob, pv.MAX_CORRESPONDENCE_COST, patch)  # [..., 4, 4]
     wu = _cubic_weights(tu)  # [..., 4]
     wv = _cubic_weights(tv)
     return jnp.einsum("...i,...ij,...j->...", wv, patch, wu)

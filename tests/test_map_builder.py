@@ -1,0 +1,116 @@
+"""End-to-end MapBuilder tests (model: mapping/map_builder_test.cc:38-460:
+LocalSlam2D, GlobalSlam2D, pure localization)."""
+
+import numpy as np
+import pytest
+
+from cartographer_tpu.common.config import (
+    FastCorrelativeScanMatcherOptions2D,
+    GridOptions2D,
+    MapBuilderOptions,
+    MotionFilterOptions,
+    PoseGraphOptions,
+    SubmapsOptions2D,
+    TrajectoryBuilder2DOptions,
+    TrajectoryBuilderOptions,
+)
+from cartographer_tpu.mapping.map_builder import MapBuilder
+from cartographer_tpu.testing.synthetic import (
+    FAKE_START_TIME,
+    generate_fake_range_measurements,
+)
+from cartographer_tpu.transform import rigid3
+
+TRAVEL_DISTANCE = 1.2
+DURATION = 6.0
+TIME_STEP = 0.05
+
+
+def map_builder_options():
+    pose_graph = PoseGraphOptions(optimize_every_n_nodes=20)
+    pose_graph.constraint_builder.fast_correlative_scan_matcher = (
+        FastCorrelativeScanMatcherOptions2D(
+            linear_search_window=2.0,
+            angular_search_window=np.radians(20.0),
+            branch_and_bound_depth=4,
+        )
+    )
+    pose_graph.constraint_builder.sampling_ratio = 0.5
+    return MapBuilderOptions(
+        use_trajectory_builder_2d=True,
+        pose_graph=pose_graph,
+    )
+
+
+def trajectory_options():
+    return TrajectoryBuilderOptions(
+        trajectory_builder_2d=TrajectoryBuilder2DOptions(
+            use_imu_data=False,
+            max_range=10.0,
+            # Tight motion filter so the short synthetic run produces enough
+            # nodes to finish submaps and trigger loop closure.
+            motion_filter=MotionFilterOptions(max_distance_meters=0.04),
+            submaps=SubmapsOptions2D(
+                num_range_data=8,
+                grid_options_2d=GridOptions2D(resolution=0.05, grid_size=512),
+            ),
+        )
+    )
+
+
+class LocalSlamObserver:
+    def __init__(self):
+        self.results = []
+
+    def __call__(self, trajectory_id, time, local_pose, range_data, insertion_result):
+        self.results.append((trajectory_id, time, local_pose, insertion_result))
+
+
+class TestMapBuilder2D:
+    def test_global_slam_consistency(self):
+        observer = LocalSlamObserver()
+        map_builder = MapBuilder(map_builder_options())
+        trajectory_id = map_builder.add_trajectory_builder(
+            {"range"}, trajectory_options(), observer
+        )
+        builder = map_builder.get_trajectory_builder(trajectory_id)
+
+        direction = np.array([2.0, 1.0, 0.0])
+        direction /= np.linalg.norm(direction)
+        translation = direction * TRAVEL_DISTANCE
+        measurements = generate_fake_range_measurements(
+            translation=translation, duration=DURATION, time_step=TIME_STEP
+        )
+        for m in measurements:
+            builder.add_sensor_data("range", m)
+        map_builder.finish_trajectory(trajectory_id)
+        map_builder.pose_graph.run_final_optimization()
+
+        assert len(observer.results) > 20
+        # Ground truth pose of the last local slam result.
+        velocity = translation / DURATION
+        _, t_last, local_pose_last, _ = observer.results[-1]
+        expected = rigid3.translation((t_last - FAKE_START_TIME) * velocity)
+        err_local = np.linalg.norm(
+            rigid3.trans(local_pose_last) - rigid3.trans(expected)
+        )
+        assert err_local < 0.1 * TRAVEL_DISTANCE
+
+        # Global consistency: optimized node poses close to ground truth.
+        nodes = map_builder.pose_graph.get_trajectory_nodes()
+        from cartographer_tpu.mapping.id import NodeId
+
+        errs = []
+        for node_id, node in nodes.items(NodeId):
+            t = node.constant_data.time
+            expected = rigid3.translation((t - FAKE_START_TIME) * velocity)
+            errs.append(
+                np.linalg.norm(rigid3.trans(node.global_pose) - rigid3.trans(expected))
+            )
+        assert max(errs) < 0.1 * TRAVEL_DISTANCE
+
+        # Constraints were created, including loop closures after the first
+        # submap finished.
+        constraints = map_builder.pose_graph.constraints
+        assert any(c.tag == "INTRA_SUBMAP" for c in constraints)
+        assert any(c.tag == "INTER_SUBMAP" for c in constraints)
