@@ -116,12 +116,12 @@ class LocalTrajectoryBuilder2D:
         if time_first_point < self._extrapolator.get_last_pose_time():
             return None  # Extrapolator is still initializing.
 
-        # Per-point motion unwarp (local_trajectory_builder_2d.cc:139-155).
+        # Per-point motion unwarp (local_trajectory_builder_2d.cc:139-155),
+        # vectorized over the scan.
         point_times = time + synchronized_data.times.astype(np.float64)
         point_times = np.maximum(point_times, self._extrapolator.get_last_extrapolated_time())
-        range_data_poses = np.stack(
-            [self._extrapolator.extrapolate_pose(t) for t in point_times]
-        )  # (N, 7)
+        point_times = np.maximum.accumulate(point_times)
+        range_data_poses = self._extrapolator.extrapolate_poses_batch(point_times)
 
         if self._num_accumulated == 0:
             self._accumulation_started = _walltime.monotonic()

@@ -163,7 +163,7 @@ class PoseExtrapolator:
     def extrapolate_poses_with_gravity(
         self, times: Sequence[Time]
     ) -> ExtrapolationResult:
-        poses = [self.extrapolate_pose(t) for t in times[:-1]]
+        poses = list(self.extrapolate_poses_batch(times[:-1]))
         current_velocity = (
             self._linear_velocity_from_poses
             if len(self._odometry_data) < 2
@@ -175,6 +175,81 @@ class PoseExtrapolator:
             current_velocity=current_velocity,
             gravity_from_tracking=self.estimate_gravity_orientation(times[-1]),
         )
+
+    def extrapolate_poses_batch(self, times: Sequence[Time]) -> np.ndarray:
+        """Vectorized ExtrapolatePose over sorted times (the per-point motion
+        unwarp). Orientation: one sequential walk over the few IMU samples in
+        the window records (time, orientation, angular velocity) breakpoints,
+        then every query is orientation = q_bp * exp(w * dt) in one batched
+        quaternion op. Within-batch fake-gravity EMA corrections (10 s time
+        constant vs <0.2 s scan) are deferred to the breakpoints, which is
+        where the reference applies real IMU corrections too."""
+        times = np.asarray(list(times), dtype=np.float64)
+        if times.size == 0:
+            return np.zeros((0, 7))
+        newest = self._timed_pose_queue[-1]
+        assert times[0] >= newest.time - 1e-9
+
+        # Breakpoint walk with a throwaway tracker.
+        tracker = self._extrapolation_imu_tracker.copy()
+        last_orientation = self._imu_tracker.orientation()
+        bp_times = [tracker.time]
+        bp_quats = [tracker.orientation().copy()]
+        bp_omegas = [tracker._imu_angular_velocity.copy()]
+        if self._imu_data and times[-1] >= self._imu_data[0].time:
+            if tracker.time < self._imu_data[0].time:
+                tracker.advance(self._imu_data[0].time)
+            for imu in self._imu_data:
+                if imu.time < tracker.time:
+                    continue
+                if imu.time >= times[-1]:
+                    break
+                tracker.advance(imu.time)
+                tracker.add_imu_linear_acceleration_observation(
+                    imu.linear_acceleration
+                )
+                tracker.add_imu_angular_velocity_observation(imu.angular_velocity)
+                bp_times.append(tracker.time)
+                bp_quats.append(tracker.orientation().copy())
+                bp_omegas.append(tracker._imu_angular_velocity.copy())
+        else:
+            # No IMU in window: constant angular velocity from poses/odometry.
+            omega = (
+                self._angular_velocity_from_poses
+                if len(self._odometry_data) < 2
+                else self._angular_velocity_from_odometry
+            )
+            bp_omegas = [np.asarray(omega, np.float64)]
+
+        bp_times_arr = np.asarray(bp_times)
+        idx = np.clip(
+            np.searchsorted(bp_times_arr, times, side="right") - 1, 0, len(bp_times) - 1
+        )
+        dt = times - bp_times_arr[idx]
+        q_bp = np.asarray(bp_quats)[idx]
+        w_bp = np.asarray(bp_omegas)[idx]
+        q_t = rigid3.quat_normalize(
+            rigid3.quat_multiply(q_bp, rigid3.quat_from_angle_axis(w_bp * dt[:, None]))
+        )
+        q_rel = rigid3.quat_multiply(
+            rigid3.quat_conjugate(last_orientation)[None, :], q_t
+        )
+        rotation = rigid3.quat_normalize(
+            rigid3.quat_multiply(rigid3.quat(newest.pose)[None, :], q_rel)
+        )
+
+        velocity = (
+            self._linear_velocity_from_poses
+            if len(self._odometry_data) < 2
+            else self._linear_velocity_from_odometry
+        )
+        translation = rigid3.trans(newest.pose)[None, :] + np.outer(
+            times - newest.time, velocity
+        )
+        # Advance the cached extrapolation tracker to the end of the batch so
+        # subsequent scalar queries continue from here.
+        self._advance_imu_tracker(float(times[-1]), self._extrapolation_imu_tracker)
+        return np.concatenate([translation, rotation], axis=1)
 
     def estimate_gravity_orientation(self, time: Time) -> np.ndarray:
         imu_tracker = self._imu_tracker.copy()

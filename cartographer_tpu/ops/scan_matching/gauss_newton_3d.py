@@ -1,0 +1,190 @@
+"""3D scan-match refinement: 6-DoF Levenberg-Marquardt on device.
+
+Reference: internal/3d/scan_matching/ceres_scan_matcher_3d.cc with residuals
+from occupied_space_cost_function_3d.h:34-77 (per-point 1 - p interpolated
+from the grid with the smoothstep tensor-product of interpolated_grid.h:36-151
+— piecewise cubic with vanishing derivative at voxel centers), over BOTH
+grids (high/low resolution, weights occupied_space_weight_0/1 / sqrt(N)),
+plus translation and rotation deltas from the initial pose.
+
+Parameterization: fixed quaternion q0 composed with an exponential-map
+rotation delta — pose = (t, q0 * exp(r)) over x = [t(3), r(3)] — instead of
+Ceres' quaternion block + local parameterization. `only_optimize_yaw`
+restricts r to the z component (ConstantYawQuaternionPlus analog).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cartographer_tpu.mapping import probability_values as pv
+
+
+def _quat_multiply(q1, q2):
+    w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    w2, x2, y2, z2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def _quat_exp(r):
+    """Exponential map: rotation vector -> quaternion (Taylor-safe)."""
+    theta2 = jnp.sum(r * r)
+    theta = jnp.sqrt(theta2 + 1e-32)
+    half = 0.5 * theta
+    small = theta2 < 1e-12
+    k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
+    w = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(half))
+    return jnp.concatenate([w[None], r * k])
+
+
+def _quat_rotate(q, v):
+    qw = q[..., 0:1]
+    qv = q[..., 1:4]
+    t = 2.0 * jnp.cross(qv, v)
+    return v + qw * t + jnp.cross(qv, t)
+
+
+def interp_smoothstep_3d(prob: jax.Array, u, v, w):
+    """Smoothstep tensor-product interpolation of prob [D, H, W] at
+    fractional cell coords (u: x/col, v: y/row, w: z/depth); voxel centers at
+    integers; out-of-bounds reads MIN_PROBABILITY. Matches
+    interpolated_grid.h's piecewise cubic (zero derivative at centers)."""
+    d, h, ww = prob.shape
+    iu = jnp.floor(u).astype(jnp.int32)
+    iv = jnp.floor(v).astype(jnp.int32)
+    iw = jnp.floor(w).astype(jnp.int32)
+
+    def corner(dz, dy, dx):
+        zi, yi, xi = iw + dz, iv + dy, iu + dx
+        oob = (xi < 0) | (xi >= ww) | (yi < 0) | (yi >= h) | (zi < 0) | (zi >= d)
+        vals = prob[
+            jnp.clip(zi, 0, d - 1), jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, ww - 1)
+        ]
+        return jnp.where(oob, pv.MIN_PROBABILITY, vals)
+
+    def smooth(t):
+        return t * t * (3.0 - 2.0 * t)
+
+    tx, ty, tz = smooth(u - iu), smooth(v - iv), smooth(w - iw)
+    c000 = corner(0, 0, 0)
+    c001 = corner(0, 0, 1)
+    c010 = corner(0, 1, 0)
+    c011 = corner(0, 1, 1)
+    c100 = corner(1, 0, 0)
+    c101 = corner(1, 0, 1)
+    c110 = corner(1, 1, 0)
+    c111 = corner(1, 1, 1)
+    c00 = c000 + (c001 - c000) * tx
+    c01 = c010 + (c011 - c010) * tx
+    c10 = c100 + (c101 - c100) * tx
+    c11 = c110 + (c111 - c110) * tx
+    c0 = c00 + (c01 - c00) * ty
+    c1 = c10 + (c11 - c10) * ty
+    return c0 + (c1 - c0) * tz
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "only_optimize_yaw")
+)
+def match_3d(
+    high_prob: jax.Array,  # f32 [D, H, W]
+    high_origin: jax.Array,  # f32 [3]
+    low_prob: jax.Array,
+    low_origin: jax.Array,
+    initial_translation: jax.Array,  # f32 [3]
+    initial_quat: jax.Array,  # f32 [4]
+    target_translation: jax.Array,  # f32 [3]
+    high_points: jax.Array,  # f32 [N0, 3]
+    high_mask: jax.Array,
+    low_points: jax.Array,  # f32 [N1, 3]
+    low_mask: jax.Array,
+    high_resolution: float,
+    low_resolution: float,
+    occupied_space_weight_0: float,
+    occupied_space_weight_1: float,
+    translation_weight: float,
+    rotation_weight: float,
+    max_iterations: int = 12,
+    only_optimize_yaw: bool = False,
+):
+    """Returns (translation [3], quaternion [4], cost)."""
+    n0 = jnp.maximum(jnp.sum(high_mask), 1).astype(jnp.float32)
+    n1 = jnp.maximum(jnp.sum(low_mask), 1).astype(jnp.float32)
+    w0 = occupied_space_weight_0 / jnp.sqrt(n0)
+    w1 = occupied_space_weight_1 / jnp.sqrt(n1)
+
+    def occupied_residual(t, q, prob, origin, points, mask, res, weight):
+        # Voxel centers at origin + idx * res (reference GetCellIndex uses
+        # RoundToInt), so the fractional cell coordinate is (x - origin)/res.
+        world = _quat_rotate(q[None, :], points) + t[None, :]
+        u = (world[:, 0] - origin[0]) / res
+        v = (world[:, 1] - origin[1]) / res
+        w = (world[:, 2] - origin[2]) / res
+        p = interp_smoothstep_3d(prob, u, v, w)
+        return jnp.where(mask, weight * (1.0 - p), 0.0)
+
+    def residuals(x):
+        t = x[:3]
+        r = x[3:6]
+        if only_optimize_yaw:
+            r = r * jnp.asarray([0.0, 0.0, 1.0])
+        q = _quat_multiply(initial_quat, _quat_exp(r))
+        q = q / jnp.linalg.norm(q)
+        occ0 = occupied_residual(
+            t, q, high_prob, high_origin, high_points, high_mask,
+            high_resolution, w0,
+        )
+        occ1 = occupied_residual(
+            t, q, low_prob, low_origin, low_points, low_mask,
+            low_resolution, w1,
+        )
+        extra = jnp.concatenate(
+            [
+                translation_weight * (t - target_translation),
+                rotation_weight * r,
+            ]
+        )
+        return jnp.concatenate([occ0, occ1, extra])
+
+    def cost_of(x):
+        rr = residuals(x)
+        return 0.5 * jnp.sum(rr * rr)
+
+    def step(carry, _):
+        x, lam, cost = carry
+        r = residuals(x)
+        jac = jax.jacfwd(residuals)(x)
+        jtj = jac.T @ jac
+        jtr = jac.T @ r
+        damped = jtj + lam * jnp.diag(jnp.diag(jtj) + 1e-9)
+        delta = -jnp.linalg.solve(damped, jtr)
+        new_x = x + delta
+        new_cost = cost_of(new_x)
+        accept = new_cost < cost
+        x = jnp.where(accept, new_x, x)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0)
+        return (x, lam, cost), None
+
+    x0 = jnp.concatenate([initial_translation, jnp.zeros(3, jnp.float32)])
+    (x, _, cost), _ = jax.lax.scan(
+        step, (x0, jnp.float32(1e-4), cost_of(x0)), None, length=max_iterations
+    )
+    t = x[:3]
+    r = x[3:6]
+    if only_optimize_yaw:
+        r = r * jnp.asarray([0.0, 0.0, 1.0])
+    q = _quat_multiply(initial_quat, _quat_exp(r))
+    q = q / jnp.linalg.norm(q)
+    return t, q, cost

@@ -8,10 +8,14 @@ Must run before jax is imported anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Persistent compilation cache makes repeated test runs fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ctpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# Persistent compilation cache makes repeated test runs fast (the env var is
+# not read by this jax version; set the config explicitly).
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ctpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
