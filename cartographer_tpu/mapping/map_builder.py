@@ -142,15 +142,18 @@ class MapBuilder:
         self._collator = (
             TrajectoryCollator() if options.collate_by_trajectory else Collator()
         )
-        self._trajectory_builders: List[CollatedTrajectoryBuilder] = []
-        self._all_trajectory_builder_options: List[TrajectoryBuilderOptions] = []
+        # Slots may be None for trajectories loaded from serialized state
+        # (map_builder.cc LoadState registers them without local builders).
+        self._trajectory_builders: Dict[int, Optional[CollatedTrajectoryBuilder]] = {}
+        self._num_trajectories = 0
+        self._all_trajectory_builder_options: Dict[int, TrajectoryBuilderOptions] = {}
 
     @property
     def pose_graph(self):
         return self._pose_graph
 
     def num_trajectory_builders(self) -> int:
-        return len(self._trajectory_builders)
+        return self._num_trajectories
 
     def get_trajectory_builder(self, trajectory_id: int):
         return self._trajectory_builders[trajectory_id]
@@ -161,7 +164,8 @@ class MapBuilder:
         trajectory_options: TrajectoryBuilderOptions,
         local_slam_result_callback: Optional[LocalSlamResultCallback] = None,
     ) -> int:
-        trajectory_id = len(self._trajectory_builders)
+        trajectory_id = self._num_trajectories
+        self._num_trajectories += 1
         if self._options.use_trajectory_builder_2d:
             range_ids = {
                 s for s in expected_sensor_ids if s.startswith("range")
@@ -194,12 +198,10 @@ class MapBuilder:
             self._pose_graph,
             local_slam_result_callback,
         )
-        self._trajectory_builders.append(
-            CollatedTrajectoryBuilder(
-                self._collator, trajectory_id, expected_sensor_ids, global_builder
-            )
+        self._trajectory_builders[trajectory_id] = CollatedTrajectoryBuilder(
+            self._collator, trajectory_id, expected_sensor_ids, global_builder
         )
-        self._all_trajectory_builder_options.append(trajectory_options)
+        self._all_trajectory_builder_options[trajectory_id] = trajectory_options
         self._pose_graph.add_trajectory_if_needed(trajectory_id)
         return trajectory_id
 
@@ -215,4 +217,10 @@ class MapBuilder:
     def load_state(self, state, load_frozen_state: bool = True):
         from cartographer_tpu.io.serialization import load_state
 
-        return load_state(self, state, load_frozen_state)
+        remap = load_state(self, state, load_frozen_state)
+        # Reserve the loaded trajectory ids so new builders don't collide
+        # (map_builder.cc LoadState registers placeholder entries).
+        for new_id in remap.values():
+            self._trajectory_builders[new_id] = None
+            self._num_trajectories = max(self._num_trajectories, new_id + 1)
+        return remap
