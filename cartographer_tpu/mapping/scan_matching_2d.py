@@ -111,8 +111,29 @@ class CeresScanMatcher2D:
         grid: Grid2D,
     ) -> Tuple[np.ndarray, float]:
         """Returns (pose_estimate, final_cost)."""
+        from cartographer_tpu.mapping.tsdf_2d import TSDF2D
+
         opts = self._options
         points_p, point_mask = pad_points_2d(np.asarray(point_cloud))
+        if isinstance(grid, TSDF2D):
+            pose, cost = gauss_newton_2d.match_tsdf(
+                grid.tsd,
+                grid.weight,
+                grid.origin,
+                jnp.asarray(initial_pose_estimate, jnp.float32),
+                jnp.asarray(target_translation, jnp.float32),
+                jnp.asarray(points_p),
+                jnp.asarray(point_mask),
+                grid.resolution,
+                grid.truncation_distance,
+                opts.occupied_space_weight,
+                opts.translation_weight,
+                opts.rotation_weight,
+                opts.ceres_solver_options.max_num_iterations,
+            )
+            pose = np.asarray(pose, np.float64)
+            pose[2] = rigid2.normalize_angle(pose[2])
+            return pose, float(cost)
         pose, cost = gauss_newton_2d.match(
             grid.correspondence_cost(),
             grid.origin,

@@ -46,15 +46,16 @@ class ActiveSubmaps2D:
         self._options = options
         self._submaps: List[Submap2D] = []
         grid_opts = options.grid_options_2d
+        self._grid_type = grid_opts.grid_type
         if grid_opts.grid_type == "PROBABILITY_GRID":
             ins = options.range_data_inserter.probability_grid_range_data_inserter
             self._hit_log_odds = pv.hit_update_log_odds(ins.hit_probability)
             self._miss_log_odds = pv.miss_update_log_odds(ins.miss_probability)
             self._insert_free_space = ins.insert_free_space
+        elif grid_opts.grid_type == "TSDF":
+            self._tsdf_options = options.range_data_inserter.tsdf_range_data_inserter
         else:
-            raise NotImplementedError(
-                f"grid type {grid_opts.grid_type} (TSDF pending)"
-            )
+            raise ValueError(f"unknown grid type {grid_opts.grid_type}")
 
     def submaps(self) -> List[Submap2D]:
         return list(self._submaps)
@@ -83,11 +84,22 @@ class ActiveSubmaps2D:
 
     def _add_submap(self, origin_xy: np.ndarray) -> None:
         grid_opts = self._options.grid_options_2d
-        grid = make_grid(
-            np.asarray(origin_xy, dtype=np.float32),
-            grid_opts.resolution,
-            grid_opts.grid_size,
-        )
+        if self._grid_type == "TSDF":
+            from cartographer_tpu.mapping.tsdf_2d import make_tsdf
+
+            grid = make_tsdf(
+                np.asarray(origin_xy, dtype=np.float32),
+                grid_opts.resolution,
+                grid_opts.grid_size,
+                self._tsdf_options.truncation_distance,
+                self._tsdf_options.maximum_weight,
+            )
+        else:
+            grid = make_grid(
+                np.asarray(origin_xy, dtype=np.float32),
+                grid_opts.resolution,
+                grid_opts.grid_size,
+            )
         self._submaps.append(
             Submap2D(
                 local_pose=rigid2.make(np.asarray(origin_xy, np.float64), 0.0),
@@ -98,6 +110,9 @@ class ActiveSubmaps2D:
             self._submaps.pop(0)
 
     def _insert(self, range_data: RangeData) -> None:
+        if self._grid_type == "TSDF":
+            self._insert_tsdf(range_data)
+            return
         res = self._options.grid_options_2d.resolution
         hits = range_data.returns.points[:, :2]
         misses = range_data.misses.points[:, :2]
@@ -144,4 +159,78 @@ class ActiveSubmaps2D:
                 known=new_known,
                 origin=grid.origin,
                 resolution=grid.resolution,
+            )
+
+    def _insert_tsdf(self, range_data: RangeData) -> None:
+        from cartographer_tpu.mapping.normal_estimation_2d import (
+            estimate_normals,
+            sort_range_data_by_angle,
+        )
+        from cartographer_tpu.mapping.tsdf_2d import TSDF2D
+        from cartographer_tpu.ops import tsdf_raycast_2d
+
+        opts = self._tsdf_options
+        hits = range_data.returns.points[:, :2].astype(np.float64)
+        if len(hits) == 0:
+            return
+        origin = range_data.origin[:2].astype(np.float64)
+        need_normals = (
+            opts.project_sdf_distance_to_scan_normal
+            or opts.update_weight_angle_scan_normal_to_ray_kernel_bandwidth != 0.0
+        )
+        if need_normals:
+            order = sort_range_data_by_angle(hits, origin)
+            hits = hits[order]
+            normals = estimate_normals(hits, origin, opts.normal_estimation_options)
+            if not opts.project_sdf_distance_to_scan_normal:
+                pass  # normals still used for the angle weight kernel
+        else:
+            normals = np.full(len(hits), np.nan, np.float32)
+        ranges = np.linalg.norm(hits - origin[None, :], axis=1)
+
+        n_pad = _round_up_pow2(len(hits))
+        hits_p = np.zeros((n_pad, 2), np.float64)
+        hits_p[: len(hits)] = hits
+        normals_p = np.full(n_pad, np.nan, np.float32)
+        normals_p[: len(hits)] = normals
+        ranges_p = np.zeros(n_pad, np.float32)
+        ranges_p[: len(hits)] = ranges
+        valid = np.zeros(n_pad, bool)
+        valid[: len(hits)] = True
+
+        res = self._options.grid_options_2d.resolution
+        if opts.update_free_space:
+            max_len = float(np.max(ranges, initial=res)) + opts.truncation_distance
+        else:
+            max_len = 2.0 * opts.truncation_distance
+        num_steps = _round_up_pow2(int(np.ceil(max_len / (0.5 * res))), 16)
+
+        for submap in self._submaps:
+            grid = submap.grid
+            origin_cell = (origin - np.asarray(grid.origin)) / res
+            hits_cell = (hits_p - np.asarray(grid.origin)[None, :]) / res
+            new_tsd, new_weight = tsdf_raycast_2d.insert_scan_tsdf(
+                grid.tsd,
+                grid.weight,
+                jnp.asarray(origin_cell, jnp.float32),
+                jnp.asarray(hits_cell, jnp.float32),
+                jnp.asarray(normals_p),
+                jnp.asarray(valid),
+                jnp.asarray(ranges_p),
+                res,
+                opts.truncation_distance,
+                opts.maximum_weight,
+                opts.update_weight_angle_scan_normal_to_ray_kernel_bandwidth,
+                opts.update_weight_distance_cell_to_hit_kernel_bandwidth,
+                opts.update_weight_range_exponent,
+                num_steps,
+                opts.update_free_space,
+            )
+            submap.grid = TSDF2D(
+                tsd=new_tsd,
+                weight=new_weight,
+                origin=grid.origin,
+                resolution=grid.resolution,
+                truncation_distance=grid.truncation_distance,
+                max_weight=grid.max_weight,
             )

@@ -88,6 +88,120 @@ def _residuals(
     return jnp.concatenate([occ, extra])
 
 
+def interp_bilinear_tsdf(tsd: jax.Array, weight: jax.Array, u, v, max_cost: float):
+    """Bilinear TSD + weight interpolation; any zero-weight corner yields
+    (max_cost with zero gradient, weight 0) — InterpolatedTSDF2D semantics."""
+    h, w = tsd.shape
+    iu = jnp.floor(u).astype(jnp.int32)
+    iv = jnp.floor(v).astype(jnp.int32)
+    tu = u - iu
+    tv = v - iv
+
+    def corner(grid, dy, dx, fill):
+        rows = iv + dy
+        cols = iu + dx
+        oob = (rows < 0) | (rows >= h) | (cols < 0) | (cols >= w)
+        vals = grid[jnp.clip(rows, 0, h - 1), jnp.clip(cols, 0, w - 1)]
+        return jnp.where(oob, fill, vals)
+
+    q11 = corner(tsd, 0, 0, max_cost)
+    q12 = corner(tsd, 0, 1, max_cost)
+    q21 = corner(tsd, 1, 0, max_cost)
+    q22 = corner(tsd, 1, 1, max_cost)
+    w11 = corner(weight, 0, 0, 0.0)
+    w12 = corner(weight, 0, 1, 0.0)
+    w21 = corner(weight, 1, 0, 0.0)
+    w22 = corner(weight, 1, 1, 0.0)
+    cost = (
+        q11 * (1 - tu) * (1 - tv)
+        + q12 * tu * (1 - tv)
+        + q21 * (1 - tu) * tv
+        + q22 * tu * tv
+    )
+    wt = (
+        w11 * (1 - tu) * (1 - tv)
+        + w12 * tu * (1 - tv)
+        + w21 * (1 - tu) * tv
+        + w22 * tu * tv
+    )
+    any_unknown = (w11 == 0) | (w12 == 0) | (w21 == 0) | (w22 == 0)
+    cost = jnp.where(any_unknown, jax.lax.stop_gradient(cost) * 0 + max_cost, cost)
+    wt = jnp.where(any_unknown, 0.0, wt)
+    return cost, wt
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def match_tsdf(
+    tsd: jax.Array,  # f32 [H, W]
+    weight: jax.Array,  # f32 [H, W]
+    origin: jax.Array,
+    initial_pose: jax.Array,
+    target_translation: jax.Array,
+    points: jax.Array,
+    point_mask: jax.Array,
+    resolution: float,
+    truncation_distance: float,
+    occupied_space_weight: float,
+    translation_weight: float,
+    rotation_weight: float,
+    max_iterations: int = 20,
+):
+    """TSDF refinement (tsdf_match_cost_function_2d.cc: weight-normalized
+    interpolated TSD residuals + translation/rotation deltas)."""
+    num_points = jnp.maximum(jnp.sum(point_mask), 1)
+    osw = occupied_space_weight / jnp.sqrt(num_points.astype(jnp.float32))
+
+    def res_fn(pose):
+        c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+        wx = c * points[:, 0] - s * points[:, 1] + pose[0]
+        wy = s * points[:, 0] + c * points[:, 1] + pose[1]
+        u = (wx - origin[0]) / resolution - 0.5
+        v = (wy - origin[1]) / resolution - 0.5
+        cost, wt = interp_bilinear_tsdf(tsd, weight, u, v, truncation_distance)
+        wt = jnp.where(point_mask, wt, 0.0)
+        summed = jnp.maximum(jnp.sum(wt), 1e-9)
+        occ = (
+            num_points.astype(jnp.float32) * osw * cost * wt / summed
+        )
+        occ = jnp.where(point_mask, occ, 0.0)
+        extra = jnp.stack(
+            [
+                translation_weight * (pose[0] - target_translation[0]),
+                translation_weight * (pose[1] - target_translation[1]),
+                rotation_weight * (pose[2] - initial_pose[2]),
+            ]
+        )
+        return jnp.concatenate([occ, extra])
+
+    def cost_of(pose):
+        r = res_fn(pose)
+        return 0.5 * jnp.sum(r * r)
+
+    def step(carry, _):
+        pose, lam, cost = carry
+        r = res_fn(pose)
+        jac = jax.jacfwd(res_fn)(pose)
+        jtj = jac.T @ jac
+        jtr = jac.T @ r
+        damped = jtj + lam * jnp.diag(jnp.diag(jtj) + 1e-9)
+        delta = -jnp.linalg.solve(damped, jtr)
+        new_pose = pose + delta
+        new_cost = cost_of(new_pose)
+        accept = new_cost < cost
+        pose = jnp.where(accept, new_pose, pose)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0)
+        return (pose, lam, cost), None
+
+    init = (
+        initial_pose.astype(jnp.float32),
+        jnp.float32(1e-4),
+        cost_of(initial_pose.astype(jnp.float32)),
+    )
+    (pose, _, cost), _ = jax.lax.scan(step, init, None, length=max_iterations)
+    return pose, cost
+
+
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
 def match(
     cost_grid: jax.Array,  # f32 [H, W] correspondence cost (unknown -> 0.9)
