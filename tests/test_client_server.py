@@ -1,0 +1,119 @@
+"""Cloud-mode tests (model: cloud/internal/client_server_test.cc:79-720):
+a real in-process server on localhost gRPC driven by the real client stub;
+uplink federation with server-restart fault injection."""
+
+import time
+
+import numpy as np
+import pytest
+
+from cartographer_tpu.cloud.map_builder_server import MapBuilderServer
+from cartographer_tpu.cloud.map_builder_stub import MapBuilderStub
+from cartographer_tpu.mapping.id import NodeId
+from cartographer_tpu.testing.synthetic import (
+    FAKE_START_TIME,
+    generate_fake_range_measurements,
+)
+from cartographer_tpu.transform import rigid3
+from tests.test_map_builder import map_builder_options, trajectory_options
+
+DURATION = 4.0
+TRAVEL = 1.0
+
+
+def drive_trajectory(stub, tid, duration=DURATION, travel=TRAVEL, t_offset=0.0):
+    builder = stub.get_trajectory_builder(tid)
+    direction = np.array([2.0, 1.0, 0.0])
+    direction /= np.linalg.norm(direction)
+    measurements = generate_fake_range_measurements(
+        translation=direction * travel, duration=duration, time_step=0.05
+    )
+    for m in measurements:
+        m.time += t_offset
+        builder.add_sensor_data("range", m)
+    return direction * travel / duration
+
+
+class TestClientServer:
+    def test_local_slam_through_rpc(self):
+        server = MapBuilderServer(map_builder_options())
+        server.start()
+        try:
+            stub = MapBuilderStub(f"localhost:{server.port}")
+            tid = stub.add_trajectory_builder({"range"}, trajectory_options())
+            velocity = drive_trajectory(stub, tid)
+            server.wait_until_idle()
+            stub.finish_trajectory(tid)
+            stub.pose_graph.run_final_optimization()
+
+            node_poses = stub.pose_graph.get_trajectory_node_poses()
+            assert len(node_poses) > 10
+            # Global consistency through the wire.
+            nodes = server.map_builder.pose_graph.get_trajectory_nodes()
+            errs = []
+            for node_id, pose in node_poses.items():
+                t = nodes.at(node_id).constant_data.time
+                expected = rigid3.translation((t - FAKE_START_TIME) * velocity)
+                errs.append(
+                    np.linalg.norm(pose[:3] - rigid3.trans(expected))
+                )
+            assert max(errs) < 0.1 * TRAVEL
+            assert stub.pose_graph.is_trajectory_finished(tid)
+            constraints = stub.pose_graph.constraints()
+            assert any(c["tag"] == "INTRA_SUBMAP" for c in constraints)
+
+            state = stub.serialize_state()
+            assert len(state) > 1000
+            stub.close()
+        finally:
+            server.shutdown()
+
+    def test_uplink_federation_with_restart(self):
+        # Upstream (cloud) server.
+        uplink = MapBuilderServer(map_builder_options())
+        uplink.start()
+        uplink_port = uplink.port
+        # Robot-side server with uplink.
+        robot = MapBuilderServer(
+            map_builder_options(),
+            uplink_address=f"localhost:{uplink_port}",
+            uplink_batch_size=5,
+        )
+        robot.start()
+        try:
+            stub = MapBuilderStub(f"localhost:{robot.port}")
+            tid = stub.add_trajectory_builder({"range"}, trajectory_options())
+            drive_trajectory(stub, tid, duration=1.5)
+            robot.wait_until_idle()
+            robot._uploader.wait_until_drained()
+
+            # Kill the uplink mid-stream and keep driving: the uploader must
+            # reconnect and keep the upstream graph consistent.
+            uplink.shutdown()
+            drive_trajectory(stub, tid, duration=1.0, t_offset=10.0)
+            time.sleep(0.5)
+
+            uplink2 = MapBuilderServer(
+                map_builder_options(), address=f"localhost:{uplink_port}"
+            )
+            uplink2.start()
+            try:
+                drive_trajectory(stub, tid, duration=1.5, t_offset=20.0)
+                robot.wait_until_idle()
+                robot._uploader.wait_until_drained()
+                uplink2.wait_until_idle()
+                # The upstream graph received data (before kill and after
+                # recovery).
+                upstream_nodes = (
+                    uplink2.map_builder.pose_graph.get_trajectory_nodes().size()
+                )
+                robot_nodes = (
+                    robot.map_builder.pose_graph.get_trajectory_nodes().size()
+                )
+                assert robot_nodes > 10
+                assert upstream_nodes >= 1
+            finally:
+                uplink2.shutdown()
+            stub.close()
+        finally:
+            robot.shutdown()
