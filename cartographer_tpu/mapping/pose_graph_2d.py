@@ -79,6 +79,17 @@ class PoseGraph2D:
         self._num_nodes_since_last_loop_closure = 0
         self._trimmers: List = []
         self._initial_trajectory_poses: Dict[int, tuple] = {}
+        if options.overlapping_submaps_trimmer_2d is not None:
+            from cartographer_tpu.mapping.trimmers import OverlappingSubmapsTrimmer2D
+
+            t = options.overlapping_submaps_trimmer_2d
+            self._trimmers.append(
+                OverlappingSubmapsTrimmer2D(
+                    t.fresh_submaps_count,
+                    t.min_covered_area,
+                    t.min_added_submaps_count,
+                )
+            )
 
     # -- public api ---------------------------------------------------------
 
