@@ -95,7 +95,7 @@ class GlobalTrajectoryBuilder:
         elif isinstance(data, FixedFramePoseData):
             self._pose_graph.add_fixed_frame_pose_data(self._trajectory_id, data)
         elif isinstance(data, LandmarkData):
-            raise NotImplementedError("landmarks pending")
+            self._pose_graph.add_landmark_data(self._trajectory_id, data)
         else:
             raise TypeError(f"unsupported sensor data {type(data)}")
 

@@ -54,12 +54,38 @@ class OptimizationProblem2D:
         self.node_data: MapById = MapById()
         self.submap_data: MapById = MapById()
         self._odometry_data = MapByTime()
+        self._fixed_frame_pose_data = MapByTime()
+        # Optimized landmark poses (SE(2)) and fixed frame origins by
+        # trajectory, refreshed by solve().
+        self.landmark_data: Dict[str, np.ndarray] = {}
+        self.fixed_frame_origin_in_map: Dict[int, np.ndarray] = {}
         self._max_num_iterations = options.ceres_solver_options.max_num_iterations
 
     # -- feeds --------------------------------------------------------------
 
     def add_odometry_data(self, trajectory_id: int, odometry_data: OdometryData) -> None:
         self._odometry_data.append(trajectory_id, odometry_data)
+
+    def add_fixed_frame_pose_data(self, trajectory_id: int, data) -> None:
+        self._fixed_frame_pose_data.append(trajectory_id, data)
+
+    def _interpolate_fixed_frame(self, trajectory_id: int, time: Time) -> Optional[np.ndarray]:
+        data = [
+            d
+            for d in self._fixed_frame_pose_data.trajectory(trajectory_id)
+            if d.pose is not None
+        ]
+        if not data or time < data[0].time or time > data[-1].time:
+            return None
+        import bisect
+
+        times = [d.time for d in data]
+        i = bisect.bisect_left(times, time)
+        if i < len(times) and times[i] == time:
+            return data[i].pose
+        lo, hi = data[i - 1], data[i]
+        factor = (time - lo.time) / (hi.time - lo.time)
+        return rigid3.interpolate(lo.pose, hi.pose, factor)
 
     def add_trajectory_node(self, trajectory_id: int, node_data: NodeSpec2D) -> NodeId:
         return NodeId(*self.node_data.append(trajectory_id, node_data))
@@ -241,14 +267,193 @@ class OptimizationProblem2D:
             n_weight=jnp.asarray(n_w),
             n_mask=jnp.asarray(n_m),
         )
-        new_sp, new_np, _ = solve(
+
+        extras, landmark_ids, ff_traj_ids = self._build_extras(
+            landmark_nodes, node_ids, node_index, frozen_trajectories
+        )
+        result = solve(
             problem,
             huber_scale=self._options.huber_scale,
             max_iterations=self._max_num_iterations,
+            extras=extras,
         )
-        new_sp = np.asarray(new_sp, np.float64)
-        new_np = np.asarray(new_np, np.float64)
+        new_sp = np.asarray(result[0], np.float64)
+        new_np = np.asarray(result[1], np.float64)
         for i, sid in enumerate(submap_ids):
             self.submap_data.at(sid).global_pose = new_sp[i]
         for i, nid in enumerate(node_ids):
             self.node_data.at(nid).global_pose_2d = new_np[i]
+        if extras is not None:
+            new_lp = np.asarray(result[2], np.float64)
+            new_fp = np.asarray(result[3], np.float64)
+            for i, lid in enumerate(landmark_ids):
+                self.landmark_data[lid] = new_lp[i]
+            for i, t in enumerate(ff_traj_ids):
+                self.fixed_frame_origin_in_map[t] = new_fp[i]
+
+    def _build_extras(self, landmark_nodes, node_ids, node_index, frozen):
+        """Assemble SpaExtras from landmark observations + fixed frame data.
+        Returns (extras_or_None, landmark_ids, fixed_frame_trajectory_ids)."""
+        from cartographer_tpu.ops.spa_solver import SpaExtras
+
+        obs_rows = []
+        landmark_ids = sorted((landmark_nodes or {}).keys())
+        l_index = {lid: i for i, lid in enumerate(landmark_ids)}
+        for lid in landmark_ids:
+            node = landmark_nodes[lid]
+            for obs in node["observations"]:
+                trajectory_id = obs["trajectory_id"]
+                if trajectory_id in frozen:
+                    continue
+                time = obs["time"]
+                items = self.node_data.trajectory(trajectory_id)
+                if not items or time < items[0][1].time or time > items[-1][1].time:
+                    continue
+                import bisect
+
+                times = [d.time for _, d in items]
+                i = bisect.bisect_left(times, time)
+                if i == 0:
+                    a_idx, b_idx, factor = 0, min(1, len(items) - 1), 0.0
+                elif i >= len(items):
+                    continue
+                else:
+                    a_idx, b_idx = i - 1, i
+                    dt = times[b_idx] - times[a_idx]
+                    factor = 0.0 if dt == 0 else (time - times[a_idx]) / dt
+                ia = node_index[NodeId(trajectory_id, items[a_idx][0])]
+                ib = node_index[NodeId(trajectory_id, items[b_idx][0])]
+                # Project the SE(3) observation into the gravity-aligned 2D
+                # frame of the interpolated node.
+                spec_a = items[a_idx][1]
+                z3 = rigid3.compose(
+                    rigid3.rotation(spec_a.gravity_alignment),
+                    np.asarray(obs["landmark_to_tracking_transform"]),
+                )
+                z2 = rigid3.project_2d(z3)
+                obs_rows.append(
+                    (
+                        ia,
+                        ib,
+                        factor,
+                        l_index[lid],
+                        z2,
+                        obs["translation_weight"],
+                        obs["rotation_weight"],
+                    )
+                )
+
+        ff_rows = []
+        ff_traj_ids = []
+        for trajectory_id in self.node_data.trajectory_ids():
+            if trajectory_id in frozen:
+                continue
+            if not self._fixed_frame_pose_data.has_trajectory(trajectory_id):
+                continue
+            rows_for_traj = []
+            for index, spec in self.node_data.trajectory(trajectory_id):
+                ff_pose = self._interpolate_fixed_frame(trajectory_id, spec.time)
+                if ff_pose is None:
+                    continue
+                z2 = rigid3.project_2d(np.asarray(ff_pose))
+                rows_for_traj.append(
+                    (
+                        node_index[NodeId(trajectory_id, index)],
+                        z2,
+                        self._options.fixed_frame_pose_translation_weight,
+                        self._options.fixed_frame_pose_rotation_weight,
+                    )
+                )
+            if rows_for_traj:
+                ti = len(ff_traj_ids)
+                ff_traj_ids.append(trajectory_id)
+                # Initialize the fixed frame origin from the first node pair
+                # (optimization_problem_2d.cc:370-385).
+                if trajectory_id not in self.fixed_frame_origin_in_map:
+                    first_node_idx, first_z, _, _ = rows_for_traj[0]
+                    first_global = None
+                    for nid, i in node_index.items():
+                        if i == first_node_idx:
+                            first_global = self.node_data.at(nid).global_pose_2d
+                            break
+                    self.fixed_frame_origin_in_map[trajectory_id] = rigid2.compose(
+                        np.asarray(first_global), rigid2.inverse(first_z)
+                    )
+                for row in rows_for_traj:
+                    ff_rows.append((ti, *row))
+
+        if not obs_rows and not ff_rows:
+            return None, [], []
+
+        O = _pad_pow2(max(len(obs_rows), 1))
+        L = _pad_pow2(max(len(landmark_ids), 1))
+        o_a = np.zeros(O, np.int32)
+        o_b = np.zeros(O, np.int32)
+        o_f = np.zeros(O, np.float32)
+        o_l = np.zeros(O, np.int32)
+        o_z = np.zeros((O, 3), np.float32)
+        o_w = np.ones((O, 2), np.float32)
+        o_m = np.zeros(O, bool)
+        for i, (a, b, f, l, z, wt, wr) in enumerate(obs_rows):
+            o_a[i], o_b[i], o_f[i], o_l[i] = a, b, f, l
+            o_z[i] = z
+            o_w[i] = (wt, wr)
+            o_m[i] = True
+        index_to_node = {i: nid for nid, i in node_index.items()}
+        l_poses = np.zeros((L, 3), np.float32)
+        l_free = np.zeros(L, bool)
+        initialized = set()
+        for lid, i in l_index.items():
+            node = landmark_nodes[lid]
+            if node.get("global_pose") is not None:
+                gp = np.asarray(node["global_pose"])
+                l_poses[i] = rigid3.project_2d(gp) if gp.shape[-1] == 7 else gp
+                initialized.add(i)
+            elif lid in self.landmark_data:
+                l_poses[i] = self.landmark_data[lid]
+                initialized.add(i)
+            l_free[i] = True
+        # Un-initialized landmarks: first observation's implied pose.
+        for (a, b, f, l, z, wt, wr) in obs_rows:
+            if l not in initialized:
+                pa = self.node_data.at(index_to_node[a]).global_pose_2d
+                l_poses[l] = rigid2.compose(np.asarray(pa), z)
+                initialized.add(l)
+
+        T = _pad_pow2(max(len(ff_traj_ids), 1))
+        G = _pad_pow2(max(len(ff_rows), 1))
+        f_pose = np.zeros((T, 3), np.float32)
+        f_free = np.zeros(T, bool)
+        for i, t in enumerate(ff_traj_ids):
+            f_pose[i] = self.fixed_frame_origin_in_map[t]
+            f_free[i] = True
+        g_node = np.zeros(G, np.int32)
+        g_traj = np.zeros(G, np.int32)
+        g_z = np.zeros((G, 3), np.float32)
+        g_w = np.ones((G, 2), np.float32)
+        g_m = np.zeros(G, bool)
+        for i, (ti, ni, z, wt, wr) in enumerate(ff_rows):
+            g_node[i], g_traj[i] = ni, ti
+            g_z[i] = z
+            g_w[i] = (wt, wr)
+            g_m[i] = True
+
+        extras = SpaExtras(
+            l_poses=jnp.asarray(l_poses),
+            l_free=jnp.asarray(l_free),
+            o_node_a=jnp.asarray(o_a),
+            o_node_b=jnp.asarray(o_b),
+            o_factor=jnp.asarray(o_f),
+            o_landmark=jnp.asarray(o_l),
+            o_z=jnp.asarray(o_z),
+            o_weight=jnp.asarray(o_w),
+            o_mask=jnp.asarray(o_m),
+            f_pose=jnp.asarray(f_pose),
+            f_free=jnp.asarray(f_free),
+            g_node=jnp.asarray(g_node),
+            g_traj=jnp.asarray(g_traj),
+            g_z=jnp.asarray(g_z),
+            g_weight=jnp.asarray(g_w),
+            g_mask=jnp.asarray(g_m),
+        )
+        return extras, landmark_ids, ff_traj_ids

@@ -25,6 +25,35 @@ import jax
 import jax.numpy as jnp
 
 
+class SpaExtras(NamedTuple):
+    """Optional landmark + fixed-frame (GPS) residual tables.
+
+    Landmarks (landmark_cost_function_2d.h): each observation ties the
+    landmark pose to the pose interpolated between two bracketing nodes.
+    Fixed frame (optimization_problem_2d.cc:352-400): per-trajectory fixed
+    frame origin optimized jointly, SPA residual against each node with an
+    interpolated fixed-frame observation."""
+
+    # Landmarks.
+    l_poses: jax.Array  # f32 [L, 3] initial landmark global poses
+    l_free: jax.Array  # bool [L]
+    o_node_a: jax.Array  # i32 [O] bracketing node indices
+    o_node_b: jax.Array  # i32 [O]
+    o_factor: jax.Array  # f32 [O] interpolation factor in [0, 1]
+    o_landmark: jax.Array  # i32 [O]
+    o_z: jax.Array  # f32 [O, 3] observed tracking->landmark (2D projection)
+    o_weight: jax.Array  # f32 [O, 2]
+    o_mask: jax.Array  # bool [O]
+    # Fixed frame.
+    f_pose: jax.Array  # f32 [T, 3] fixed frame origin in map, per trajectory
+    f_free: jax.Array  # bool [T]
+    g_node: jax.Array  # i32 [G]
+    g_traj: jax.Array  # i32 [G]
+    g_z: jax.Array  # f32 [G, 3] fixed-frame observation of the node
+    g_weight: jax.Array  # f32 [G, 2]
+    g_mask: jax.Array  # bool [G]
+
+
 class SpaProblem(NamedTuple):
     """Padded, masked problem arrays (see pose_graph_2d for construction)."""
 
@@ -105,72 +134,122 @@ def solve(
     huber_scale: float,
     max_iterations: int = 50,
     cg_iterations: int = 64,
+    extras: SpaExtras | None = None,
 ):
-    """Returns (submap_poses, node_poses, final_cost)."""
+    """Returns (submap_poses, node_poses, final_cost) — plus, when `extras`
+    is given, landmark poses and fixed-frame poses appended to the tuple."""
 
     free_s = p.free_submap[:, None].astype(jnp.float32)
     free_n = p.free_node[:, None].astype(jnp.float32)
+    has_extras = extras is not None
+    if has_extras:
+        free_l = extras.l_free[:, None].astype(jnp.float32)
+        free_f = extras.f_free[:, None].astype(jnp.float32)
 
     def weighted_res(params):
-        sp, npo = params
+        sp, npo = params[0], params[1]
         r_c = _spa_error(sp[p.c_submap], npo[p.c_node], p.c_z)
         r_n = _spa_error(npo[p.n_a], npo[p.n_b], p.n_z)
-        return _weighted(r_c, r_n, p, huber_scale)
+        r_c, r_n = _weighted(r_c, r_n, p, huber_scale)
+        if not has_extras:
+            return (r_c, r_n)
+        lp, fp = params[2], params[3]
+        # Landmark residuals: interpolate the bracketing node poses
+        # (translation lerp + shortest-path angle lerp) and compare the
+        # observation against interpolated_pose^{-1} * landmark_pose.
+        pa = npo[extras.o_node_a]
+        pb = npo[extras.o_node_b]
+        f = extras.o_factor[:, None]
+        dth = _normalize_angle(pb[:, 2] - pa[:, 2])
+        interp = jnp.stack(
+            [
+                pa[:, 0] + f[:, 0] * (pb[:, 0] - pa[:, 0]),
+                pa[:, 1] + f[:, 0] * (pb[:, 1] - pa[:, 1]),
+                pa[:, 2] + f[:, 0] * dth,
+            ],
+            axis=-1,
+        )
+        r_l = _spa_error(interp, lp[extras.o_landmark], extras.o_z)
+        w_l = jnp.stack(
+            [
+                extras.o_weight[:, 0],
+                extras.o_weight[:, 0],
+                extras.o_weight[:, 1],
+            ],
+            axis=-1,
+        )
+        r_l = r_l * w_l * extras.o_mask[:, None]
+        # Fixed-frame residuals: SPA error between the trajectory's fixed
+        # frame pose and the node, with the GPS observation as z.
+        r_f = _spa_error(fp[extras.g_traj], npo[extras.g_node], extras.g_z)
+        w_f = jnp.stack(
+            [
+                extras.g_weight[:, 0],
+                extras.g_weight[:, 0],
+                extras.g_weight[:, 1],
+            ],
+            axis=-1,
+        )
+        r_f = r_f * w_f * extras.g_mask[:, None]
+        return (r_c, r_n, r_l, r_f)
 
     def cost_of(params):
-        r_c, r_n = weighted_res(params)
-        return 0.5 * (jnp.sum(r_c * r_c) + jnp.sum(r_n * r_n))
+        return 0.5 * sum(jnp.sum(r * r) for r in weighted_res(params))
 
     def project(params):
-        sp, npo = params
-        return (sp * free_s, npo * free_n)
+        out = [params[0] * free_s, params[1] * free_n]
+        if has_extras:
+            out.append(params[2] * free_l)
+            out.append(params[3] * free_f)
+        return tuple(out)
 
     def outer_step(carry, _):
-        sp, npo, lam, cost = carry
-        params = (sp, npo)
+        params, lam, cost = carry
 
         def res_flat(pr):
-            r_c, r_n = weighted_res(pr)
-            return jnp.concatenate([r_c.reshape(-1), r_n.reshape(-1)])
+            return jnp.concatenate([r.reshape(-1) for r in weighted_res(pr)])
 
         r0 = res_flat(params)
         _, vjp_fn = jax.vjp(res_flat, params)
         grad = project(vjp_fn(r0)[0])  # J^T r
 
         def hvp(v):
-            _, jv = jax.jvp(res_flat, (params,), (project(v),))
+            pv_ = project(v)
+            _, jv = jax.jvp(res_flat, (params,), (pv_,))
             jtv = project(vjp_fn(jv)[0])
             # Identity on the fixed subspace keeps the operator SPD (the rhs
             # is zero there, so fixed components stay exactly zero).
-            return (
-                jtv[0] + lam * v[0] * free_s + v[0] * (1.0 - free_s),
-                jtv[1] + lam * v[1] * free_n + v[1] * (1.0 - free_n),
+            return tuple(
+                a + lam * b + (raw - b) for a, b, raw in zip(jtv, pv_, v)
             )
 
-        neg_grad = (-grad[0], -grad[1])
+        neg_grad = tuple(-g for g in grad)
         dx, _ = jax.scipy.sparse.linalg.cg(
             hvp, neg_grad, maxiter=cg_iterations, tol=1e-6
         )
         dx = project(dx)
-        new_params = (sp + dx[0], npo + dx[1])
+        new_params = tuple(a + b for a, b in zip(params, dx))
         new_cost = cost_of(new_params)
         accept = new_cost < cost
-        sp = jnp.where(accept, new_params[0], sp)
-        npo = jnp.where(accept, new_params[1], npo)
+        params = tuple(
+            jnp.where(accept, b, a) for a, b in zip(params, new_params)
+        )
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8), lam * 5.0)
-        return (sp, npo, lam, cost), None
+        return (params, lam, cost), None
 
-    init = (
-        p.submap_poses,
-        p.node_poses,
-        jnp.float32(1e-4),
-        cost_of((p.submap_poses, p.node_poses)),
-    )
-    (sp, npo, _, cost), _ = jax.lax.scan(
-        outer_step, init, None, length=max_iterations
+    init_params = [p.submap_poses, p.node_poses]
+    if has_extras:
+        init_params += [extras.l_poses, extras.f_pose]
+    init_params = tuple(init_params)
+    (params, _, cost), _ = jax.lax.scan(
+        outer_step,
+        (init_params, jnp.float32(1e-4), cost_of(init_params)),
+        None,
+        length=max_iterations,
     )
     # Normalize angles on the way out.
-    sp = sp.at[:, 2].set(_normalize_angle(sp[:, 2]))
-    npo = npo.at[:, 2].set(_normalize_angle(npo[:, 2]))
-    return sp, npo, cost
+    out = tuple(
+        x.at[:, 2].set(_normalize_angle(x[:, 2])) for x in params
+    )
+    return out + (cost,)
