@@ -35,9 +35,19 @@ def _voxel_keys(points: np.ndarray, resolution: float) -> np.ndarray:
 
 
 def voxel_filter_indices(points: np.ndarray, resolution: float) -> np.ndarray:
-    """Boolean mask keeping one point per voxel (first occurrence)."""
+    """Boolean mask keeping one point per voxel (first occurrence).
+
+    Uses the native C++ hash-set kernel when available (cartographer_tpu/
+    native); this numpy path is the fallback and the parity reference."""
     if points.shape[0] == 0:
         return np.zeros((0,), dtype=bool)
+    if points.shape[0] > 512:
+        from cartographer_tpu import native
+
+        if native.available():
+            return native.voxel_filter_indices(
+                np.ascontiguousarray(points[:, :3], np.float32), resolution
+            )
     keys = _voxel_keys(points, resolution)
     _, first_indices = np.unique(keys, return_index=True)
     mask = np.zeros(points.shape[0], dtype=bool)
