@@ -293,20 +293,21 @@ class LocalTrajectoryBuilder2D:
     def _initialize_extrapolator_with_imu(self, imu_data: ImuData) -> None:
         if self._extrapolator is not None:
             return
-        assert not self._options.pose_extrapolator.use_imu_based, (
-            "IMU-based extrapolator pending; constant velocity supported."
+        from cartographer_tpu.mapping.pose_extrapolator_interface import (
+            create_with_imu_data,
         )
-        self._extrapolator = PoseExtrapolator.initialize_with_imu(
-            self._options.pose_extrapolator.constant_velocity.pose_queue_duration,
-            self._options.pose_extrapolator.constant_velocity.imu_gravity_time_constant,
-            imu_data,
+
+        self._extrapolator = create_with_imu_data(
+            self._options.pose_extrapolator, [imu_data]
         )
 
     def _initialize_extrapolator(self, time: Time) -> None:
         if self._extrapolator is not None:
             return
-        self._extrapolator = PoseExtrapolator(
-            self._options.pose_extrapolator.constant_velocity.pose_queue_duration,
-            self._options.pose_extrapolator.constant_velocity.imu_gravity_time_constant,
+        from cartographer_tpu.mapping.pose_extrapolator_interface import (
+            create_without_imu,
         )
-        self._extrapolator.add_pose(time, rigid3.identity())
+
+        self._extrapolator = create_without_imu(
+            self._options.pose_extrapolator, time
+        )

@@ -83,13 +83,12 @@ class LocalTrajectoryBuilder3D:
         if self._extrapolator is not None:
             self._extrapolator.add_imu_data(imu_data)
             return
-        assert not self._options.pose_extrapolator.use_imu_based, (
-            "IMU-based extrapolator pending; constant velocity supported."
+        from cartographer_tpu.mapping.pose_extrapolator_interface import (
+            create_with_imu_data,
         )
-        self._extrapolator = PoseExtrapolator.initialize_with_imu(
-            self._options.pose_extrapolator.constant_velocity.pose_queue_duration,
-            self._options.pose_extrapolator.constant_velocity.imu_gravity_time_constant,
-            imu_data,
+
+        self._extrapolator = create_with_imu_data(
+            self._options.pose_extrapolator, [imu_data]
         )
 
     def add_odometry_data(self, odometry_data: OdometryData) -> None:

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -134,8 +135,9 @@ class CeresScanMatcher2D:
             pose = np.asarray(pose, np.float64)
             pose[2] = rigid2.normalize_angle(pose[2])
             return pose, float(cost)
-        pose, cost = gauss_newton_2d.match(
-            grid.correspondence_cost(),
+        pose, cost = gauss_newton_2d.match_log_odds(
+            grid.log_odds,
+            grid.known,
             grid.origin,
             jnp.asarray(initial_pose_estimate, jnp.float32),
             jnp.asarray(target_translation, jnp.float32),
@@ -147,6 +149,7 @@ class CeresScanMatcher2D:
             opts.rotation_weight,
             opts.ceres_solver_options.max_num_iterations,
         )
+        pose, cost = jax.device_get((pose, cost))
         pose = np.asarray(pose, np.float64)
         pose[2] = rigid2.normalize_angle(pose[2])
         return pose, float(cost)

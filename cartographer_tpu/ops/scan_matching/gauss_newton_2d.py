@@ -25,6 +25,39 @@ import jax.numpy as jnp
 from cartographer_tpu.mapping import probability_values as pv
 
 
+def solve_spd_small(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve a x = b for small SPD a ([n, n], n static) via unrolled
+    Cholesky — pure vector ops, far faster on TPU than the general LU path
+    of jnp.linalg.solve for tiny systems inside scan loops."""
+    n = a.shape[0]
+    # Cholesky decomposition, unrolled at trace time.
+    l = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = a[i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            if i == j:
+                l[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                l[i][j] = s / l[j][j]
+    # Forward substitution L y = b.
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s / l[i][i]
+    # Back substitution L^T x = y.
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i] * x[k]
+        x[i] = s / l[i][i]
+    return jnp.stack(x)
+
+
 def _cubic_weights(t):
     """Catmull-Rom basis for samples at offsets (-1, 0, 1, 2)."""
     t2 = t * t
@@ -177,29 +210,74 @@ def match_tsdf(
         r = res_fn(pose)
         return 0.5 * jnp.sum(r * r)
 
-    def step(carry, _):
-        pose, lam, cost = carry
+    def cond(carry):
+        pose, lam, cost, it, done = carry
+        return (it < max_iterations) & ~done
+
+    def step(carry):
+        pose, lam, cost, it, done = carry
         r = res_fn(pose)
         jac = jax.jacfwd(res_fn)(pose)
         jtj = jac.T @ jac
         jtr = jac.T @ r
         damped = jtj + lam * jnp.diag(jnp.diag(jtj) + 1e-9)
-        delta = -jnp.linalg.solve(damped, jtr)
+        delta = -solve_spd_small(damped, jtr)
         new_pose = pose + delta
         new_cost = cost_of(new_pose)
         accept = new_cost < cost
+        # Ceres-style convergence: relative cost decrease below the
+        # function tolerance, or the trust region collapsed (lambda huge).
+        converged = (accept & (cost - new_cost <= 1e-6 * cost)) | (
+            ~accept & (lam > 1e3)
+        )
         pose = jnp.where(accept, new_pose, pose)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0)
-        return (pose, lam, cost), None
+        return (pose, lam, cost, it + 1, converged)
 
     init = (
         initial_pose.astype(jnp.float32),
         jnp.float32(1e-4),
         cost_of(initial_pose.astype(jnp.float32)),
+        jnp.int32(0),
+        jnp.asarray(False),
     )
-    (pose, _, cost), _ = jax.lax.scan(step, init, None, length=max_iterations)
+    pose, _, cost, _, _ = jax.lax.while_loop(cond, step, init)
     return pose, cost
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def match_log_odds(
+    log_odds: jax.Array,
+    known: jax.Array,
+    origin: jax.Array,
+    initial_pose: jax.Array,
+    target_translation: jax.Array,
+    points: jax.Array,
+    point_mask: jax.Array,
+    resolution: float,
+    occupied_space_weight: float,
+    translation_weight: float,
+    rotation_weight: float,
+    max_iterations: int = 20,
+):
+    """match() with the log-odds -> correspondence-cost conversion fused
+    into the same device program (avoids eager 1M-cell conversions per
+    scan)."""
+    prob = jnp.where(known, 1.0 / (1.0 + jnp.exp(-log_odds)), pv.MIN_PROBABILITY)
+    return match.__wrapped__(
+        1.0 - prob,
+        origin,
+        initial_pose,
+        target_translation,
+        points,
+        point_mask,
+        resolution,
+        occupied_space_weight,
+        translation_weight,
+        rotation_weight,
+        max_iterations,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
@@ -239,26 +317,37 @@ def match(
         r = res_fn(pose)
         return 0.5 * jnp.sum(r * r)
 
-    def step(carry, _):
-        pose, lam, cost = carry
+    def cond(carry):
+        pose, lam, cost, it, done = carry
+        return (it < max_iterations) & ~done
+
+    def step(carry):
+        pose, lam, cost, it, done = carry
         r = res_fn(pose)
         jac = jax.jacfwd(res_fn)(pose)  # [R, 3]
         jtj = jac.T @ jac
         jtr = jac.T @ r
         damped = jtj + lam * jnp.diag(jnp.diag(jtj))
-        delta = -jnp.linalg.solve(damped, jtr)
+        delta = -solve_spd_small(damped, jtr)
         new_pose = pose + delta
         new_cost = cost_of(new_pose)
         accept = new_cost < cost
+        # Ceres-style convergence: relative cost decrease below the
+        # function tolerance, or the trust region collapsed (lambda huge).
+        converged = (accept & (cost - new_cost <= 1e-6 * cost)) | (
+            ~accept & (lam > 1e3)
+        )
         pose = jnp.where(accept, new_pose, pose)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0)
-        return (pose, lam, cost), None
+        return (pose, lam, cost, it + 1, converged)
 
     init = (
         initial_pose.astype(jnp.float32),
         jnp.float32(1e-4),
         cost_of(initial_pose.astype(jnp.float32)),
+        jnp.int32(0),
+        jnp.asarray(False),
     )
-    (pose, _, cost), _ = jax.lax.scan(step, init, None, length=max_iterations)
+    pose, _, cost, _, _ = jax.lax.while_loop(cond, step, init)
     return pose, cost

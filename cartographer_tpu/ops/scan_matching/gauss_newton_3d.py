@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from cartographer_tpu.mapping import probability_values as pv
+from cartographer_tpu.ops.scan_matching.gauss_newton_2d import solve_spd_small
 
 
 def _quat_multiply(q1, q2):
@@ -168,7 +169,7 @@ def match_3d(
         jtj = jac.T @ jac
         jtr = jac.T @ r
         damped = jtj + lam * jnp.diag(jnp.diag(jtj) + 1e-9)
-        delta = -jnp.linalg.solve(damped, jtr)
+        delta = -solve_spd_small(damped, jtr)
         new_x = x + delta
         new_cost = cost_of(new_x)
         accept = new_cost < cost
