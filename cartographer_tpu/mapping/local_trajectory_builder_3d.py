@@ -274,6 +274,19 @@ class LocalTrajectoryBuilder3D:
                 high_res_cloud.points,
                 matching_submap.high_resolution_grid,
             )
+        intensity_avg = None
+        high_intensities = None
+        if (
+            self._options.use_intensities
+            and matching_submap.intensity_sum is not None
+            and high_res_cloud.intensities is not None
+        ):
+            import jax.numpy as jnp
+
+            intensity_avg = matching_submap.intensity_sum / jnp.maximum(
+                matching_submap.intensity_count, 1.0
+            )
+            high_intensities = high_res_cloud.intensities
         pose_in_submap, _ = self._ceres_scan_matcher.match(
             initial_pose_in_submap[:3],
             initial,
@@ -281,6 +294,8 @@ class LocalTrajectoryBuilder3D:
             matching_submap.high_resolution_grid,
             low_res_cloud.points,
             matching_submap.low_resolution_grid,
+            intensity_avg=intensity_avg,
+            high_intensities=high_intensities,
         )
         return rigid3.compose(matching_submap.local_pose, pose_in_submap)
 

@@ -117,10 +117,46 @@ class CeresScanMatcher3D:
         high_resolution_grid: Grid3D,
         low_resolution_cloud: np.ndarray,  # (N1, 3)
         low_resolution_grid: Grid3D,
+        intensity_avg=None,  # f32 [D, H, W] average-intensity grid
+        high_intensities: np.ndarray = None,  # (N0,)
     ) -> Tuple[np.ndarray, float]:
         opts = self._options
         hp, hm = pad_points_3d(np.asarray(high_resolution_cloud))
         lp, lm = pad_points_3d(np.asarray(low_resolution_cloud))
+        if intensity_avg is not None and high_intensities is not None:
+            hi = np.zeros(len(hm), np.float32)
+            hi[: len(high_intensities)] = high_intensities
+            iopts = opts.intensity_cost_function_options_0
+            t, q, cost = gauss_newton_3d.match_3d_intensity(
+                high_resolution_grid.probability(),
+                high_resolution_grid.origin,
+                low_resolution_grid.probability(),
+                low_resolution_grid.origin,
+                intensity_avg,
+                jnp.asarray(initial_pose[:3], jnp.float32),
+                jnp.asarray(initial_pose[3:7], jnp.float32),
+                jnp.asarray(target_translation, jnp.float32),
+                jnp.asarray(hp),
+                jnp.asarray(hm),
+                jnp.asarray(hi),
+                jnp.asarray(lp),
+                jnp.asarray(lm),
+                high_resolution_grid.resolution,
+                low_resolution_grid.resolution,
+                opts.occupied_space_weight_0,
+                opts.occupied_space_weight_1,
+                iopts.weight,
+                iopts.huber_scale,
+                iopts.intensity_threshold,
+                opts.translation_weight,
+                opts.rotation_weight,
+                opts.ceres_solver_options.max_num_iterations,
+                opts.only_optimize_yaw,
+            )
+            pose = np.concatenate(
+                [np.asarray(t, np.float64), np.asarray(q, np.float64)]
+            )
+            return pose, float(cost)
         t, q, cost = gauss_newton_3d.match_3d(
             high_resolution_grid.probability(),
             high_resolution_grid.origin,

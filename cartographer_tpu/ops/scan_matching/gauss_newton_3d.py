@@ -98,17 +98,89 @@ def interp_smoothstep_3d(prob: jax.Array, u, v, w):
 @functools.partial(
     jax.jit, static_argnames=("max_iterations", "only_optimize_yaw")
 )
-def match_3d(
-    high_prob: jax.Array,  # f32 [D, H, W]
-    high_origin: jax.Array,  # f32 [3]
+def match_3d_intensity(
+    high_prob: jax.Array,
+    high_origin: jax.Array,
     low_prob: jax.Array,
     low_origin: jax.Array,
-    initial_translation: jax.Array,  # f32 [3]
-    initial_quat: jax.Array,  # f32 [4]
-    target_translation: jax.Array,  # f32 [3]
-    high_points: jax.Array,  # f32 [N0, 3]
+    intensity_avg: jax.Array,  # f32 [D, H, W] average intensity (0 unknown)
+    initial_translation: jax.Array,
+    initial_quat: jax.Array,
+    target_translation: jax.Array,
+    high_points: jax.Array,
     high_mask: jax.Array,
-    low_points: jax.Array,  # f32 [N1, 3]
+    high_intensities: jax.Array,  # f32 [N0]
+    low_points: jax.Array,
+    low_mask: jax.Array,
+    high_resolution: float,
+    low_resolution: float,
+    occupied_space_weight_0: float,
+    occupied_space_weight_1: float,
+    intensity_weight: float,
+    intensity_huber_scale: float,
+    intensity_threshold: float,
+    translation_weight: float,
+    rotation_weight: float,
+    max_iterations: int = 12,
+    only_optimize_yaw: bool = False,
+):
+    """match_3d plus the intensity residual block
+    (intensity_cost_function_3d.cc: Huber-robustified difference between the
+    interpolated average-intensity grid and the measured intensity, for
+    points below the intensity threshold)."""
+
+    def intensity_residual(t, q):
+        world = _quat_rotate(q[None, :], high_points) + t[None, :]
+        u = (world[:, 0] - high_origin[0]) / high_resolution
+        v = (world[:, 1] - high_origin[1]) / high_resolution
+        w = (world[:, 2] - high_origin[2]) / high_resolution
+        interp = interp_smoothstep_3d(intensity_avg, u, v, w)
+        n_used = jnp.maximum(
+            jnp.sum(high_mask & (high_intensities <= intensity_threshold)), 1
+        ).astype(jnp.float32)
+        scale = intensity_weight / jnp.sqrt(n_used)
+        r = scale * (interp - high_intensities)
+        # Huber IRLS factor (safe-where).
+        s = r * r
+        delta2 = intensity_huber_scale * intensity_huber_scale
+        over = s > delta2
+        s_safe = jnp.where(over, s, delta2)
+        factor = jnp.where(
+            over,
+            jnp.sqrt(
+                (2.0 * intensity_huber_scale * jnp.sqrt(s_safe) - delta2) / s_safe
+            ),
+            1.0,
+        )
+        use = high_mask & (high_intensities <= intensity_threshold)
+        return jnp.where(use, r * factor, 0.0)
+
+    return _match_3d_impl(
+        high_prob, high_origin, low_prob, low_origin,
+        initial_translation, initial_quat, target_translation,
+        high_points, high_mask, low_points, low_mask,
+        high_resolution, low_resolution,
+        occupied_space_weight_0, occupied_space_weight_1,
+        translation_weight, rotation_weight,
+        max_iterations, only_optimize_yaw,
+        extra_residual=intensity_residual,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "only_optimize_yaw")
+)
+def match_3d(
+    high_prob: jax.Array,
+    high_origin: jax.Array,
+    low_prob: jax.Array,
+    low_origin: jax.Array,
+    initial_translation: jax.Array,
+    initial_quat: jax.Array,
+    target_translation: jax.Array,
+    high_points: jax.Array,
+    high_mask: jax.Array,
+    low_points: jax.Array,
     low_mask: jax.Array,
     high_resolution: float,
     low_resolution: float,
@@ -120,6 +192,40 @@ def match_3d(
     only_optimize_yaw: bool = False,
 ):
     """Returns (translation [3], quaternion [4], cost)."""
+    return _match_3d_impl(
+        high_prob, high_origin, low_prob, low_origin,
+        initial_translation, initial_quat, target_translation,
+        high_points, high_mask, low_points, low_mask,
+        high_resolution, low_resolution,
+        occupied_space_weight_0, occupied_space_weight_1,
+        translation_weight, rotation_weight,
+        max_iterations, only_optimize_yaw,
+        extra_residual=None,
+    )
+
+
+def _match_3d_impl(
+    high_prob,
+    high_origin,
+    low_prob,
+    low_origin,
+    initial_translation,
+    initial_quat,
+    target_translation,
+    high_points,
+    high_mask,
+    low_points,
+    low_mask,
+    high_resolution,
+    low_resolution,
+    occupied_space_weight_0,
+    occupied_space_weight_1,
+    translation_weight,
+    rotation_weight,
+    max_iterations,
+    only_optimize_yaw,
+    extra_residual=None,
+):
     n0 = jnp.maximum(jnp.sum(high_mask), 1).astype(jnp.float32)
     n1 = jnp.maximum(jnp.sum(low_mask), 1).astype(jnp.float32)
     w0 = occupied_space_weight_0 / jnp.sqrt(n0)
@@ -156,7 +262,10 @@ def match_3d(
                 rotation_weight * r,
             ]
         )
-        return jnp.concatenate([occ0, occ1, extra])
+        parts = [occ0, occ1, extra]
+        if extra_residual is not None:
+            parts.append(extra_residual(t, q))
+        return jnp.concatenate(parts)
 
     def cost_of(x):
         rr = residuals(x)

@@ -89,6 +89,28 @@ class TestLocalSlam3D:
         )
         assert err < 0.1 * TRAVEL_DISTANCE
 
+    def test_intensities_pipeline(self):
+        options = make_options()
+        options.use_intensities = True
+        builder = LocalTrajectoryBuilder3D(options, {"range"})
+        measurements = generate_fake_range_measurements(
+            translation=np.array([0.3, 0.0, 0.0]), duration=1.0, time_step=0.1
+        )
+        imu = imu_stream(FAKE_START_TIME - 0.5, FAKE_START_TIME + 1.1)
+        imu_i = 0
+        results = 0
+        for m in measurements:
+            m.intensities = np.full(m.ranges.size, 20.0, np.float32)
+            while imu_i < len(imu) and imu[imu_i].time <= m.time:
+                builder.add_imu_data(imu[imu_i])
+                imu_i += 1
+            if builder.add_range_data("range", m) is not None:
+                results += 1
+        assert results >= 3
+        submap = builder._active_submaps.submaps()[0]
+        assert submap.intensity_sum is not None
+        assert float(np.asarray(submap.intensity_count).sum()) > 0
+
     def test_insertion_and_histograms(self):
         builder = LocalTrajectoryBuilder3D(make_options(), {"range"})
         measurements = generate_fake_range_measurements(
