@@ -384,13 +384,37 @@ def load_state(map_builder, state: bytes, load_frozen_state: bool = True) -> Dic
 
 
 def pbstream_info(state: bytes) -> Dict[str, Any]:
-    """pbstream info CLI equivalent (io/internal/pbstream_info.cc)."""
+    """pbstream info CLI equivalent (io/internal/pbstream_info.cc).
+    Handles both the reference proto payloads and the npz payloads."""
     reader = ProtoStreamReader(_io.BytesIO(state))
     counts: Dict[str, int] = {}
     version = None
+    first = reader.read()
+    if first is None:
+        return {"format_version": None, "record_counts": {}}
+    try:
+        _, meta, _ = _decode_record(first)
+        version = meta["format_version"]
+        payload = "npz"
+    except Exception:
+        from cartographer_tpu.io.proto import state_pb2 as pb
+
+        header = pb.SerializationHeader()
+        header.ParseFromString(first)
+        version = header.format_version
+        payload = "proto"
     for record in reader:
-        kind, meta, _ = _decode_record(record)
+        if payload == "npz":
+            kind, _, _ = _decode_record(record)
+        else:
+            from cartographer_tpu.io.proto import state_pb2 as pb
+
+            msg = pb.SerializedData()
+            msg.ParseFromString(record)
+            kind = msg.WhichOneof("data") or "unknown"
         counts[kind] = counts.get(kind, 0) + 1
-        if kind == "header":
-            version = meta["format_version"]
-    return {"format_version": version, "record_counts": counts}
+    return {
+        "format_version": version,
+        "payload": payload,
+        "record_counts": counts,
+    }

@@ -214,6 +214,17 @@ class MapBuilder:
 
         return serialize_state(self, include_unfinished_submaps)
 
+    def serialize_state_pbstream(self, include_unfinished_submaps: bool = True) -> bytes:
+        """Reference-wire-format pbstream (io/pbstream_compat.py)."""
+        from cartographer_tpu.io.pbstream_compat import write_pbstream
+
+        return write_pbstream(self, include_unfinished_submaps)
+
+    def load_state_pbstream(self, state: bytes, load_frozen_state: bool = True):
+        from cartographer_tpu.io.pbstream_compat import read_pbstream
+
+        return read_pbstream(self, state, load_frozen_state)
+
     def load_state(self, state, load_frozen_state: bool = True):
         from cartographer_tpu.io.serialization import load_state
 
