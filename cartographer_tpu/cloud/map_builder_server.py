@@ -82,6 +82,7 @@ class MapBuilderServer:
             "LoadState": self._handle_load_state,
             "IsTrajectoryFinished": self._handle_is_trajectory_finished,
             "IsTrajectoryFrozen": self._handle_is_trajectory_frozen,
+            "GetSubmapData": self._handle_get_submap_data,
         }
 
         class Handler(grpc.GenericRpcHandler):
@@ -286,6 +287,48 @@ class MapBuilderServer:
             meta["trajectory_id"]
         )
         return wire.encode("bool", {"value": bool(finished)}, {})
+
+    def _handle_get_submap_data(self, request: bytes, context) -> bytes:
+        """SubmapQuery analog (cloud handlers + submap_visualization.proto):
+        returns the submap's texture (probability image) + pose + version."""
+        _, meta, _ = wire.decode(request)
+        submap_id = SubmapId(meta["trajectory_id"], meta["submap_index"])
+        data = self._map_builder.pose_graph.get_all_submap_data().get(submap_id)
+        if data is None:
+            return wire.encode("submap_texture", {"found": False}, {})
+        submap = data.submap
+        if hasattr(submap, "grid"):  # 2D
+            from cartographer_tpu.mapping.grid_2d import compute_cropped
+
+            cropped = compute_cropped(submap.grid)
+            intensity = np.where(
+                cropped.known, cropped.probability, 0.5
+            ).astype(np.float32)
+            alpha = cropped.known.astype(np.float32)
+            resolution = cropped.resolution
+            origin = cropped.origin
+        else:  # 3D: project the high-res grid along z (max probability).
+            prob = np.asarray(submap.high_resolution_grid.probability())
+            known3 = np.asarray(submap.high_resolution_grid.known())
+            intensity = prob.max(axis=0).astype(np.float32)
+            alpha = known3.any(axis=0).astype(np.float32)
+            resolution = submap.high_resolution_grid.resolution
+            origin = np.asarray(submap.high_resolution_grid.origin)[:2]
+        return wire.encode(
+            "submap_texture",
+            {
+                "found": True,
+                "submap_version": submap.num_range_data,
+                "resolution": float(resolution),
+                "finished": bool(submap.insertion_finished),
+            },
+            {
+                "intensity": intensity,
+                "alpha": alpha,
+                "origin": np.asarray(origin, np.float64),
+                "local_pose": np.asarray(submap.local_pose, np.float64),
+            },
+        )
 
     def _handle_is_trajectory_frozen(self, request: bytes, context) -> bytes:
         _, meta, _ = wire.decode(request)

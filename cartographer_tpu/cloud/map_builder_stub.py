@@ -39,7 +39,9 @@ class PoseGraphStub:
         self._parent = parent
 
     def run_final_optimization(self) -> None:
-        self._parent._call("RunFinalOptimization", wire.encode("empty", {}, {}))
+        self._parent._call(
+            "RunFinalOptimization", wire.encode("empty", {}, {}), timeout=600.0
+        )
 
     def get_local_to_global_transform(self, trajectory_id: int) -> np.ndarray:
         response = self._parent._call(
@@ -145,14 +147,34 @@ class MapBuilderStub:
     def get_trajectory_builder(self, trajectory_id: int) -> TrajectoryBuilderStub:
         return self._trajectory_builders[trajectory_id]
 
+    def get_submap_data(self, submap_id: SubmapId):
+        """Returns a dict with the submap texture (SubmapQuery analog), or
+        None if the submap does not exist."""
+        response = self._call(
+            "GetSubmapData",
+            wire.encode(
+                "query",
+                {
+                    "trajectory_id": submap_id.trajectory_id,
+                    "submap_index": submap_id.submap_index,
+                },
+                {},
+            ),
+        )
+        _, meta, arrays = wire.decode(response)
+        if not meta["found"]:
+            return None
+        return {**meta, **arrays}
+
     def finish_trajectory(self, trajectory_id: int) -> None:
         self._call(
             "FinishTrajectory",
             wire.encode("finish", {"trajectory_id": trajectory_id}, {}),
+            timeout=600.0,
         )
 
     def serialize_state(self) -> bytes:
-        return self._call("WriteState", wire.encode("empty", {}, {}), timeout=300.0)
+        return self._call("WriteState", wire.encode("empty", {}, {}), timeout=600.0)
 
     def load_state(self, state: bytes) -> Dict[int, int]:
         response = self._call("LoadState", state, timeout=300.0)

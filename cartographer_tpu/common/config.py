@@ -461,6 +461,10 @@ class MapBuilderOptions(ConfigBase):
     num_background_threads: int = 4
     pose_graph: PoseGraphOptions = field(default_factory=PoseGraphOptions)
     collate_by_trajectory: bool = False
+    # TPU addition: when True, loop closure + optimization drain on a
+    # background thread pool (the reference's DrainWorkQueue behavior);
+    # when False the work queue drains deterministically inline.
+    async_pose_graph: bool = False
 
 
 # Optional nested sub-configs whose dataclass type cannot be inferred from a

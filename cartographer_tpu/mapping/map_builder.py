@@ -133,12 +133,21 @@ class MapBuilder:
             "Exactly one of use_trajectory_builder_2d / 3d must be set."
         )
         self._options = options
+        thread_pool = None
+        if options.async_pose_graph:
+            from cartographer_tpu.common.task import ThreadPool
+
+            thread_pool = ThreadPool(max(1, options.num_background_threads))
         if options.use_trajectory_builder_2d:
-            self._pose_graph = PoseGraph2D(options.pose_graph)
+            self._pose_graph = PoseGraph2D(options.pose_graph, thread_pool)
         else:
             from cartographer_tpu.mapping.pose_graph_3d import PoseGraph3D
 
             self._pose_graph = PoseGraph3D(options.pose_graph)
+            if thread_pool is not None:
+                raise NotImplementedError(
+                    "async_pose_graph currently supports the 2D backend"
+                )
         self._collator = (
             TrajectoryCollator() if options.collate_by_trajectory else Collator()
         )

@@ -134,12 +134,10 @@ class ActiveSubmaps2D:
         max_len = float(
             np.max(np.linalg.norm(ends - origin[None, :], axis=1), initial=res)
         )
-        # ~1.25 samples per crossed cell, rounded to a power of two so the
-        # number of jit variants stays logarithmic. (The reference's
-        # subpixel Bresenham visits each crossed cell exactly once; denser
-        # sampling only tightens rare corner-clip cells at 2x the scatter
-        # cost.)
-        num_steps = _round_up_pow2(int(np.ceil(max_len / (0.8 * res))), 32)
+        # Max integer boundary crossings per axis for the exact-supercover
+        # scatter (raycast_2d), rounded to a power of two so the number of
+        # jit variants stays logarithmic.
+        num_steps = _round_up_pow2(int(np.ceil(max_len / res)) + 2, 32)
 
         for submap in self._submaps:
             grid = submap.grid

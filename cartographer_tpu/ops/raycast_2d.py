@@ -56,21 +56,60 @@ def insert_scan(
     ].set(True, mode="drop")
 
     if insert_free_space:
-        # Miss mask: sample all rays origin -> end at sub-cell spacing.
-        delta = ends_cell - origin_cell[None, :]
-        ts = (jnp.arange(num_steps, dtype=jnp.float32) + 0.5) / num_steps
-        # samples: [N, S, 2]
-        samples = origin_cell[None, None, :] + ts[None, :, None] * delta[:, None, :]
-        six = jnp.floor(samples[..., 0]).astype(jnp.int32)
-        siy = jnp.floor(samples[..., 1]).astype(jnp.int32)
-        s_in = (six >= 0) & (six < w) & (siy >= 0) & (siy < h)
-        s_sel = s_in & valid[:, None]
+        # Miss mask: EXACT supercover of every cell each ray passes through
+        # (parity with the reference's subpixel Bresenham,
+        # internal/2d/ray_to_pixel_mask.cc). Every visited cell other than
+        # the start cell is entered through an integer x- or y-boundary, so
+        # scattering the two cells adjacent to every boundary crossing
+        # (plus the start and end cells) covers the path exactly.
+        delta = ends_cell - origin_cell[None, :]  # [N, 2]
         miss_grid = jnp.zeros((h, w), bool)
+
+        def crossings(axis):
+            """Cells adjacent to integer crossings along `axis`."""
+            o = origin_cell[axis]
+            d = delta[:, axis]  # [N]
+            o_other = origin_cell[1 - axis]
+            d_other = delta[:, 1 - axis]
+            step = jnp.where(d >= 0, 1.0, -1.0)
+            first = jnp.where(
+                d >= 0, jnp.floor(o) + 1.0, jnp.ceil(o) - 1.0
+            )
+            ks = first[:, None] + step[:, None] * jnp.arange(
+                num_steps, dtype=jnp.float32
+            )[None, :]  # [N, S] boundary coordinates
+            safe_d = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+            ts = (ks - o) / safe_d[:, None]
+            t_valid = (ts > 0.0) & (ts <= 1.0) & (jnp.abs(d) > 1e-9)[:, None]
+            other = o_other + ts * d_other[:, None]
+            fo = jnp.floor(other).astype(jnp.int32)
+            ki = ks.astype(jnp.int32)
+            # Two cells adjacent to the boundary: coordinates k-1 and k
+            # along `axis` (for negative direction: k and k-1 swapped —
+            # same set).
+            cells_a = (ki - 1, fo) if axis == 0 else (fo, ki - 1)
+            cells_b = (ki, fo) if axis == 0 else (fo, ki)
+            return cells_a, cells_b, t_valid
+
+        def scatter(grid, cx, cy, sel):
+            s = sel & (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            return grid.at[
+                jnp.where(s, cy, h), jnp.where(s, cx, w)
+            ].set(True, mode="drop")
+
+        for axis in (0, 1):
+            (ax_, ay_), (bx_, by_), t_valid = crossings(axis)
+            sel = t_valid & valid[:, None]
+            miss_grid = scatter(miss_grid, ax_, ay_, sel)
+            miss_grid = scatter(miss_grid, bx_, by_, sel)
+
+        # Start cell (shared by all rays) and end cells.
+        oix = jnp.floor(origin_cell[0]).astype(jnp.int32)
+        oiy = jnp.floor(origin_cell[1]).astype(jnp.int32)
+        o_in = (oix >= 0) & (oix < w) & (oiy >= 0) & (oiy < h)
         miss_grid = miss_grid.at[
-            jnp.where(s_sel, siy, h), jnp.where(s_sel, six, w)
+            jnp.where(o_in, oiy, h), jnp.where(o_in, oix, w)
         ].set(True, mode="drop")
-        # The ray includes its endpoint cell (miss endpoints get a miss
-        # update; hit endpoints are overridden by hit priority below).
         end_sel = valid & in_bounds
         miss_grid = miss_grid.at[
             jnp.where(end_sel, end_iy, h), jnp.where(end_sel, end_ix, w)

@@ -1,0 +1,46 @@
+"""Asynchronous global SLAM test: the work queue drains on background
+threads (reference DrainWorkQueue) while the frontend keeps feeding."""
+
+import numpy as np
+import pytest
+
+from cartographer_tpu.mapping.id import NodeId
+from cartographer_tpu.mapping.map_builder import MapBuilder
+from cartographer_tpu.testing.synthetic import (
+    FAKE_START_TIME,
+    generate_fake_range_measurements,
+)
+from cartographer_tpu.transform import rigid3
+from tests.test_map_builder import map_builder_options, trajectory_options
+
+
+class TestAsyncPoseGraph:
+    def test_async_matches_ground_truth(self):
+        options = map_builder_options()
+        options.async_pose_graph = True
+        options.num_background_threads = 2
+        mb = MapBuilder(options)
+        tid = mb.add_trajectory_builder({"range"}, trajectory_options())
+        builder = mb.get_trajectory_builder(tid)
+        direction = np.array([2.0, 1.0, 0.0])
+        direction /= np.linalg.norm(direction)
+        travel = 1.2
+        for m in generate_fake_range_measurements(
+            translation=direction * travel, duration=6.0, time_step=0.05
+        ):
+            builder.add_sensor_data("range", m)
+        mb.finish_trajectory(tid)
+        mb.pose_graph.run_final_optimization()
+
+        velocity = direction * travel / 6.0
+        nodes = mb.pose_graph.get_trajectory_nodes()
+        errs = []
+        for node_id, node in nodes.items(NodeId):
+            t = node.constant_data.time
+            expected = rigid3.translation((t - FAKE_START_TIME) * velocity)
+            errs.append(
+                np.linalg.norm(rigid3.trans(node.global_pose) - rigid3.trans(expected))
+            )
+        assert len(errs) > 20
+        assert max(errs) < 0.1 * travel
+        assert any(c.tag == "INTER_SUBMAP" for c in mb.pose_graph.constraints)

@@ -64,6 +64,16 @@ class TestClientServer:
 
             state = stub.serialize_state()
             assert len(state) > 1000
+
+            # SubmapQuery through the wire.
+            from cartographer_tpu.mapping.id import SubmapId
+
+            texture = stub.get_submap_data(SubmapId(tid, 0))
+            assert texture is not None
+            assert texture["submap_version"] > 0
+            assert texture["intensity"].shape == texture["alpha"].shape
+            assert texture["alpha"].any()
+            assert stub.get_submap_data(SubmapId(99, 0)) is None
             stub.close()
         finally:
             server.shutdown()

@@ -74,6 +74,56 @@ class TestConversions:
             assert prob_at(grid2) == pytest.approx(prob_at(grid), abs=1e-3)
 
 
+class TestStateRoundtrip3D:
+    def test_write_read_3d(self):
+        import tests.test_map_builder_3d as t3d
+        from cartographer_tpu.testing.synthetic import (
+            FAKE_START_TIME,
+            generate_fake_range_measurements,
+        )
+
+        mb = MapBuilder(t3d.map_builder_options())
+        tid = mb.add_trajectory_builder(
+            {"range", "imu"}, t3d.trajectory_options(), None
+        )
+        builder = mb.get_trajectory_builder(tid)
+        imu = t3d.imu_stream(FAKE_START_TIME - 0.5, FAKE_START_TIME + 2.1)
+        measurements = generate_fake_range_measurements(
+            translation=np.array([0.5, 0.25, 0.0]), duration=2.0, time_step=0.1
+        )
+        events = [("imu", d.time, d) for d in imu] + [
+            ("range", m.time, m) for m in measurements
+        ]
+        events.sort(key=lambda e: e[1])
+        for kind, _, payload in events:
+            builder.add_sensor_data(kind, payload)
+        mb.finish_trajectory(tid)
+
+        data = pc.write_pbstream(mb)
+        mb2 = MapBuilder(t3d.map_builder_options())
+        remap = pc.read_pbstream(mb2, data, load_frozen_state=True)
+        assert remap == {0: 0}
+        nodes1 = mb.pose_graph.get_trajectory_nodes()
+        nodes2 = mb2.pose_graph.get_trajectory_nodes()
+        assert nodes2.size() == nodes1.size()
+        for node_id, node in nodes1.items(NodeId):
+            np.testing.assert_allclose(
+                nodes2.at(node_id).global_pose, node.global_pose, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                nodes2.at(node_id).constant_data.rotational_scan_matcher_histogram,
+                node.constant_data.rotational_scan_matcher_histogram,
+                atol=1e-5,
+            )
+        # 3D grids survive with int8<->uint16 quantization (identical cells
+        # known, probabilities within the int8 step).
+        for submap_id, d1 in mb.pose_graph.get_all_submap_data().items(SubmapId):
+            d2 = mb2.pose_graph.get_all_submap_data().at(submap_id)
+            k1 = int(np.asarray(d1.submap.high_resolution_grid.known()).sum())
+            k2 = int(np.asarray(d2.submap.high_resolution_grid.known()).sum())
+            assert k1 == k2
+
+
 class TestStateRoundtrip2D:
     def test_write_read_preserves_graph(self):
         mb, _ = build_map()
