@@ -21,7 +21,7 @@ from cartographer_tpu.common.config import OptimizationProblemOptions
 from cartographer_tpu.common.time import Time
 from cartographer_tpu.mapping.constraint_builder_2d import INTER_SUBMAP, Constraint
 from cartographer_tpu.mapping.id import MapById, NodeId, SubmapId
-from cartographer_tpu.ops.spa_solver_3d import SpaProblem3D, solve_3d
+from cartographer_tpu.ops.spa_solver_3d import SpaExtras3D, SpaProblem3D, solve_3d
 from cartographer_tpu.sensor.data import ImuData, OdometryData
 from cartographer_tpu.sensor.map_by_time import MapByTime
 from cartographer_tpu.transform import rigid3
@@ -96,7 +96,13 @@ class OptimizationProblem3D:
         self.submap_data: MapById = MapById()
         self._imu_data = MapByTime()
         self._odometry_data = MapByTime()
+        self._fixed_frame_pose_data = MapByTime()
         self.trajectory_data: Dict[int, TrajectoryData] = {}
+        # Optimized landmark poses (SE(3) 7-vectors) by landmark id and
+        # fixed-frame origins by trajectory id (optimization_problem_3d.cc
+        # trajectory_data_.fixed_frame_origin_in_map / landmark_data_).
+        self.landmark_data: Dict[str, np.ndarray] = {}
+        self.fixed_frame_origin_in_map: Dict[int, np.ndarray] = {}
         self._max_num_iterations = options.ceres_solver_options.max_num_iterations
 
     # -- feeds --------------------------------------------------------------
@@ -106,6 +112,26 @@ class OptimizationProblem3D:
 
     def add_odometry_data(self, trajectory_id: int, odometry_data: OdometryData) -> None:
         self._odometry_data.append(trajectory_id, odometry_data)
+
+    def add_fixed_frame_pose_data(self, trajectory_id: int, data) -> None:
+        self._fixed_frame_pose_data.append(trajectory_id, data)
+
+    def _interpolate_fixed_frame(
+        self, trajectory_id: int, time: Time
+    ) -> Optional[np.ndarray]:
+        entries = [
+            (d.time, np.asarray(d.pose))
+            for d in self._fixed_frame_pose_data.trajectory(trajectory_id)
+            if d.pose is not None
+        ]
+        if not entries or time < entries[0][0] or time > entries[-1][0]:
+            return None
+        times = [t for t, _ in entries]
+        i = bisect.bisect_left(times, time)
+        if i < len(times) and times[i] == time:
+            return entries[i][1]
+        (t0, p0), (t1, p1) = entries[i - 1], entries[i]
+        return rigid3.interpolate(p0, p1, (time - t0) / (t1 - t0))
 
     def add_trajectory_node(self, trajectory_id: int, node_data: NodeSpec3D) -> NodeId:
         self.trajectory_data.setdefault(trajectory_id, TrajectoryData())
@@ -394,11 +420,27 @@ class OptimizationProblem3D:
                 opts.use_online_imu_extrinsics_in_3d and len(rot_rows) > 0
             ),
         )
-        st, sq, nt, nq, grav, calib_q, _ = solve_3d(
+        extras, landmark_ids, ff_traj_ids = self._build_extras(
+            landmark_nodes, node_ids, node_index, frozen_trajectories
+        )
+        results = solve_3d(
             problem,
             huber_scale=opts.huber_scale,
             max_iterations=self._max_num_iterations,
+            extras=extras,
         )
+        if extras is None:
+            st, sq, nt, nq, grav, calib_q, _ = results
+        else:
+            st, sq, nt, nq, grav, calib_q, lt, lq, ft, fq, _ = results
+            lt = np.asarray(lt, np.float64)
+            lq = np.asarray(lq, np.float64)
+            ft = np.asarray(ft, np.float64)
+            fq = np.asarray(fq, np.float64)
+            for i, lid in enumerate(landmark_ids):
+                self.landmark_data[lid] = np.concatenate([lt[i], lq[i]])
+            for i, t in enumerate(ff_traj_ids):
+                self.fixed_frame_origin_in_map[t] = np.concatenate([ft[i], fq[i]])
         st = np.asarray(st, np.float64)
         sq = np.asarray(sq, np.float64)
         nt = np.asarray(nt, np.float64)
@@ -414,3 +456,185 @@ class OptimizationProblem3D:
             if i < len(grav):
                 self.trajectory_data[t].gravity_constant = float(grav[i])
                 self.trajectory_data[t].imu_calibration = calib_q[i]
+
+    def _build_extras(self, landmark_nodes, node_ids, node_index, frozen):
+        """Assemble SpaExtras3D from landmark observations + fixed-frame
+        data. Returns (extras_or_None, landmark_ids, ff_trajectory_ids).
+        Reference: optimization_problem_3d.cc:510-570 (fixed frame) and
+        landmark_cost_function_3d.h (observations bracketed by node times)."""
+        obs_rows = []
+        landmark_ids = sorted((landmark_nodes or {}).keys())
+        l_index = {lid: i for i, lid in enumerate(landmark_ids)}
+        for lid in landmark_ids:
+            node = landmark_nodes[lid]
+            for obs in node["observations"]:
+                trajectory_id = obs["trajectory_id"]
+                if trajectory_id in frozen:
+                    continue
+                time = obs["time"]
+                items = self.node_data.trajectory(trajectory_id)
+                if not items or time < items[0][1].time or time > items[-1][1].time:
+                    continue
+                times = [d.time for _, d in items]
+                i = bisect.bisect_left(times, time)
+                if i == 0:
+                    a_idx, b_idx, factor = 0, min(1, len(items) - 1), 0.0
+                elif i >= len(items):
+                    continue
+                else:
+                    a_idx, b_idx = i - 1, i
+                    dt = times[b_idx] - times[a_idx]
+                    factor = 0.0 if dt == 0 else (time - times[a_idx]) / dt
+                ia = node_index[NodeId(trajectory_id, items[a_idx][0])]
+                ib = node_index[NodeId(trajectory_id, items[b_idx][0])]
+                obs_rows.append(
+                    (
+                        ia,
+                        ib,
+                        factor,
+                        l_index[lid],
+                        np.asarray(obs["landmark_to_tracking_transform"]),
+                        obs["translation_weight"],
+                        obs["rotation_weight"],
+                    )
+                )
+
+        ff_rows = []
+        ff_traj_ids = []
+        opts = self._options
+        for trajectory_id in self.node_data.trajectory_ids():
+            if trajectory_id in frozen:
+                continue
+            if not self._fixed_frame_pose_data.has_trajectory(trajectory_id):
+                continue
+            rows_for_traj = []
+            for index, spec in self.node_data.trajectory(trajectory_id):
+                ff_pose = self._interpolate_fixed_frame(trajectory_id, spec.time)
+                if ff_pose is None:
+                    continue
+                rows_for_traj.append(
+                    (
+                        node_index[NodeId(trajectory_id, index)],
+                        np.asarray(ff_pose),
+                        opts.fixed_frame_pose_translation_weight,
+                        opts.fixed_frame_pose_rotation_weight,
+                    )
+                )
+            if rows_for_traj:
+                ti = len(ff_traj_ids)
+                ff_traj_ids.append(trajectory_id)
+                if trajectory_id not in self.fixed_frame_origin_in_map:
+                    # Initialize from the first constrained node:
+                    # origin = node_global * z^-1, yaw-projected
+                    # (optimization_problem_3d.cc:536-556).
+                    first_node_idx, first_z, _, _ = rows_for_traj[0]
+                    first_global = None
+                    for nid, i in node_index.items():
+                        if i == first_node_idx:
+                            first_global = self.node_data.at(nid).global_pose
+                            break
+                    origin = rigid3.compose(
+                        np.asarray(first_global), rigid3.inverse(first_z)
+                    )
+                    yaw = rigid3.get_yaw(origin)
+                    self.fixed_frame_origin_in_map[trajectory_id] = np.concatenate(
+                        [
+                            origin[:3],
+                            [np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)],
+                        ]
+                    )
+                for row in rows_for_traj:
+                    ff_rows.append((ti, *row))
+
+        if not obs_rows and not ff_rows:
+            return None, [], []
+
+        index_to_node = {i: nid for nid, i in node_index.items()}
+        L = _pad_pow2(max(len(landmark_ids), 1))
+        O = _pad_pow2(max(len(obs_rows), 1))
+        l_t = np.zeros((L, 3), np.float32)
+        l_q = np.tile(np.array([1, 0, 0, 0], np.float32), (L, 1))
+        l_free = np.zeros(L, bool)
+        initialized = set()
+        for lid, i in l_index.items():
+            node = landmark_nodes[lid]
+            if node.get("global_pose") is not None:
+                gp = np.asarray(node["global_pose"])
+                l_t[i], l_q[i] = gp[:3], gp[3:7]
+                initialized.add(i)
+            elif lid in self.landmark_data:
+                gp = self.landmark_data[lid]
+                l_t[i], l_q[i] = gp[:3], gp[3:7]
+                initialized.add(i)
+            l_free[i] = True
+        for (a, b, f, l, z, wt, wr) in obs_rows:
+            if l not in initialized:
+                pa = self.node_data.at(index_to_node[a]).global_pose
+                gp = rigid3.compose(np.asarray(pa), z)
+                l_t[l], l_q[l] = gp[:3], gp[3:7]
+                initialized.add(l)
+        o_a = np.zeros(O, np.int32)
+        o_b = np.zeros(O, np.int32)
+        o_f = np.zeros(O, np.float32)
+        o_l = np.zeros(O, np.int32)
+        o_z_t = np.zeros((O, 3), np.float32)
+        o_z_q = np.tile(np.array([1, 0, 0, 0], np.float32), (O, 1))
+        o_w = np.ones((O, 2), np.float32)
+        o_m = np.zeros(O, bool)
+        for i, (a, b, f, l, z, wt, wr) in enumerate(obs_rows):
+            o_a[i], o_b[i], o_f[i], o_l[i] = a, b, f, l
+            o_z_t[i], o_z_q[i] = z[:3], z[3:7]
+            o_w[i] = (wt, wr)
+            o_m[i] = True
+
+        F = _pad_pow2(max(len(ff_traj_ids), 1))
+        G = _pad_pow2(max(len(ff_rows), 1))
+        f_t = np.zeros((F, 3), np.float32)
+        f_q = np.tile(np.array([1, 0, 0, 0], np.float32), (F, 1))
+        f_free = np.zeros(F, bool)
+        for i, t in enumerate(ff_traj_ids):
+            origin = self.fixed_frame_origin_in_map[t]
+            f_t[i], f_q[i] = origin[:3], origin[3:7]
+            f_free[i] = True
+        g_node = np.zeros(G, np.int32)
+        g_traj = np.zeros(G, np.int32)
+        g_z_t = np.zeros((G, 3), np.float32)
+        g_z_q = np.tile(np.array([1, 0, 0, 0], np.float32), (G, 1))
+        g_w = np.ones((G, 2), np.float32)
+        g_m = np.zeros(G, bool)
+        for i, (ti, ni, z, wt, wr) in enumerate(ff_rows):
+            g_node[i], g_traj[i] = ni, ti
+            g_z_t[i], g_z_q[i] = z[:3], z[3:7]
+            g_w[i] = (wt, wr)
+            g_m[i] = True
+
+        extras = SpaExtras3D(
+            l_t=jnp.asarray(l_t),
+            l_q=jnp.asarray(l_q),
+            l_free=jnp.asarray(l_free),
+            o_node_a=jnp.asarray(o_a),
+            o_node_b=jnp.asarray(o_b),
+            o_factor=jnp.asarray(o_f),
+            o_landmark=jnp.asarray(o_l),
+            o_z_t=jnp.asarray(o_z_t),
+            o_z_q=jnp.asarray(o_z_q),
+            o_weight=jnp.asarray(o_w),
+            o_mask=jnp.asarray(o_m),
+            f_t=jnp.asarray(f_t),
+            f_q=jnp.asarray(f_q),
+            f_free=jnp.asarray(f_free),
+            g_node=jnp.asarray(g_node),
+            g_traj=jnp.asarray(g_traj),
+            g_z_t=jnp.asarray(g_z_t),
+            g_z_q=jnp.asarray(g_z_q),
+            g_weight=jnp.asarray(g_w),
+            g_mask=jnp.asarray(g_m),
+            g_tolerant=jnp.asarray(opts.fixed_frame_pose_use_tolerant_loss),
+            g_loss_a=jnp.asarray(
+                opts.fixed_frame_pose_tolerant_loss_param_a, jnp.float32
+            ),
+            g_loss_b=jnp.asarray(
+                opts.fixed_frame_pose_tolerant_loss_param_b, jnp.float32
+            ),
+        )
+        return extras, landmark_ids, ff_traj_ids

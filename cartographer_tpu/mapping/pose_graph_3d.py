@@ -60,6 +60,7 @@ class PoseGraph3D:
         self._num_nodes_since_last_loop_closure = 0
         self._trimmers: List = []
         self._initial_trajectory_poses: Dict[int, tuple] = {}
+        self._landmark_nodes: Dict[str, dict] = {}
 
     @property
     def constraints(self) -> List[Constraint]:
@@ -111,7 +112,30 @@ class PoseGraph3D:
         self._optimization_problem.add_odometry_data(trajectory_id, odometry_data)
 
     def add_fixed_frame_pose_data(self, trajectory_id: int, data: FixedFramePoseData) -> None:
-        raise NotImplementedError("fixed frame (GPS) pending")
+        self._optimization_problem.add_fixed_frame_pose_data(trajectory_id, data)
+
+    def add_landmark_data(self, trajectory_id: int, landmark_data) -> None:
+        """Reference PoseGraph3D::AddLandmarkData: one LandmarkNode per id
+        accumulating observations."""
+        for obs in landmark_data.landmark_observations:
+            node = self._landmark_nodes.setdefault(
+                obs.id, {"observations": [], "global_pose": None}
+            )
+            node["observations"].append(
+                {
+                    "trajectory_id": trajectory_id,
+                    "time": landmark_data.time,
+                    "landmark_to_tracking_transform": obs.landmark_to_tracking_transform,
+                    "translation_weight": obs.translation_weight,
+                    "rotation_weight": obs.rotation_weight,
+                }
+            )
+
+    def get_landmark_poses(self):
+        return {
+            lid: np.asarray(pose)
+            for lid, pose in self._optimization_problem.landmark_data.items()
+        }
 
     def add_trimmer(self, trimmer) -> None:
         self._trimmers.append(trimmer)
@@ -365,7 +389,9 @@ class PoseGraph3D:
             for t, s in self._trajectory_states.items()
             if s == TrajectoryState.FROZEN
         }
-        self._optimization_problem.solve(self._constraints, frozen)
+        self._optimization_problem.solve(
+            self._constraints, frozen, self._landmark_nodes
+        )
         metrics.optimization_runs.increment()
         for trajectory_id in self._trajectory_nodes.trajectory_ids():
             last_optimized_index = -1

@@ -71,6 +71,45 @@ class SpaProblem3D(NamedTuple):
     optimize_calibration: jax.Array  # bool []
 
 
+class SpaExtras3D(NamedTuple):
+    """Optional SE(3) landmark + fixed-frame (GPS) residual tables.
+
+    Landmarks (landmark_cost_function_3d.h:56-95): each observation ties a
+    free SE(3) landmark pose to the pose interpolated (lerp translation,
+    geodesic slerp rotation — InterpolateNodes3D) between the two nodes
+    bracketing the observation time. Fixed frame
+    (optimization_problem_3d.cc:510-570): a per-trajectory free fixed-frame
+    origin (translation + yaw-only rotation, YawOnlyQuaternionPlus) with an
+    SPA residual against each node using the interpolated GPS observation
+    as z; optional Ceres TolerantLoss."""
+
+    # Landmarks: free SE(3) poses.
+    l_t: jax.Array  # f32 [L, 3]
+    l_q: jax.Array  # f32 [L, 4]
+    l_free: jax.Array  # bool [L]
+    o_node_a: jax.Array  # i32 [O] bracketing node indices
+    o_node_b: jax.Array  # i32 [O]
+    o_factor: jax.Array  # f32 [O] interpolation factor in [0, 1]
+    o_landmark: jax.Array  # i32 [O]
+    o_z_t: jax.Array  # f32 [O, 3] observed tracking->landmark translation
+    o_z_q: jax.Array  # f32 [O, 4] observed tracking->landmark rotation
+    o_weight: jax.Array  # f32 [O, 2] (translation, rotation)
+    o_mask: jax.Array  # bool [O]
+    # Fixed-frame origins (one per trajectory with GPS data).
+    f_t: jax.Array  # f32 [F, 3]
+    f_q: jax.Array  # f32 [F, 4] base quaternion (pure yaw at entry)
+    f_free: jax.Array  # bool [F]
+    g_node: jax.Array  # i32 [G]
+    g_traj: jax.Array  # i32 [G] index into the fixed-frame tables
+    g_z_t: jax.Array  # f32 [G, 3] fixed-frame observation of the node
+    g_z_q: jax.Array  # f32 [G, 4]
+    g_weight: jax.Array  # f32 [G, 2]
+    g_mask: jax.Array  # bool [G]
+    g_tolerant: jax.Array  # bool [] use TolerantLoss on GPS residuals
+    g_loss_a: jax.Array  # f32 [] TolerantLoss a
+    g_loss_b: jax.Array  # f32 [] TolerantLoss b
+
+
 def _qmul(q1, q2):
     w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
     w2, x2, y2, z2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
@@ -107,13 +146,23 @@ def _qexp(r):
 
 
 def _qlog(q):
-    """Quaternion -> angle-axis vector (w kept positive)."""
+    """Quaternion -> angle-axis vector (w kept positive).
+
+    Gradient-safe at identity: sum-of-squares of the vector part underflows
+    to 0 in f32 near identity, so sqrt/atan2 only see inputs from lanes
+    where sin^2 is bounded away from 0 (safe-where); small lanes use the
+    series 2/w (1 - s2 / (3 w^2)) which matches 2 atan2(s, w)/s to O(s^4)."""
     sign = jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
     q = q * sign
     w = jnp.clip(q[..., 0], -1.0, 1.0)
-    sin_half = jnp.linalg.norm(q[..., 1:4] + 1e-32, axis=-1)
-    angle = 2.0 * jnp.arctan2(sin_half, w)
-    scale = jnp.where(sin_half < 1e-8, 2.0, angle / jnp.maximum(sin_half, 1e-32))
+    s2 = jnp.sum(q[..., 1:4] * q[..., 1:4], axis=-1)
+    small = s2 < 1e-10
+    s2_safe = jnp.where(small, 1.0, s2)
+    sin_half = jnp.sqrt(s2_safe)
+    angle_over_sin = 2.0 * jnp.arctan2(sin_half, w) / sin_half
+    w_safe = jnp.maximum(w, 1e-6)
+    series = 2.0 / w_safe * (1.0 - s2 / (3.0 * w_safe * w_safe))
+    scale = jnp.where(small, series, angle_over_sin)
     return q[..., 1:4] * scale[..., None]
 
 
@@ -123,20 +172,27 @@ def solve_3d(
     huber_scale: float,
     max_iterations: int = 50,
     cg_iterations: int = 64,
+    extras: SpaExtras3D | None = None,
 ):
-    """Returns (submap_t, submap_q, node_t, node_q, gravity, calib_q, cost)."""
+    """Returns (submap_t, submap_q, node_t, node_q, gravity, calib_q, cost)
+    — plus, when `extras` is given, (landmark_t, landmark_q, fixed_t,
+    fixed_q) appended before cost."""
     S = p.submap_t.shape[0]
     N = p.node_t.shape[0]
     T = p.gravity.shape[0]
+    has_extras = extras is not None
 
     free_s = p.free_submap[:, None].astype(jnp.float32)
     free_n = p.free_node[:, None].astype(jnp.float32)
+    if has_extras:
+        free_l = extras.l_free[:, None].astype(jnp.float32)
+        free_f = extras.f_free[:, None].astype(jnp.float32)
     z_scale_t = jnp.where(
         p.fix_z, jnp.asarray([1.0, 1.0, 0.0]), jnp.ones(3)
     )
 
     def poses_of(params):
-        s_dt, s_dr, n_dt, n_dr, grav, calib_dr = params
+        s_dt, s_dr, n_dt, n_dr, grav, calib_dr = params[:6]
         st = p.submap_t + s_dt * free_s * z_scale_t[None, :]
         sq = _qmul(p.submap_q, _qexp(s_dr * free_s))
         nt = p.node_t + n_dt * free_n * z_scale_t[None, :]
@@ -147,7 +203,19 @@ def solve_3d(
                 jnp.where(p.optimize_calibration, 1.0, 0.0) * calib_dr
             ),
         )
-        return st, sq, nt, nq, grav, calib
+        if not has_extras:
+            return st, sq, nt, nq, grav, calib
+        l_dt, l_dr, f_dt, f_dyaw = params[6:]
+        lt = extras.l_t + l_dt * free_l
+        lq = _qmul(extras.l_q, _qexp(l_dr * free_l))
+        ft = extras.f_t + f_dt * free_f
+        # YawOnlyQuaternionPlus (rotation_parameterization.h): the delta is a
+        # pure z rotation; the base quaternion is pure yaw so order commutes.
+        yaw_vec = jnp.concatenate(
+            [jnp.zeros_like(f_dyaw), jnp.zeros_like(f_dyaw), f_dyaw], axis=-1
+        )
+        fq = _qmul(extras.f_q, _qexp(yaw_vec * free_f))
+        return st, sq, nt, nq, grav, calib, lt, lq, ft, fq
 
     def relative_error(t_i, q_i, t_j, q_j, z_t, z_q):
         """cost_helpers_impl.h ComputeUnscaledError (3D)."""
@@ -157,7 +225,8 @@ def solve_3d(
         return err_t, err_r
 
     def weighted_res(params):
-        st, sq, nt, nq, grav, calib = poses_of(params)
+        poses = poses_of(params)
+        st, sq, nt, nq, grav, calib = poses[:6]
         # Submap-node constraints.
         et, er = relative_error(
             st[p.c_submap], sq[p.c_submap], nt[p.c_node], nq[p.c_node],
@@ -209,11 +278,70 @@ def solve_3d(
             * p.a_mask[:, None]
         )
 
+        if not has_extras:
+            return (
+                r_c.reshape(-1),
+                r_n.reshape(-1),
+                r_rot.reshape(-1),
+                r_acc.reshape(-1),
+            )
+
+        lt, lq, ft, fq = poses[6:]
+        # Landmark residuals (landmark_cost_function_3d.h:56-76): interpolate
+        # the bracketing node poses (lerp translation + geodesic slerp
+        # rotation, InterpolateNodes3D) and compute the SPA error from the
+        # interpolated pose to the landmark with the observation as z.
+        ta, qa = nt[extras.o_node_a], nq[extras.o_node_a]
+        tb, qb = nt[extras.o_node_b], nq[extras.o_node_b]
+        f = extras.o_factor[:, None]
+        t_i = ta + f * (tb - ta)
+        q_i = _qmul(qa, _qexp(f * _qlog(_qmul(_qconj(qa), qb))))
+        e_lt, e_lr = relative_error(
+            t_i, q_i, lt[extras.o_landmark], lq[extras.o_landmark],
+            extras.o_z_t, extras.o_z_q,
+        )
+        r_l = jnp.concatenate(
+            [e_lt * extras.o_weight[:, 0:1], e_lr * extras.o_weight[:, 1:2]],
+            axis=-1,
+        ) * extras.o_mask[:, None]
+
+        # Fixed-frame residuals (optimization_problem_3d.cc:560-570): SPA
+        # error with the fixed-frame origin as start, the node as end, and
+        # the interpolated GPS observation as z.
+        e_ft, e_fr = relative_error(
+            ft[extras.g_traj], fq[extras.g_traj],
+            nt[extras.g_node], nq[extras.g_node],
+            extras.g_z_t, extras.g_z_q,
+        )
+        r_f = jnp.concatenate(
+            [e_ft * extras.g_weight[:, 0:1], e_fr * extras.g_weight[:, 1:2]],
+            axis=-1,
+        ) * extras.g_mask[:, None]
+        # Ceres TolerantLoss(a, b): rho(s) = b softplus((s-a)/b) - b
+        # softplus(-a/b); IRLS residual scaling sqrt(rho(s)/s). Safe-where:
+        # sqrt only sees inputs bounded away from 0 so its gradient stays
+        # finite in masked lanes (0 * inf = NaN otherwise).
+        sf = jnp.sum(r_f * r_f, axis=-1)
+        a, b = extras.g_loss_a, extras.g_loss_b
+        apply_tol = extras.g_tolerant & (sf > 1e-12)
+        sf_safe = jnp.where(apply_tol, sf, 1.0)
+        rho = b * (
+            jax.nn.softplus((sf_safe - a) / b) - jax.nn.softplus(-a / b)
+        )
+        tol_factor = jnp.where(
+            apply_tol,
+            jnp.sqrt(jnp.maximum(rho, 1e-20) / sf_safe),
+            1.0,
+        )
+        r_f = r_f * tol_factor[:, None]
+
         return (
             r_c.reshape(-1),
             r_n.reshape(-1),
             r_rot.reshape(-1),
             r_acc.reshape(-1),
+            r_l.reshape(-1),
+            r_f.reshape(-1),
         )
 
     def res_flat(params):
@@ -224,15 +352,24 @@ def solve_3d(
         return 0.5 * jnp.sum(r * r)
 
     def project(params):
-        s_dt, s_dr, n_dt, n_dr, grav, calib_dr = params
-        return (
+        s_dt, s_dr, n_dt, n_dr, grav, calib_dr = params[:6]
+        out = [
             s_dt * free_s,
             s_dr * free_s,
             n_dt * free_n,
             n_dr * free_n,
             grav,
             calib_dr * jnp.where(p.optimize_calibration, 1.0, 0.0),
-        )
+        ]
+        if has_extras:
+            l_dt, l_dr, f_dt, f_dyaw = params[6:]
+            out += [
+                l_dt * free_l,
+                l_dr * free_l,
+                f_dt * free_f,
+                f_dyaw * free_f,
+            ]
+        return tuple(out)
 
     def outer_step(carry, _):
         params, lam, cost = carry
@@ -266,23 +403,38 @@ def solve_3d(
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8), lam * 5.0)
         return (params, lam, cost), None
 
-    init_params = (
+    init_params = [
         jnp.zeros((S, 3), jnp.float32),
         jnp.zeros((S, 3), jnp.float32),
         jnp.zeros((N, 3), jnp.float32),
         jnp.zeros((N, 3), jnp.float32),
         p.gravity,
         jnp.zeros((T, 3), jnp.float32),
-    )
+    ]
+    if has_extras:
+        L = extras.l_t.shape[0]
+        F = extras.f_t.shape[0]
+        init_params += [
+            jnp.zeros((L, 3), jnp.float32),
+            jnp.zeros((L, 3), jnp.float32),
+            jnp.zeros((F, 3), jnp.float32),
+            jnp.zeros((F, 1), jnp.float32),
+        ]
+    init_params = tuple(init_params)
     (params, _, cost), _ = jax.lax.scan(
         outer_step,
         (init_params, jnp.float32(1e-4), cost_of(init_params)),
         None,
         length=max_iterations,
     )
-    st, sq, nt, nq, grav, calib = poses_of(params)
+    poses = poses_of(params)
+    st, sq, nt, nq, grav, calib = poses[:6]
 
     def norm(q):
         return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
-    return st, norm(sq), nt, norm(nq), jnp.maximum(grav, 1e-3), norm(calib), cost
+    out = (st, norm(sq), nt, norm(nq), jnp.maximum(grav, 1e-3), norm(calib))
+    if has_extras:
+        lt, lq, ft, fq = poses[6:]
+        out = out + (lt, norm(lq), ft, norm(fq))
+    return out + (cost,)
