@@ -452,6 +452,13 @@ class TrajectoryBuilderOptions(ConfigBase):
     pure_localization_trimmer: Optional[PureLocalizationTrimmerOptions] = None
     collate_fixed_frame: bool = True
     collate_landmarks: bool = False
+    # TPU additions: run the full 2D local-SLAM pipeline device-resident in
+    # chunks (mapping/chunked_frontend_2d.py). Requires the no-IMU/
+    # no-odometry probability-grid configuration; local SLAM results are
+    # then delivered in chunk batches (asynchronously, like the reference's
+    # callback timing).
+    use_chunked_device_frontend: bool = False
+    device_frontend_chunk_size: int = 64
 
 
 @dataclass

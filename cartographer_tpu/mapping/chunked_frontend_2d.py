@@ -1,0 +1,360 @@
+"""Chunked device-resident 2D local SLAM frontend (host wrapper).
+
+Drop-in alternative to LocalTrajectoryBuilder2D for the common 2D
+configuration (no IMU/odometry, probability grids, one accumulated scan,
+no online correlative matching): the full per-scan pipeline runs on
+device (ops/frontend_2d.py), one dispatch + one fetch per chunk of
+scans. `add_range_data` therefore returns a LIST of MatchingResults at
+chunk boundaries (empty list otherwise) — mirroring the reference's
+asynchronous callback timing (the reference never promises synchronous
+per-scan results either; see local_slam_result_callback in
+mapping/map_builder_interface.h).
+
+Submap lifecycle events (create/pop/finish) decided on device are
+replayed on host from the fetched event flags so the host-side Submap2D
+objects handed to the pose graph match ActiveSubmaps2D semantics
+(mapping/2d/submap_2d.cc:137-219) exactly. Grids remain jax device
+arrays end to end.
+"""
+
+from __future__ import annotations
+
+import math
+import time as _walltime
+from typing import List, Optional, Set
+
+import jax
+import numpy as np
+
+from cartographer_tpu import metrics
+from cartographer_tpu.common.config import TrajectoryBuilder2DOptions
+from cartographer_tpu.common.time import Time
+from cartographer_tpu.mapping import probability_values as pv
+from cartographer_tpu.mapping.grid_2d import Grid2D
+from cartographer_tpu.mapping.local_trajectory_builder_2d import (
+    InsertionResult,
+    MatchingResult,
+)
+from cartographer_tpu.mapping.range_data_collator import RangeDataCollator
+from cartographer_tpu.mapping.submap_2d import Submap2D
+from cartographer_tpu.mapping.trajectory_node import TrajectoryNodeData
+from cartographer_tpu.ops import frontend_2d
+from cartographer_tpu.sensor.data import (
+    PointCloud,
+    RangeData,
+    TimedPointCloudData,
+)
+from cartographer_tpu.transform import rigid2, rigid3
+
+
+def _round_up_pow2(n: int, minimum: int = 256) -> int:
+    v = minimum
+    while v < n:
+        v *= 2
+    return v
+
+
+def supports(options: TrajectoryBuilder2DOptions) -> bool:
+    """Whether this frontend covers the given configuration."""
+    return (
+        not options.use_imu_data
+        and options.num_accumulated_range_data == 1
+        and not options.use_online_correlative_scan_matching
+        and options.submaps.grid_options_2d.grid_type == "PROBABILITY_GRID"
+        and not options.pose_extrapolator.use_imu_based
+    )
+
+
+class ChunkedLocalTrajectoryBuilder2D:
+    """2D frontend with the whole per-scan pipeline on device."""
+
+    def __init__(
+        self,
+        options: TrajectoryBuilder2DOptions,
+        expected_range_sensor_ids: Set[str],
+        chunk_size: int = 64,
+    ):
+        assert supports(options), (
+            "ChunkedLocalTrajectoryBuilder2D supports the no-IMU/no-odometry "
+            "probability-grid configuration; use LocalTrajectoryBuilder2D "
+            "otherwise."
+        )
+        self._options = options
+        self._range_data_collator = RangeDataCollator(expected_range_sensor_ids)
+        sub = options.submaps
+        grid = sub.grid_options_2d
+        ins = sub.range_data_inserter.probability_grid_range_data_inserter
+        self._chunk = max(1, min(chunk_size, sub.num_range_data))
+        max_ray = max(options.max_range, options.missing_data_ray_length)
+        num_steps = _round_up_pow2(
+            int(math.ceil(max_ray / grid.resolution)) + 2, 32
+        )
+        self._cfg = frontend_2d.FrontendConfig2D(
+            grid_size=grid.grid_size,
+            resolution=grid.resolution,
+            num_range_data=sub.num_range_data,
+            hit_log_odds=pv.hit_update_log_odds(ins.hit_probability),
+            miss_log_odds=pv.miss_update_log_odds(ins.miss_probability),
+            insert_free_space=ins.insert_free_space,
+            min_range=options.min_range,
+            max_range=options.max_range,
+            missing_data_ray_length=options.missing_data_ray_length,
+            min_z=options.min_z,
+            max_z=options.max_z,
+            voxel_filter_size=options.voxel_filter_size,
+            avf_max_length=options.adaptive_voxel_filter.max_length,
+            avf_min_num_points=options.adaptive_voxel_filter.min_num_points,
+            avf_max_range=options.adaptive_voxel_filter.max_range,
+            occupied_space_weight=options.ceres_scan_matcher.occupied_space_weight,
+            translation_weight=options.ceres_scan_matcher.translation_weight,
+            rotation_weight=options.ceres_scan_matcher.rotation_weight,
+            gn_iterations=options.ceres_scan_matcher.ceres_solver_options.max_num_iterations,
+            mf_max_time=options.motion_filter.max_time_seconds,
+            mf_max_distance=options.motion_filter.max_distance_meters,
+            mf_max_angle=options.motion_filter.max_angle_radians,
+            pose_queue_duration=options.pose_extrapolator.constant_velocity.pose_queue_duration,
+            num_steps=num_steps,
+        )
+        self._state: Optional[frontend_2d.FrontendState2D] = None
+        self._epoch: Optional[Time] = None
+        self._buffer: List[dict] = []  # scans awaiting dispatch
+        self._pending: List[dict] = []  # dispatched chunks awaiting collection
+        self._max_in_flight = 2
+        self._submaps: List[Submap2D] = []
+        self._popped_submap: Optional[Submap2D] = None
+        self._last_wall_time: Optional[float] = None
+        self._last_sensor_time: Optional[Time] = None
+
+    # -- sensor feeds ---------------------------------------------------------
+
+    def add_imu_data(self, imu_data) -> None:
+        raise NotImplementedError(
+            "chunked device frontend runs without IMU (use_imu_data=False)"
+        )
+
+    def add_odometry_data(self, odometry_data) -> None:
+        raise NotImplementedError(
+            "chunked device frontend runs without odometry"
+        )
+
+    def add_range_data(
+        self, sensor_id: str, unsynchronized_data: TimedPointCloudData
+    ) -> List[MatchingResult]:
+        synchronized = self._range_data_collator.add_range_data(
+            sensor_id, unsynchronized_data
+        )
+        if synchronized is None or synchronized.points.shape[0] == 0:
+            return []
+        time = synchronized.time
+        if self._state is None:
+            # create_without_imu: identity pose at the first scan's time.
+            self._state = frontend_2d.init_state(self._cfg.grid_size, 0.0)
+            self._epoch = time
+        origins = synchronized.origins[synchronized.origin_index]  # (N, 3)
+        # Single-origin scans only (one rangefinder, or collated to one).
+        origin = origins[0] if origins.ndim == 2 else origins
+        self._buffer.append(
+            {
+                "time": time,
+                "points": np.asarray(synchronized.points, np.float32),
+                "times": np.asarray(synchronized.times, np.float64),
+                "origin": np.asarray(origin, np.float32).reshape(3),
+            }
+        )
+        if len(self._buffer) >= self._chunk:
+            self._dispatch()
+        if len(self._pending) > self._max_in_flight - 1:
+            return self._collect()
+        return []
+
+    def flush(self) -> List[MatchingResult]:
+        """Process any buffered scans (end of stream / trajectory finish)."""
+        if self._buffer:
+            self._dispatch()
+        results: List[MatchingResult] = []
+        while self._pending:
+            results.extend(self._collect())
+        return results
+
+    # -- chunk processing -----------------------------------------------------
+
+    def _dispatch(self) -> None:
+        """Upload one chunk and enqueue the device program; collection of the
+        packed outputs is deferred (pipelined) so the device and the host
+        link stay busy across chunks."""
+        scans = self._buffer
+        self._buffer = []
+        c = self._chunk
+        n = _round_up_pow2(max(s["points"].shape[0] for s in scans))
+        new_epoch = scans[0]["time"]
+        epoch_shift = np.float32(new_epoch - self._epoch)
+        self._epoch = new_epoch
+
+        scan_input = np.zeros((c, n, 5), np.float32)
+        scan_meta = np.zeros((c, 4), np.float32)
+        last_t = 0.0
+        for i, s in enumerate(scans):
+            k = s["points"].shape[0]
+            scan_input[i, :k, :3] = s["points"][:, :3]
+            abs_times = (s["time"] - new_epoch) + s["times"]
+            scan_input[i, :k, 3] = abs_times
+            scan_input[i, k:, 3] = abs_times[-1]
+            scan_input[i, :k, 4] = 1.0
+            scan_meta[i, 0] = s["time"] - new_epoch
+            scan_meta[i, 1:4] = s["origin"]
+            last_t = scan_meta[i, 0]
+        for i in range(len(scans), c):
+            # Padding scans: no valid points -> matched False, state frozen.
+            scan_input[i, :, 3] = last_t
+            scan_meta[i, 0] = last_t
+
+        state, fin, out_points, out_scalars = frontend_2d.run_chunk(
+            self._cfg, self._state, epoch_shift, scan_input, scan_meta
+        )
+        self._state = state
+        # Start the host copies now; they overlap the next chunk's compute.
+        try:
+            out_points.copy_to_host_async()
+            out_scalars.copy_to_host_async()
+        except AttributeError:  # older jax.Array without the method
+            pass
+        self._pending.append(
+            {
+                "scans": scans,
+                "state": state,
+                "fin": fin,
+                "out_points": out_points,
+                "out_scalars": out_scalars,
+            }
+        )
+
+    def _collect(self) -> List[MatchingResult]:
+        p = self._pending.pop(0)
+        scans = p["scans"]
+        state = p["state"]
+        out_points = np.asarray(p["out_points"])  # [C, N, 7]
+        sc = np.asarray(p["out_scalars"])  # [C, 15]
+        S = frontend_2d.SIDX
+
+        results: List[MatchingResult] = []
+        res = self._cfg.resolution
+        fin_popped = False
+        for i, s in enumerate(scans):
+            if sc[i, S["matched"]] < 0.5:
+                continue
+            pose2d = sc[i, S["pose_x"]: S["pose_yaw"] + 1].astype(np.float64)
+            g_yaw = float(sc[i, S["g_yaw"]])
+            yaw_tot = pose2d[2] + g_yaw
+            pose_estimate = rigid3.make(
+                np.array([pose2d[0], pose2d[1], 0.0]),
+                rigid3.quat_from_angle_axis(np.array([0.0, 0.0, yaw_tot])),
+            )
+            # range_data_in_local = gravity-aligned data ∘ embed_3d(pose2d).
+            cy, sy = math.cos(pose2d[2]), math.sin(pose2d[2])
+            rot = np.array([[cy, -sy], [sy, cy]])
+            code = out_points[i, :, 6]
+            rm = code >= 0.5  # return (adaptive or not)
+            mm = code >= 2.5  # miss
+            rm = rm & ~mm
+            ga_hits = out_points[i, rm, 0:3].astype(np.float64)
+            ga_miss = out_points[i, mm, 3:6].astype(np.float64)
+            local_hits = np.concatenate(
+                [ga_hits[:, :2] @ rot.T + pose2d[:2], ga_hits[:, 2:3]], axis=1
+            )
+            local_miss = np.concatenate(
+                [ga_miss[:, :2] @ rot.T + pose2d[:2], ga_miss[:, 2:3]], axis=1
+            )
+            anchor = sc[i, S["anchor_x"]: S["anchor_y"] + 1]
+            local_origin3 = np.array(
+                [anchor[0], anchor[1], s["origin"][2]], np.float32
+            )
+            range_data_in_local = RangeData(
+                origin=local_origin3,
+                returns=PointCloud(local_hits.astype(np.float32)),
+                misses=PointCloud(local_miss.astype(np.float32)),
+            )
+            insertion_result = None
+            if sc[i, S["inserted"]] > 0.5:
+                if sc[i, S["popped"]] > 0.5:
+                    fin_popped = True
+                adaptive = np.abs(code - 2.0) < 0.25
+                filtered = out_points[i, adaptive, 0:3].astype(np.float32)
+                insertion_result = self._replay_insert(
+                    sc[i], filtered, s, pose2d, g_yaw
+                )
+            results.append(
+                MatchingResult(
+                    time=s["time"],
+                    local_pose=pose_estimate,
+                    range_data_in_local=range_data_in_local,
+                    insertion_result=insertion_result,
+                )
+            )
+            self._update_metrics(s["time"])
+
+        # Attach end-of-chunk grid snapshots to the live submaps.
+        for slot, submap in enumerate(self._submaps):
+            submap.grid = Grid2D(
+                log_odds=state.grids_lo[slot],
+                known=state.grids_known[slot],
+                origin=state.grid_origin[slot],
+                resolution=res,
+            )
+        # A submap popped mid-chunk gets its exact finished grid.
+        if fin_popped and self._popped_submap is not None:
+            fin = p["fin"]
+            self._popped_submap.grid = Grid2D(
+                log_odds=fin["lo"],
+                known=fin["known"],
+                origin=fin["origin"],
+                resolution=res,
+            )
+            self._popped_submap = None
+        return results
+
+    def _replay_insert(
+        self, sc_row, filtered, s: dict, pose2d, g_yaw: float
+    ) -> InsertionResult:
+        """Mirror ActiveSubmaps2D::InsertRangeData bookkeeping from the
+        device-decided event flags."""
+        S = frontend_2d.SIDX
+        anchor = sc_row[S["anchor_x"]: S["anchor_y"] + 1].astype(np.float64)
+        if sc_row[S["created"]] > 0.5:
+            if sc_row[S["popped"]] > 0.5:
+                self._popped_submap = self._submaps.pop(0)
+            self._submaps.append(
+                Submap2D(
+                    local_pose=rigid2.make(anchor, 0.0),
+                    grid=None,
+                )
+            )
+        for submap in self._submaps:
+            submap.num_range_data += 1
+        if sc_row[S["finished"]] > 0.5:
+            self._submaps[0].finish()
+        yaw_tot = pose2d[2] + g_yaw
+        return InsertionResult(
+            constant_data=TrajectoryNodeData(
+                time=s["time"],
+                gravity_alignment=rigid3.quat_from_angle_axis(
+                    np.array([0.0, 0.0, g_yaw])
+                ),
+                filtered_gravity_aligned_point_cloud=filtered,
+                local_pose=rigid3.make(
+                    np.array([pose2d[0], pose2d[1], 0.0]),
+                    rigid3.quat_from_angle_axis(np.array([0.0, 0.0, yaw_tot])),
+                ),
+            ),
+            insertion_submaps=list(self._submaps),
+        )
+
+    def _update_metrics(self, sensor_time: Time) -> None:
+        wall_time = _walltime.monotonic()
+        if self._last_wall_time is not None and self._last_sensor_time is not None:
+            wall_duration = wall_time - self._last_wall_time
+            if wall_duration > 0:
+                metrics.local_slam_real_time_ratio.set(
+                    (sensor_time - self._last_sensor_time) / wall_duration
+                )
+        self._last_wall_time = wall_time
+        self._last_sensor_time = sensor_time

@@ -67,23 +67,14 @@ class GlobalTrajectoryBuilder:
             matching_result = self._local_trajectory_builder.add_range_data(
                 sensor_id, data
             )
+            # The chunked device frontend emits results in batches.
+            if isinstance(matching_result, list):
+                for r in matching_result:
+                    self._handle_matching_result(r)
+                return
             if matching_result is None:
                 return
-            node_id = None
-            if matching_result.insertion_result is not None:
-                node_id = self._pose_graph.add_node(
-                    matching_result.insertion_result.constant_data,
-                    self._trajectory_id,
-                    matching_result.insertion_result.insertion_submaps,
-                )
-            if self._local_slam_result_callback:
-                self._local_slam_result_callback(
-                    self._trajectory_id,
-                    matching_result.time,
-                    matching_result.local_pose,
-                    matching_result.range_data_in_local,
-                    matching_result.insertion_result,
-                )
+            self._handle_matching_result(matching_result)
         elif isinstance(data, ImuData):
             if self._local_trajectory_builder is not None:
                 self._local_trajectory_builder.add_imu_data(data)
@@ -98,6 +89,29 @@ class GlobalTrajectoryBuilder:
             self._pose_graph.add_landmark_data(self._trajectory_id, data)
         else:
             raise TypeError(f"unsupported sensor data {type(data)}")
+
+    def _handle_matching_result(self, matching_result: MatchingResult) -> None:
+        if matching_result.insertion_result is not None:
+            self._pose_graph.add_node(
+                matching_result.insertion_result.constant_data,
+                self._trajectory_id,
+                matching_result.insertion_result.insertion_submaps,
+            )
+        if self._local_slam_result_callback:
+            self._local_slam_result_callback(
+                self._trajectory_id,
+                matching_result.time,
+                matching_result.local_pose,
+                matching_result.range_data_in_local,
+                matching_result.insertion_result,
+            )
+
+    def flush(self) -> None:
+        """Drain any scans buffered by a chunked device frontend."""
+        builder = self._local_trajectory_builder
+        if builder is not None and hasattr(builder, "flush"):
+            for r in builder.flush():
+                self._handle_matching_result(r)
 
 
 class CollatedTrajectoryBuilder:
@@ -179,10 +193,21 @@ class MapBuilder:
             range_ids = {
                 s for s in expected_sensor_ids if s.startswith("range")
             } or expected_sensor_ids
-            local_builder = LocalTrajectoryBuilder2D(
-                trajectory_options.trajectory_builder_2d,
-                range_ids,
-            )
+            opts2d = trajectory_options.trajectory_builder_2d
+            if trajectory_options.use_chunked_device_frontend:
+                from cartographer_tpu.mapping import chunked_frontend_2d
+
+                assert chunked_frontend_2d.supports(opts2d), (
+                    "use_chunked_device_frontend requires the no-IMU/"
+                    "no-odometry probability-grid 2D configuration"
+                )
+                local_builder = chunked_frontend_2d.ChunkedLocalTrajectoryBuilder2D(
+                    opts2d,
+                    range_ids,
+                    chunk_size=trajectory_options.device_frontend_chunk_size,
+                )
+            else:
+                local_builder = LocalTrajectoryBuilder2D(opts2d, range_ids)
         else:
             from cartographer_tpu.mapping.local_trajectory_builder_3d import (
                 LocalTrajectoryBuilder3D,
@@ -216,6 +241,9 @@ class MapBuilder:
 
     def finish_trajectory(self, trajectory_id: int) -> None:
         self._collator.finish_trajectory(trajectory_id)
+        builder = self._trajectory_builders.get(trajectory_id)
+        if builder is not None:
+            builder._wrapped.flush()
         self._pose_graph.finish_trajectory(trajectory_id)
 
     def serialize_state(self, include_unfinished_submaps: bool = True):

@@ -334,15 +334,21 @@ class PoseGraph2D:
         for submap_id, _ in self._submap_data.items(SubmapId):
             if self._submap_data.at(submap_id).state == SubmapState.FINISHED:
                 self._compute_constraint(node_id, submap_id)
-        # Newly finished submap against all old nodes.
+        # Newly finished submap against all old nodes. With chunk-batched
+        # local-SLAM delivery (chunked_frontend_2d) the shared Submap2D's
+        # insertion_finished flag may already be set when EARLIER nodes of
+        # the batch are processed (the reference reads it synchronously in
+        # AddNode, pose_graph_2d.cc:160); the one-time full search runs at
+        # the first observation, and later nodes still match the submap via
+        # the per-node FINISHED pass above.
         if newly_finished_submap:
             finished_submap_id = submap_ids[0]
             data = self._submap_data.at(finished_submap_id)
-            assert data.state == SubmapState.NO_CONSTRAINT_SEARCH
-            data.state = SubmapState.FINISHED
-            for old_node_id, _ in self._trajectory_nodes.items(NodeId):
-                if old_node_id not in data.node_ids:
-                    self._compute_constraint(old_node_id, finished_submap_id)
+            if data.state == SubmapState.NO_CONSTRAINT_SEARCH:
+                data.state = SubmapState.FINISHED
+                for old_node_id, _ in self._trajectory_nodes.items(NodeId):
+                    if old_node_id not in data.node_ids:
+                        self._compute_constraint(old_node_id, finished_submap_id)
         self._constraint_builder.notify_end_of_node()
         self._num_nodes_since_last_loop_closure += 1
         if (

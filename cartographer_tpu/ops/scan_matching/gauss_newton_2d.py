@@ -332,43 +332,70 @@ def match(
     rotation_weight: float,
     max_iterations: int = 20,
 ):
-    """Returns (pose [3], final cost). LM with diagonal damping."""
+    """Returns (pose [3], final cost). LM with diagonal damping.
+
+    The 4x4 bicubic patches are piecewise constant in the pose (the grid
+    read costs one gather per point), so the LM loop carries the patches
+    extracted at the accepted pose: exactly ONE extraction per iteration
+    (candidate evaluation) instead of three (residual + Jacobian +
+    candidate) — the Jacobian reuses the carried patch, which is what
+    jacfwd through the stop_gradient computes anyway."""
     num_points = jnp.maximum(jnp.sum(point_mask), 1)
     osw = occupied_space_weight / jnp.sqrt(num_points.astype(jnp.float32))
 
-    def res_fn(pose):
-        return _residuals(
-            pose,
-            cost_grid,
-            origin,
-            resolution,
-            points,
-            point_mask,
-            target_translation,
-            initial_pose[2],
-            osw,
-            translation_weight,
-            rotation_weight,
-        )
+    def uv_of(pose):
+        c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+        wx = c * points[:, 0] - s * points[:, 1] + pose[0]
+        wy = s * points[:, 0] + c * points[:, 1] + pose[1]
+        u = (wx - origin[0]) / resolution - 0.5
+        v = (wy - origin[1]) / resolution - 0.5
+        return u, v
 
-    def cost_of(pose):
-        r = res_fn(pose)
+    def extract_at(pose):
+        u, v = uv_of(pose)
+        iu = jnp.floor(u).astype(jnp.int32)
+        iv = jnp.floor(v).astype(jnp.int32)
+        patch = jax.lax.stop_gradient(_extract_patches_onehot(cost_grid, iv, iu))
+        return patch, iu, iv
+
+    def res_given_patch(pose, patch, iu, iv):
+        """Residuals with the grid read frozen at (patch, iu, iv) —
+        differentiable in pose through the fractional coordinates only,
+        identical to jacfwd of the full residual at the extraction pose."""
+        u, v = uv_of(pose)
+        tu = u - iu.astype(jnp.float32)
+        tv = v - iv.astype(jnp.float32)
+        wu = _cubic_weights(tu)
+        wv = _cubic_weights(tv)
+        occ = jnp.einsum("...i,...ij,...j->...", wv, patch, wu) * osw
+        occ = jnp.where(point_mask, occ, 0.0)
+        extra = jnp.stack(
+            [
+                translation_weight * (pose[0] - target_translation[0]),
+                translation_weight * (pose[1] - target_translation[1]),
+                rotation_weight * (pose[2] - initial_pose[2]),
+            ]
+        )
+        return jnp.concatenate([occ, extra])
+
+    def cost_of(r):
         return 0.5 * jnp.sum(r * r)
 
     def cond(carry):
-        pose, lam, cost, it, done = carry
+        pose, patch, iu, iv, lam, cost, it, done = carry
         return (it < max_iterations) & ~done
 
     def step(carry):
-        pose, lam, cost, it, done = carry
-        r = res_fn(pose)
-        jac = jax.jacfwd(res_fn)(pose)  # [R, 3]
+        pose, patch, iu, iv, lam, cost, it, done = carry
+        r = res_given_patch(pose, patch, iu, iv)
+        jac = jax.jacfwd(res_given_patch)(pose, patch, iu, iv)  # [R, 3]
         jtj = jac.T @ jac
         jtr = jac.T @ r
         damped = jtj + lam * jnp.diag(jnp.diag(jtj))
         delta = -solve_spd_small(damped, jtr)
         new_pose = pose + delta
-        new_cost = cost_of(new_pose)
+        new_patch, new_iu, new_iv = extract_at(new_pose)
+        new_cost = cost_of(res_given_patch(new_pose, new_patch, new_iu, new_iv))
         accept = new_cost < cost
         # Ceres-style convergence: relative cost decrease below the
         # function tolerance, or the trust region collapsed (lambda huge).
@@ -376,16 +403,24 @@ def match(
             ~accept & (lam > 1e3)
         )
         pose = jnp.where(accept, new_pose, pose)
+        patch = jnp.where(accept, new_patch, patch)
+        iu = jnp.where(accept, new_iu, iu)
+        iv = jnp.where(accept, new_iv, iv)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0)
-        return (pose, lam, cost, it + 1, converged)
+        return (pose, patch, iu, iv, lam, cost, it + 1, converged)
 
+    pose0 = initial_pose.astype(jnp.float32)
+    patch0, iu0, iv0 = extract_at(pose0)
     init = (
-        initial_pose.astype(jnp.float32),
+        pose0,
+        patch0,
+        iu0,
+        iv0,
         jnp.float32(1e-4),
-        cost_of(initial_pose.astype(jnp.float32)),
+        cost_of(res_given_patch(pose0, patch0, iu0, iv0)),
         jnp.int32(0),
         jnp.asarray(False),
     )
-    pose, _, cost, _, _ = jax.lax.while_loop(cond, step, init)
+    pose, _, _, _, _, cost, _, _ = jax.lax.while_loop(cond, step, init)
     return pose, cost

@@ -1,0 +1,148 @@
+"""Chunked device frontend vs the per-scan host frontend (parity).
+
+Both implement local_trajectory_builder_2d.cc semantics; the chunked one
+runs the whole pipeline on device (ops/frontend_2d.py). On the same
+synthetic scans they must produce the same node schedule and closely
+matching poses."""
+
+import numpy as np
+import pytest
+
+from cartographer_tpu.common.config import (
+    GridOptions2D,
+    SubmapsOptions2D,
+    TrajectoryBuilder2DOptions,
+)
+from cartographer_tpu.mapping.chunked_frontend_2d import (
+    ChunkedLocalTrajectoryBuilder2D,
+)
+from cartographer_tpu.mapping.local_trajectory_builder_2d import (
+    LocalTrajectoryBuilder2D,
+)
+from cartographer_tpu.testing.synthetic import (
+    FAKE_START_TIME,
+    generate_fake_range_measurements,
+)
+from cartographer_tpu.transform import rigid3
+
+TRAVEL_DISTANCE = 1.2
+DURATION = 4.0
+TIME_STEP = 0.1
+
+
+def make_options():
+    return TrajectoryBuilder2DOptions(
+        use_imu_data=False,
+        max_range=10.0,
+        submaps=SubmapsOptions2D(
+            num_range_data=20,
+            grid_options_2d=GridOptions2D(resolution=0.05, grid_size=512),
+        ),
+    )
+
+
+def make_measurements():
+    direction = np.array([2.0, 1.0, 0.0])
+    direction /= np.linalg.norm(direction)
+    translation = direction * TRAVEL_DISTANCE
+    return (
+        generate_fake_range_measurements(
+            translation=translation, duration=DURATION, time_step=TIME_STEP
+        ),
+        translation,
+    )
+
+
+@pytest.fixture(scope="module")
+def runs():
+    measurements, translation = make_measurements()
+
+    host = LocalTrajectoryBuilder2D(make_options(), {"range"})
+    host_results = []
+    for m in measurements:
+        r = host.add_range_data("range", m)
+        if r is not None:
+            host_results.append(r)
+
+    chunked = ChunkedLocalTrajectoryBuilder2D(
+        make_options(), {"range"}, chunk_size=16
+    )
+    chunked_results = []
+    for m in measurements:
+        chunked_results.extend(chunked.add_range_data("range", m))
+    chunked_results.extend(chunked.flush())
+    return host_results, chunked_results, translation, chunked
+
+
+class TestChunkedParity:
+    def test_same_node_schedule(self, runs):
+        host_results, chunked_results, _, _ = runs
+        assert len(chunked_results) == len(host_results)
+        host_inserted = [r.insertion_result is not None for r in host_results]
+        chunked_inserted = [
+            r.insertion_result is not None for r in chunked_results
+        ]
+        assert chunked_inserted == host_inserted
+
+    def test_pose_parity(self, runs):
+        host_results, chunked_results, _, _ = runs
+        for h, c in zip(host_results, chunked_results):
+            assert h.time == c.time
+            err = np.linalg.norm(
+                rigid3.trans(h.local_pose) - rigid3.trans(c.local_pose)
+            )
+            assert err < 0.02, (h.time, err)
+
+    def test_drift_bounded(self, runs):
+        _, chunked_results, translation, _ = runs
+        velocity = translation / DURATION
+        last = chunked_results[-1]
+        expected = rigid3.translation((last.time - FAKE_START_TIME) * velocity)
+        err = np.linalg.norm(
+            rigid3.trans(last.local_pose) - rigid3.trans(expected)
+        )
+        assert err < 0.1 * TRAVEL_DISTANCE
+
+    def test_submap_lifecycle(self, runs):
+        host_results, chunked_results, _, chunked = runs
+        host_counts = [
+            tuple(s.num_range_data for s in r.insertion_result.insertion_submaps)
+            for r in host_results
+            if r.insertion_result is not None
+        ]
+        chunked_counts = [
+            tuple(s.num_range_data for s in r.insertion_result.insertion_submaps)
+            for r in chunked_results
+            if r.insertion_result is not None
+        ]
+        assert chunked_counts == host_counts
+        # Every submap handed out has a real grid attached by chunk end.
+        for r in chunked_results:
+            if r.insertion_result:
+                for s in r.insertion_result.insertion_submaps:
+                    assert s.grid is not None
+
+    def test_grid_parity(self, runs):
+        """Finished-submap grids match the host path cell-for-cell (same
+        inserts, same ray casting)."""
+        host_results, chunked_results, _, _ = runs
+        host_sub = chunked_sub = None
+        for r in host_results:
+            if r.insertion_result:
+                for s in r.insertion_result.insertion_submaps:
+                    if s.insertion_finished:
+                        host_sub = s
+        for r in chunked_results:
+            if r.insertion_result:
+                for s in r.insertion_result.insertion_submaps:
+                    if s.insertion_finished:
+                        chunked_sub = s
+        assert (host_sub is None) == (chunked_sub is None)
+        if host_sub is None:
+            return
+        hk = np.asarray(host_sub.grid.known)
+        ck = np.asarray(chunked_sub.grid.known)
+        # Known-cell agreement within a small tolerance (pose differences
+        # of <2 cm shift a few boundary cells).
+        agree = (hk == ck).mean()
+        assert agree > 0.97, agree
