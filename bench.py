@@ -54,7 +54,7 @@ def main() -> None:
             ),
         )
 
-    chunk = 128
+    chunk = 32
     direction = np.array([2.0, 1.0, 0.0])
     direction /= np.linalg.norm(direction)
     measurements = generate_fake_range_measurements(
@@ -64,7 +64,7 @@ def main() -> None:
     builder = ChunkedLocalTrajectoryBuilder2D(
         make_options(), {"range"}, chunk_size=chunk
     )
-    warmup = 2 * chunk
+    warmup = 16 * chunk
     n = 0
     for m in measurements[:warmup]:
         n += len(builder.add_range_data("range", m))

@@ -458,7 +458,7 @@ class TrajectoryBuilderOptions(ConfigBase):
     # then delivered in chunk batches (asynchronously, like the reference's
     # callback timing).
     use_chunked_device_frontend: bool = False
-    device_frontend_chunk_size: int = 64
+    device_frontend_chunk_size: int = 32
 
 
 @dataclass

@@ -19,6 +19,7 @@ arrays end to end.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import time as _walltime
 from typing import List, Optional, Set
@@ -54,6 +55,10 @@ def _round_up_pow2(n: int, minimum: int = 256) -> int:
     return v
 
 
+def _round_up_multiple(n: int, multiple: int = 256) -> int:
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
 def supports(options: TrajectoryBuilder2DOptions) -> bool:
     """Whether this frontend covers the given configuration."""
     return (
@@ -84,7 +89,7 @@ class ChunkedLocalTrajectoryBuilder2D:
         sub = options.submaps
         grid = sub.grid_options_2d
         ins = sub.range_data_inserter.probability_grid_range_data_inserter
-        self._chunk = max(1, min(chunk_size, sub.num_range_data))
+        self._chunk = max(1, chunk_size)
         max_ray = max(options.max_range, options.missing_data_ray_length)
         num_steps = _round_up_pow2(
             int(math.ceil(max_ray / grid.resolution)) + 2, 32
@@ -119,9 +124,9 @@ class ChunkedLocalTrajectoryBuilder2D:
         self._epoch: Optional[Time] = None
         self._buffer: List[dict] = []  # scans awaiting dispatch
         self._pending: List[dict] = []  # dispatched chunks awaiting collection
-        self._max_in_flight = 2
+        self._max_in_flight = 3
         self._submaps: List[Submap2D] = []
-        self._popped_submap: Optional[Submap2D] = None
+        self._popped_submaps: List[Submap2D] = []
         self._last_wall_time: Optional[float] = None
         self._last_sensor_time: Optional[Time] = None
 
@@ -185,7 +190,7 @@ class ChunkedLocalTrajectoryBuilder2D:
         scans = self._buffer
         self._buffer = []
         c = self._chunk
-        n = _round_up_pow2(max(s["points"].shape[0] for s in scans))
+        n = _round_up_multiple(max(s["points"].shape[0] for s in scans))
         new_epoch = scans[0]["time"]
         epoch_shift = np.float32(new_epoch - self._epoch)
         self._epoch = new_epoch
@@ -193,6 +198,7 @@ class ChunkedLocalTrajectoryBuilder2D:
         scan_input = np.zeros((c, n, 5), np.float32)
         scan_meta = np.zeros((c, 4), np.float32)
         last_t = 0.0
+        has_misses = False
         for i, s in enumerate(scans):
             k = s["points"].shape[0]
             scan_input[i, :k, :3] = s["points"][:, :3]
@@ -203,13 +209,24 @@ class ChunkedLocalTrajectoryBuilder2D:
             scan_meta[i, 0] = s["time"] - new_epoch
             scan_meta[i, 1:4] = s["origin"]
             last_t = scan_meta[i, 0]
+            if not has_misses:
+                # Ranges are invariant under the rigid per-point unwarp, so
+                # out-of-range points are knowable before dispatch; chunks
+                # without any compile to a slimmer no-miss program.
+                d = s["points"][:, :3] - s["origin"][None, :]
+                has_misses = bool(
+                    np.any(
+                        np.linalg.norm(d, axis=1) > self._options.max_range
+                    )
+                )
         for i in range(len(scans), c):
             # Padding scans: no valid points -> matched False, state frozen.
             scan_input[i, :, 3] = last_t
             scan_meta[i, 0] = last_t
 
+        cfg = dataclasses.replace(self._cfg, has_misses=has_misses)
         state, fin, out_points, out_scalars = frontend_2d.run_chunk(
-            self._cfg, self._state, epoch_shift, scan_input, scan_meta
+            cfg, self._state, epoch_shift, scan_input, scan_meta
         )
         self._state = state
         # Start the host copies now; they overlap the next chunk's compute.
@@ -232,13 +249,14 @@ class ChunkedLocalTrajectoryBuilder2D:
         p = self._pending.pop(0)
         scans = p["scans"]
         state = p["state"]
-        out_points = np.asarray(p["out_points"])  # [C, N, 7]
+        out_points = np.asarray(p["out_points"])  # [C, N, 7] or [C, N, 4]
+        has_misses = out_points.shape[-1] == 7
+        code_col = 6 if has_misses else 3
         sc = np.asarray(p["out_scalars"])  # [C, 15]
         S = frontend_2d.SIDX
 
         results: List[MatchingResult] = []
         res = self._cfg.resolution
-        fin_popped = False
         for i, s in enumerate(scans):
             if sc[i, S["matched"]] < 0.5:
                 continue
@@ -252,18 +270,22 @@ class ChunkedLocalTrajectoryBuilder2D:
             # range_data_in_local = gravity-aligned data ∘ embed_3d(pose2d).
             cy, sy = math.cos(pose2d[2]), math.sin(pose2d[2])
             rot = np.array([[cy, -sy], [sy, cy]])
-            code = out_points[i, :, 6]
+            code = out_points[i, :, code_col]
             rm = code >= 0.5  # return (adaptive or not)
             mm = code >= 2.5  # miss
             rm = rm & ~mm
             ga_hits = out_points[i, rm, 0:3].astype(np.float64)
-            ga_miss = out_points[i, mm, 3:6].astype(np.float64)
             local_hits = np.concatenate(
                 [ga_hits[:, :2] @ rot.T + pose2d[:2], ga_hits[:, 2:3]], axis=1
             )
-            local_miss = np.concatenate(
-                [ga_miss[:, :2] @ rot.T + pose2d[:2], ga_miss[:, 2:3]], axis=1
-            )
+            if has_misses:
+                ga_miss = out_points[i, mm, 3:6].astype(np.float64)
+                local_miss = np.concatenate(
+                    [ga_miss[:, :2] @ rot.T + pose2d[:2], ga_miss[:, 2:3]],
+                    axis=1,
+                )
+            else:
+                local_miss = np.zeros((0, 3), np.float64)
             anchor = sc[i, S["anchor_x"]: S["anchor_y"] + 1]
             local_origin3 = np.array(
                 [anchor[0], anchor[1], s["origin"][2]], np.float32
@@ -275,8 +297,6 @@ class ChunkedLocalTrajectoryBuilder2D:
             )
             insertion_result = None
             if sc[i, S["inserted"]] > 0.5:
-                if sc[i, S["popped"]] > 0.5:
-                    fin_popped = True
                 adaptive = np.abs(code - 2.0) < 0.25
                 filtered = out_points[i, adaptive, 0:3].astype(np.float32)
                 insertion_result = self._replay_insert(
@@ -300,16 +320,18 @@ class ChunkedLocalTrajectoryBuilder2D:
                 origin=state.grid_origin[slot],
                 resolution=res,
             )
-        # A submap popped mid-chunk gets its exact finished grid.
-        if fin_popped and self._popped_submap is not None:
+        # Submaps popped mid-chunk get their exact finished grids from the
+        # chunk's snapshot ring (in pop order).
+        if self._popped_submaps:
             fin = p["fin"]
-            self._popped_submap.grid = Grid2D(
-                log_odds=fin["lo"],
-                known=fin["known"],
-                origin=fin["origin"],
-                resolution=res,
-            )
-            self._popped_submap = None
+            for slot, submap in enumerate(self._popped_submaps):
+                submap.grid = Grid2D(
+                    log_odds=fin["lo"][slot],
+                    known=fin["known"][slot],
+                    origin=fin["origin"][slot],
+                    resolution=res,
+                )
+            self._popped_submaps = []
         return results
 
     def _replay_insert(
@@ -321,7 +343,7 @@ class ChunkedLocalTrajectoryBuilder2D:
         anchor = sc_row[S["anchor_x"]: S["anchor_y"] + 1].astype(np.float64)
         if sc_row[S["created"]] > 0.5:
             if sc_row[S["popped"]] > 0.5:
-                self._popped_submap = self._submaps.pop(0)
+                self._popped_submaps.append(self._submaps.pop(0))
             self._submaps.append(
                 Submap2D(
                     local_pose=rigid2.make(anchor, 0.0),

@@ -233,6 +233,10 @@ class FrontendConfig2D:
     mf_max_angle: float
     pose_queue_duration: float
     num_steps: int  # supercover crossings bound (ceil(max ray / res) + 2)
+    # Whether any scan in the chunk has points beyond max_range (the host
+    # knows exactly: ranges are invariant under the rigid unwarp). When
+    # False, all missing-echo processing and outputs are compiled out.
+    has_misses: bool = True
     # Debug: comma-separated stages to stub out when isolating perf
     # ("voxel", "adaptive", "match", "insert"). Not for production use.
     disable: str = ""
@@ -276,10 +280,11 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     ranges = jnp.linalg.norm(delta, axis=1)
     keep = pmask & (ranges >= cfg.min_range)
     as_return = keep & (ranges <= cfg.max_range)
-    as_miss = keep & (ranges > cfg.max_range)
-    miss_w = origins_w + (
-        cfg.missing_data_ray_length / jnp.maximum(ranges, 1e-12)
-    )[:, None] * delta
+    if cfg.has_misses:
+        as_miss = keep & (ranges > cfg.max_range)
+        miss_w = origins_w + (
+            cfg.missing_data_ray_length / jnp.maximum(ranges, 1e-12)
+        )[:, None] * delta
 
     # -- gravity alignment at the last point's pose ---------------------------
     t_last = pt[-1]
@@ -297,22 +302,25 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
         return jnp.concatenate([xy, p[:, 2:3]], axis=1)
 
     ga_hits = to_ga(hits_w)
-    ga_miss = to_ga(miss_w)
     ga_origin_xy = _rot2(a, last_origin_w[None, :2] - last_xy[None, :])[0]
 
     # -- z-crop + voxel filter (range_data.crop + voxel_filter) ---------------
     crop_h = (ga_hits[:, 2] >= cfg.min_z) & (ga_hits[:, 2] <= cfg.max_z)
-    crop_m = (ga_miss[:, 2] >= cfg.min_z) & (ga_miss[:, 2] <= cfg.max_z)
     if "voxel" in cfg.disable:
         ret_mask = as_return & crop_h
-        miss_mask = as_miss & crop_m
     else:
         ret_mask = voxel_first_mask(
             ga_hits, as_return & crop_h, cfg.voxel_filter_size
         )
-        miss_mask = voxel_first_mask(
-            ga_miss, as_miss & crop_m, cfg.voxel_filter_size
-        )
+    if cfg.has_misses:
+        ga_miss = to_ga(miss_w)
+        crop_m = (ga_miss[:, 2] >= cfg.min_z) & (ga_miss[:, 2] <= cfg.max_z)
+        if "voxel" in cfg.disable:
+            miss_mask = as_miss & crop_m
+        else:
+            miss_mask = voxel_first_mask(
+                ga_miss, as_miss & crop_m, cfg.voxel_filter_size
+            )
 
     # -- pose prediction (project2d(extrapolate ∘ rot(gravity)^-1)) -----------
     dt_s = t_scan - state.newest_t
@@ -409,7 +417,6 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
 
     # -- submap rotation (ActiveSubmaps2D::InsertRangeData) --------------------
     local_hits = _rot2(pose2d[2], ga_hits[:, :2]) + pose2d[None, :2]
-    local_miss = _rot2(pose2d[2], ga_miss[:, :2]) + pose2d[None, :2]
     local_origin = _rot2(pose2d[2], ga_origin_xy[None, :])[0] + pose2d[:2]
 
     newest_count = jnp.where(state.slot_valid[1], state.counts[1], state.counts[0])
@@ -418,14 +425,24 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     pop = need_new & state.slot_valid[1]
     created = need_first | need_new
 
-    # Record the popped (finished) submap's grid in the chunk-level buffer
-    # (at most one pop per chunk since C <= num_range_data).
+    # Record the popped (finished) submap's grid in the chunk-level ring
+    # buffer (pops happen every num_range_data inserts; the buffer is sized
+    # for the chunk's worst case).
+    cnt = fin["count"]
     fin = {
-        "popped": fin["popped"] | pop,
-        "lo": jnp.where(pop, state.grids_lo[0], fin["lo"]),
-        "known": jnp.where(pop, state.grids_known[0], fin["known"]),
-        "origin": jnp.where(pop, state.grid_origin[0], fin["origin"]),
-        "anchor": jnp.where(pop, state.anchor[0], fin["anchor"]),
+        "count": cnt + pop.astype(jnp.int32),
+        "lo": fin["lo"].at[cnt].set(
+            jnp.where(pop, state.grids_lo[0], fin["lo"][cnt])
+        ),
+        "known": fin["known"].at[cnt].set(
+            jnp.where(pop, state.grids_known[0], fin["known"][cnt])
+        ),
+        "origin": fin["origin"].at[cnt].set(
+            jnp.where(pop, state.grid_origin[0], fin["origin"][cnt])
+        ),
+        "anchor": fin["anchor"].at[cnt].set(
+            jnp.where(pop, state.anchor[0], fin["anchor"][cnt])
+        ),
     }
 
     new_origin = local_origin - half
@@ -478,9 +495,15 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
 
     # -- ray-cast insertion into all valid slots -------------------------------
     n = local_hits.shape[0]
-    ends = jnp.concatenate([local_hits, local_miss], axis=0)  # [2N, 2]
-    is_hit = jnp.concatenate([ret_mask, jnp.zeros(n, bool)])
-    ray_valid = jnp.concatenate([ret_mask, miss_mask]) & insert
+    if cfg.has_misses:
+        local_miss = _rot2(pose2d[2], ga_miss[:, :2]) + pose2d[None, :2]
+        ends = jnp.concatenate([local_hits, local_miss], axis=0)  # [2N, 2]
+        is_hit = jnp.concatenate([ret_mask, jnp.zeros(n, bool)])
+        ray_valid = jnp.concatenate([ret_mask, miss_mask]) & insert
+    else:
+        ends = local_hits
+        is_hit = ret_mask
+        ray_valid = ret_mask & insert
 
     origin_cell = (local_origin[None, :] - grid_origin) / cfg.resolution  # [2,2]
     ends_cell = (ends[None, :, :] - grid_origin[:, None, :]) / cfg.resolution
@@ -529,10 +552,11 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
         "ga_hits": ga_hits,
         "ret_mask": ret_mask,
         "adaptive_mask": adaptive_mask,
-        "ga_miss": ga_miss,
-        "miss_mask": miss_mask,
         "ga_origin": ga_origin_xy,
     }
+    if cfg.has_misses:
+        out["ga_miss"] = ga_miss
+        out["miss_mask"] = miss_mask
     return (state, fin), out
 
 
@@ -553,16 +577,16 @@ def run_chunk(
     scan_input: jax.Array,  # f32 [C, N, 5]: x, y, z, point_time, valid
     scan_meta: jax.Array,  # f32 [C, 4]: t_scan, sensor origin xyz
 ):
-    """Process a chunk of C scans; C must be <= num_range_data so that at
-    most one submap pop happens per chunk.
+    """Process a chunk of C scans.
 
     Inputs/outputs are packed into single contiguous arrays: the host link
     may be high-latency (remote-attached TPU), so the host pays exactly one
     upload and one download per chunk.
 
-    Returns (state, fin, out_points [C, N, 7], out_scalars [C, 15]):
-      out_points: ga_hit xyz, ga_miss xyz, mask code (0 none / 1 return /
-        2 return+adaptive / 3 miss);
+    Returns (state, fin, out_points, out_scalars [C, 15]):
+      out_points: [C, N, 7] (ga_hit xyz, ga_miss xyz, mask code) when
+        cfg.has_misses, else [C, N, 4] (ga_hit xyz, mask code); mask code
+        is 0 none / 1 return / 2 return+adaptive / 3 miss;
       out_scalars: see SCALARS.
     """
     state = state.replace(
@@ -572,12 +596,15 @@ def run_chunk(
         mf_t=state.mf_t - epoch_shift,
     )
     g = cfg.grid_size
+    c = scan_input.shape[0]
+    # Ring of finished-submap snapshots: one pop per num_range_data inserts.
+    r = c // cfg.num_range_data + 1
     fin0 = {
-        "lo": jnp.zeros((g, g), jnp.float32),
-        "known": jnp.zeros((g, g), bool),
-        "origin": jnp.zeros(2, jnp.float32),
-        "anchor": jnp.zeros(2, jnp.float32),
-        "popped": jnp.asarray(False),
+        "count": jnp.int32(0),
+        "lo": jnp.zeros((r, g, g), jnp.float32),
+        "known": jnp.zeros((r, g, g), bool),
+        "origin": jnp.zeros((r, 2), jnp.float32),
+        "anchor": jnp.zeros((r, 2), jnp.float32),
     }
     points = scan_input[:, :, :3]
     ptimes = scan_input[:, :, 3]
@@ -595,11 +622,16 @@ def run_chunk(
     mask_code = (
         outs["ret_mask"].astype(jnp.float32)
         + outs["adaptive_mask"].astype(jnp.float32)
-        + 3.0 * outs["miss_mask"].astype(jnp.float32)
     )
-    out_points = jnp.concatenate(
-        [outs["ga_hits"], outs["ga_miss"], mask_code[..., None]], axis=-1
-    )
+    if cfg.has_misses:
+        mask_code = mask_code + 3.0 * outs["miss_mask"].astype(jnp.float32)
+        out_points = jnp.concatenate(
+            [outs["ga_hits"], outs["ga_miss"], mask_code[..., None]], axis=-1
+        )
+    else:
+        out_points = jnp.concatenate(
+            [outs["ga_hits"], mask_code[..., None]], axis=-1
+        )
     f = lambda k: outs[k].astype(jnp.float32)
     out_scalars = jnp.stack(
         [
