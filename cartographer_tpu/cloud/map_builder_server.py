@@ -68,34 +68,79 @@ class MapBuilderServer:
                 uplink_address, batch_size=uplink_batch_size
             )
 
+        self._global_slam_subscriptions: List[Callable] = []
+        self._map_builder.pose_graph.set_global_slam_optimization_callback(
+            self._on_global_slam_optimization
+        )
+
         handlers = {
             "AddTrajectory": self._handle_add_trajectory,
             "FinishTrajectory": self._handle_finish_trajectory,
+            "DeleteTrajectory": self._handle_delete_trajectory,
             "AddSensorData": self._handle_add_sensor_data,
             "AddSensorDataBatch": self._handle_add_sensor_data_batch,
             "GetLocalToGlobalTransform": self._handle_get_local_to_global,
             "GetTrajectoryNodePoses": self._handle_get_node_poses,
             "GetSubmapPoses": self._handle_get_submap_poses,
+            "GetLandmarkPoses": self._handle_get_landmark_poses,
+            "SetLandmarkPose": self._handle_set_landmark_pose,
             "GetConstraints": self._handle_get_constraints,
             "RunFinalOptimization": self._handle_run_final_optimization,
             "WriteState": self._handle_write_state,
+            "WriteStateToFile": self._handle_write_state_to_file,
             "LoadState": self._handle_load_state,
+            "LoadStateFromFile": self._handle_load_state_from_file,
             "IsTrajectoryFinished": self._handle_is_trajectory_finished,
             "IsTrajectoryFrozen": self._handle_is_trajectory_frozen,
             "GetSubmapData": self._handle_get_submap_data,
+        }
+        # Per-sensor client-streaming ingestion RPCs, one per sensor type
+        # like the reference (map_builder_service.proto:258-271).
+        stream_handlers = {
+            name: self._handle_sensor_data_stream
+            for name in (
+                "AddRangefinderData",
+                "AddImuData",
+                "AddOdometryData",
+                "AddFixedFramePoseData",
+                "AddLandmarkData",
+            )
+        }
+        # Server-streaming subscription RPCs
+        # (map_builder_service.proto ReceiveLocalSlamResults /
+        # ReceiveGlobalSlamOptimizations).
+        server_stream_handlers = {
+            "ReceiveLocalSlamResults": self._handle_receive_local_slam_results,
+            "ReceiveGlobalSlamOptimizations": (
+                self._handle_receive_global_slam_optimizations
+            ),
         }
 
         class Handler(grpc.GenericRpcHandler):
             def service(self_inner, handler_call_details):
                 name = handler_call_details.method.split("/")[-1]
-                fn = handlers.get(name)
-                if fn is None:
-                    return None
-                return grpc.unary_unary_rpc_method_handler(
-                    lambda request, context: fn(request, context),
-                    request_deserializer=None,
-                    response_serializer=None,
-                )
+                if name in handlers:
+                    fn = handlers[name]
+                    return grpc.unary_unary_rpc_method_handler(
+                        lambda request, context, fn=fn: fn(request, context),
+                        request_deserializer=None,
+                        response_serializer=None,
+                    )
+                if name in stream_handlers:
+                    fn = stream_handlers[name]
+                    return grpc.stream_unary_rpc_method_handler(
+                        lambda it, context, fn=fn: fn(it, context),
+                        request_deserializer=None,
+                        response_serializer=None,
+                    )
+                if name in server_stream_handlers:
+                    fn = server_stream_handlers[name]
+                    return grpc.unary_stream_rpc_method_handler(
+                        lambda request, context, fn=fn: fn(request, context),
+                        request_deserializer=None,
+                        response_serializer=None,
+                    )
+                return None
 
         self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=8))
         self._server.add_generic_rpc_handlers((Handler(),))
@@ -165,6 +210,10 @@ class MapBuilderServer:
         for callback in list(self._local_slam_subscriptions):
             callback(trajectory_id, time, local_pose, range_data, insertion_result)
 
+    def _on_global_slam_optimization(self, last_submap_ids, last_node_ids) -> None:
+        for callback in list(self._global_slam_subscriptions):
+            callback(last_submap_ids, last_node_ids)
+
     # -- handlers -----------------------------------------------------------
 
     def _handle_add_trajectory(self, request: bytes, context) -> bytes:
@@ -196,6 +245,125 @@ class MapBuilderServer:
             _QueueItem(meta["trajectory_id"], sensor_id, data)
         )
         return wire.encode("ok", {}, {})
+
+    def _handle_sensor_data_stream(self, request_iterator, context) -> bytes:
+        """Client-streaming ingestion (reference handlers add_imu_data_handler
+        etc.): every message enqueues one sensor item; the single response
+        acknowledges the count when the client half-closes."""
+        count = 0
+        for request in request_iterator:
+            _, meta, arrays = wire.decode(request)
+            sensor_id, data = wire.decode_sensor_data(arrays["payload"].tobytes())
+            self._incoming_data_queue.push(
+                _QueueItem(meta["trajectory_id"], sensor_id, data)
+            )
+            count += 1
+        return wire.encode("ok", {"count": count}, {})
+
+    def _handle_receive_local_slam_results(self, request: bytes, context):
+        """Server-streaming subscription (receive_local_slam_results_handler):
+        one message per local SLAM result until the client cancels."""
+        import queue as _queue
+
+        q: _queue.Queue = _queue.Queue()
+
+        def cb(trajectory_id, time, local_pose, range_data, insertion_result):
+            q.put(
+                wire.encode(
+                    "local_slam_result",
+                    {"trajectory_id": trajectory_id, "time": time},
+                    {"local_pose": np.asarray(local_pose)},
+                )
+            )
+
+        self._local_slam_subscriptions.append(cb)
+        try:
+            while context.is_active() and not self._shutting_down:
+                try:
+                    yield q.get(timeout=0.1)
+                except _queue.Empty:
+                    continue
+        finally:
+            self._local_slam_subscriptions.remove(cb)
+
+    def _handle_receive_global_slam_optimizations(self, request: bytes, context):
+        import queue as _queue
+
+        q: _queue.Queue = _queue.Queue()
+
+        def cb(last_submap_ids, last_node_ids):
+            q.put(
+                wire.encode(
+                    "global_slam_optimization",
+                    {
+                        "last_submap_ids": {
+                            str(t): [s.trajectory_id, s.submap_index]
+                            for t, s in last_submap_ids.items()
+                        },
+                        "last_node_ids": {
+                            str(t): [n.trajectory_id, n.node_index]
+                            for t, n in last_node_ids.items()
+                        },
+                    },
+                    {},
+                )
+            )
+
+        self._global_slam_subscriptions.append(cb)
+        try:
+            while context.is_active() and not self._shutting_down:
+                try:
+                    yield q.get(timeout=0.1)
+                except _queue.Empty:
+                    continue
+        finally:
+            self._global_slam_subscriptions.remove(cb)
+
+    def _handle_delete_trajectory(self, request: bytes, context) -> bytes:
+        _, meta, _ = wire.decode(request)
+        self.wait_until_idle()
+        with self._lock:
+            self._map_builder.pose_graph.delete_trajectory(meta["trajectory_id"])
+        return wire.encode("ok", {}, {})
+
+    def _handle_get_landmark_poses(self, request: bytes, context) -> bytes:
+        poses = self._map_builder.pose_graph.get_landmark_poses()
+        ids = sorted(poses.keys())
+        return wire.encode(
+            "landmark_poses",
+            {"ids": ids},
+            {
+                "poses": np.stack([np.asarray(poses[i], np.float64) for i in ids])
+                if ids
+                else np.zeros((0, 3)),
+            },
+        )
+
+    def _handle_set_landmark_pose(self, request: bytes, context) -> bytes:
+        _, meta, arrays = wire.decode(request)
+        self._map_builder.pose_graph.set_landmark_pose(
+            meta["landmark_id"], arrays["pose"], frozen=meta.get("frozen", False)
+        )
+        return wire.encode("ok", {}, {})
+
+    def _handle_write_state_to_file(self, request: bytes, context) -> bytes:
+        _, meta, _ = wire.decode(request)
+        self.wait_until_idle()
+        with self._lock:
+            state = self._map_builder.serialize_state()
+        with open(meta["filename"], "wb") as f:
+            f.write(state)
+        return wire.encode("ok", {"bytes": len(state)}, {})
+
+    def _handle_load_state_from_file(self, request: bytes, context) -> bytes:
+        _, meta, _ = wire.decode(request)
+        with open(meta["filename"], "rb") as f:
+            state = f.read()
+        with self._lock:
+            remap = self._map_builder.load_state(
+                state, load_frozen_state=meta.get("load_frozen_state", True)
+            )
+        return wire.encode("remap", {"remap": {str(k): v for k, v in remap.items()}}, {})
 
     def _handle_add_sensor_data_batch(self, request: bytes, context) -> bytes:
         kind, meta, arrays = wire.decode(request)

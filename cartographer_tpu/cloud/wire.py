@@ -18,6 +18,8 @@ import numpy as np
 from cartographer_tpu.sensor.data import (
     FixedFramePoseData,
     ImuData,
+    LandmarkData,
+    LandmarkObservation,
     OdometryData,
     TimedPointCloud,
     TimedPointCloudData,
@@ -78,6 +80,25 @@ def encode_sensor_data(sensor_id: str, data) -> bytes:
             {"sensor_id": sensor_id, "time": data.time, "has_pose": data.pose is not None},
             {"pose": data.pose} if data.pose is not None else {},
         )
+    if isinstance(data, LandmarkData):
+        obs = data.landmark_observations
+        return encode(
+            "landmark",
+            {
+                "sensor_id": sensor_id,
+                "time": data.time,
+                "ids": [o.id for o in obs],
+                "translation_weights": [float(o.translation_weight) for o in obs],
+                "rotation_weights": [float(o.rotation_weight) for o in obs],
+            },
+            {
+                "transforms": np.stack(
+                    [np.asarray(o.landmark_to_tracking_transform) for o in obs]
+                )
+                if obs
+                else np.zeros((0, 7)),
+            },
+        )
     raise TypeError(f"unsupported sensor data {type(data)}")
 
 
@@ -103,5 +124,18 @@ def decode_sensor_data(payload: bytes):
         return sensor_id, FixedFramePoseData(
             time=meta["time"],
             pose=arrays.get("pose") if meta["has_pose"] else None,
+        )
+    if kind == "landmark":
+        return sensor_id, LandmarkData(
+            time=meta["time"],
+            landmark_observations=[
+                LandmarkObservation(
+                    id=lid,
+                    landmark_to_tracking_transform=arrays["transforms"][i],
+                    translation_weight=meta["translation_weights"][i],
+                    rotation_weight=meta["rotation_weights"][i],
+                )
+                for i, lid in enumerate(meta["ids"])
+            ],
         )
     raise ValueError(f"unknown sensor payload kind {kind}")

@@ -678,3 +678,88 @@ def read_pbstream(map_builder, state: bytes, load_frozen_state: bool = True) -> 
         map_builder._trajectory_builders[new_id] = None
         map_builder._num_trajectories = max(map_builder._num_trajectories, new_id + 1)
     return remap
+
+
+# -- version migration --------------------------------------------------------
+
+
+def migrate_pbstream(state: bytes) -> bytes:
+    """v1 -> v2 pbstream migration (io/serialization_format_migration.cc
+    MigrateStreamFormatToVersion2 + MigrateSubmapFormatVersion1ToVersion2):
+    3D submaps gain rotational scan matcher histograms accumulated from
+    their INTRA-constraint nodes' histograms, each rotated into the submap
+    frame by yaw(submap_local_pose^-1 * node_local_pose *
+    gravity_alignment^-1); the header version is bumped to 2. Version-2
+    streams are rewritten unchanged."""
+    from cartographer_tpu.ops.scan_matching.rotational_histogram import (
+        rotate_histogram,
+    )
+
+    reader = ProtoStreamReader(_io.BytesIO(state))
+    header = pb.SerializationHeader()
+    header.ParseFromString(reader.read())
+    records = [pb.SerializedData.FromString(raw) for raw in reader]
+
+    if header.format_version < 2:
+        submaps: Dict[tuple, pb.SerializedData] = {}
+        nodes: Dict[tuple, pb.SerializedData] = {}
+        pose_graph_proto = None
+        for rec in records:
+            kind = rec.WhichOneof("data")
+            if kind == "submap":
+                sid = rec.submap.submap_id
+                submaps[(sid.trajectory_id, sid.submap_index)] = rec
+            elif kind == "node":
+                nid = rec.node.node_id
+                nodes[(nid.trajectory_id, nid.node_index)] = rec
+            elif kind == "pose_graph":
+                pose_graph_proto = rec.pose_graph
+        any_3d = any(
+            r.submap.HasField("submap_3d") for r in submaps.values()
+        )
+        if any_3d and pose_graph_proto is not None:
+            for con in pose_graph_proto.constraint:
+                if con.tag != pb.PoseGraph.Constraint.INTRA_SUBMAP:
+                    continue
+                node_rec = nodes.get(
+                    (con.node_id.trajectory_id, con.node_id.node_index)
+                )
+                sub_rec = submaps.get(
+                    (con.submap_id.trajectory_id, con.submap_id.submap_index)
+                )
+                if node_rec is None or sub_rec is None:
+                    continue
+                nd = node_rec.node.node_data
+                hist = np.asarray(
+                    nd.rotational_scan_matcher_histogram, np.float32
+                )
+                if hist.size == 0 or not sub_rec.submap.HasField("submap_3d"):
+                    continue
+                s3 = sub_rec.submap.submap_3d
+                submap_pose = rigid3_from_proto(s3.local_pose)
+                node_pose = rigid3_from_proto(nd.local_pose)
+                gravity = quat_from_proto(nd.gravity_alignment)
+                q = rigid3.quat_multiply(
+                    rigid3.quat_multiply(
+                        rigid3.quat_conjugate(rigid3.quat(submap_pose)),
+                        rigid3.quat(node_pose),
+                    ),
+                    rigid3.quat_conjugate(gravity),
+                )
+                yaw = float(rigid3.get_yaw(q))
+                rotated = np.asarray(rotate_histogram(hist, yaw), np.float32)
+                existing = s3.rotational_scan_matcher_histogram
+                if len(existing) == 0:
+                    existing.extend(rotated.tolist())
+                else:
+                    for i in range(min(len(existing), rotated.size)):
+                        existing[i] += float(rotated[i])
+        header.format_version = 2
+
+    buf = _io.BytesIO()
+    writer = ProtoStreamWriter(buf)
+    writer.write(header.SerializeToString())
+    for rec in records:
+        writer.write(rec.SerializeToString())
+    writer.close()
+    return buf.getvalue()

@@ -128,11 +128,18 @@ class CollatedTrajectoryBuilder:
         self._collator = collator
         self._trajectory_id = trajectory_id
         self._wrapped = wrapped
+        self._expected_sensor_ids = set(expected_sensor_ids)
         self._collator.add_trajectory(
             trajectory_id, expected_sensor_ids, self._handle_collated
         )
 
     def add_sensor_data(self, sensor_id: str, data) -> None:
+        if sensor_id not in self._expected_sensor_ids:
+            # Un-collated sensors (e.g. landmarks/fixed-frame with
+            # collate_* = false) bypass the ordered queues
+            # (collated_trajectory_builder.cc:50-60).
+            self._wrapped.add_sensor_data(sensor_id, data)
+            return
         self._collator.add_sensor_data(
             self._trajectory_id, sensor_id, _QueuedData(data.time, data)
         )

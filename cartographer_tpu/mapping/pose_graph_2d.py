@@ -90,6 +90,7 @@ class PoseGraph2D:
         self._trimmers: List = []
         self._initial_trajectory_poses: Dict[int, tuple] = {}
         self._landmark_nodes: Dict[str, dict] = {}
+        self._global_slam_optimization_callback = None
         if options.overlapping_submaps_trimmer_2d is not None:
             from cartographer_tpu.mapping.trimmers import OverlappingSubmapsTrimmer2D
 
@@ -199,6 +200,51 @@ class PoseGraph2D:
             lid: np.asarray(pose)
             for lid, pose in self._optimization_problem.landmark_data.items()
         }
+
+    def set_landmark_pose(
+        self, landmark_id: str, global_pose: np.ndarray, frozen: bool = False
+    ) -> None:
+        """Reference PoseGraphInterface::SetLandmarkPose
+        (pose_graph_2d.cc:SetLandmarkPose): seed/override the landmark's
+        global pose; frozen landmarks keep the set pose across solves."""
+        with self._work_lock:
+            node = self._landmark_nodes.setdefault(
+                landmark_id, {"observations": [], "global_pose": None}
+            )
+            pose2 = rigid3.project_2d(np.asarray(global_pose, np.float64))
+            node["global_pose"] = np.asarray(global_pose, np.float64)
+            node["frozen"] = frozen
+            self._optimization_problem.landmark_data[landmark_id] = pose2
+
+    def set_global_slam_optimization_callback(self, callback) -> None:
+        """Reference PoseGraph::SetGlobalSlamOptimizationCallback: invoked
+        after every optimization with the last optimized submap/node id per
+        trajectory."""
+        self._global_slam_optimization_callback = callback
+
+    def delete_trajectory(self, trajectory_id: int) -> None:
+        """Reference PoseGraph2D::DeleteTrajectory (+DeleteTrajectoriesIfNeeded,
+        pose_graph_2d.cc): remove the trajectory's nodes, submaps, and every
+        constraint touching them; the trajectory becomes DELETED."""
+        self.wait_for_all_computations()
+        with self._work_lock:
+            self._trajectory_states[trajectory_id] = TrajectoryState.DELETED
+            self._constraints = [
+                c
+                for c in self._constraints
+                if c.submap_id.trajectory_id != trajectory_id
+                and c.node_id.trajectory_id != trajectory_id
+            ]
+            for index, _ in list(self._submap_data.trajectory(trajectory_id)):
+                submap_id = SubmapId(trajectory_id, index)
+                self._submap_data.trim(submap_id)
+                if self._optimization_problem.submap_data.get(submap_id) is not None:
+                    self._optimization_problem.trim_submap(submap_id)
+            for index, _ in list(self._trajectory_nodes.trajectory(trajectory_id)):
+                node_id = NodeId(trajectory_id, index)
+                self._trajectory_nodes.trim(node_id)
+                if self._optimization_problem.node_data.get(node_id) is not None:
+                    self._optimization_problem.trim_trajectory_node(node_id)
 
     def add_trimmer(self, trimmer) -> None:
         self._trimmers.append(trimmer)
@@ -523,6 +569,13 @@ class PoseGraph2D:
         self._optimization_problem.solve(
             self._constraints, frozen, self._landmark_nodes
         )
+        # Frozen landmarks keep their SetLandmarkPose value (the reference
+        # holds the parameter block constant in Ceres).
+        for lid, node in self._landmark_nodes.items():
+            if node.get("frozen") and node.get("global_pose") is not None:
+                self._optimization_problem.landmark_data[lid] = rigid3.project_2d(
+                    np.asarray(node["global_pose"], np.float64)
+                )
         metrics.optimization_runs.increment()
         # Write back node/submap poses; extrapolate the un-optimized tail
         # (pose_graph_2d.cc:861-909).
@@ -547,6 +600,18 @@ class PoseGraph2D:
                     node.global_pose = rigid3.compose(
                         local_to_new_global, node.constant_data.local_pose
                     )
+        if self._global_slam_optimization_callback is not None:
+            last_submaps = {}
+            last_nodes = {}
+            for tid in self._optimization_problem.submap_data.trajectory_ids():
+                items = self._optimization_problem.submap_data.trajectory(tid)
+                if items:
+                    last_submaps[tid] = SubmapId(tid, items[-1][0])
+            for tid in self._optimization_problem.node_data.trajectory_ids():
+                items = self._optimization_problem.node_data.trajectory(tid)
+                if items:
+                    last_nodes[tid] = NodeId(tid, items[-1][0])
+            self._global_slam_optimization_callback(last_submaps, last_nodes)
 
 
 class TrimmingHandle:

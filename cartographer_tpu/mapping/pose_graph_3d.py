@@ -137,6 +137,44 @@ class PoseGraph3D:
             for lid, pose in self._optimization_problem.landmark_data.items()
         }
 
+    def set_landmark_pose(
+        self, landmark_id: str, global_pose: np.ndarray, frozen: bool = False
+    ) -> None:
+        """Reference PoseGraph3D::SetLandmarkPose; frozen landmarks keep the
+        set pose across solves."""
+        node = self._landmark_nodes.setdefault(
+            landmark_id, {"observations": [], "global_pose": None}
+        )
+        node["global_pose"] = np.asarray(global_pose, np.float64)
+        node["frozen"] = frozen
+        self._optimization_problem.landmark_data[landmark_id] = np.asarray(
+            global_pose, np.float64
+        )
+
+    def set_global_slam_optimization_callback(self, callback) -> None:
+        self._global_slam_optimization_callback = callback
+
+    def delete_trajectory(self, trajectory_id: int) -> None:
+        """Reference PoseGraph3D::DeleteTrajectory: remove the trajectory's
+        nodes, submaps, and constraints."""
+        self._trajectory_states[trajectory_id] = TrajectoryState.DELETED
+        self._constraints = [
+            c
+            for c in self._constraints
+            if c.submap_id.trajectory_id != trajectory_id
+            and c.node_id.trajectory_id != trajectory_id
+        ]
+        for index, _ in list(self._submap_data.trajectory(trajectory_id)):
+            submap_id = SubmapId(trajectory_id, index)
+            self._submap_data.trim(submap_id)
+            if self._optimization_problem.submap_data.get(submap_id) is not None:
+                self._optimization_problem.trim_submap(submap_id)
+        for index, _ in list(self._trajectory_nodes.trajectory(trajectory_id)):
+            node_id = NodeId(trajectory_id, index)
+            self._trajectory_nodes.trim(node_id)
+            if self._optimization_problem.node_data.get(node_id) is not None:
+                self._optimization_problem.trim_trajectory_node(node_id)
+
     def add_trimmer(self, trimmer) -> None:
         self._trimmers.append(trimmer)
 
@@ -392,6 +430,11 @@ class PoseGraph3D:
         self._optimization_problem.solve(
             self._constraints, frozen, self._landmark_nodes
         )
+        for lid, lnode in self._landmark_nodes.items():
+            if lnode.get("frozen") and lnode.get("global_pose") is not None:
+                self._optimization_problem.landmark_data[lid] = np.asarray(
+                    lnode["global_pose"], np.float64
+                )
         metrics.optimization_runs.increment()
         for trajectory_id in self._trajectory_nodes.trajectory_ids():
             last_optimized_index = -1
@@ -407,3 +450,15 @@ class PoseGraph3D:
                     node.global_pose = rigid3.compose(
                         local_to_new_global, node.constant_data.local_pose
                     )
+        if getattr(self, "_global_slam_optimization_callback", None) is not None:
+            last_submaps = {}
+            last_nodes = {}
+            for tid in self._optimization_problem.submap_data.trajectory_ids():
+                items = self._optimization_problem.submap_data.trajectory(tid)
+                if items:
+                    last_submaps[tid] = SubmapId(tid, items[-1][0])
+            for tid in self._optimization_problem.node_data.trajectory_ids():
+                items = self._optimization_problem.node_data.trajectory(tid)
+                if items:
+                    last_nodes[tid] = NodeId(tid, items[-1][0])
+            self._global_slam_optimization_callback(last_submaps, last_nodes)

@@ -21,19 +21,32 @@ def info(path: str) -> None:
 
 
 def migrate(in_path: str, out_path: str) -> None:
-    """Version migration (io/serialization_format_migration.cc analog).
-    Currently rewrites any supported version to the latest container."""
-    from cartographer_tpu.io.proto_stream import (
-        ProtoStreamReader,
-        ProtoStreamWriter,
-    )
+    """Version migration (io/serialization_format_migration.cc analog):
+    reference-wire-format v1 streams gain 3D submap histograms and become
+    v2; the internal tagged-npz payload is rewritten unchanged."""
+    with open(in_path, "rb") as f_in:
+        state = f_in.read()
+    try:
+        from cartographer_tpu.io.pbstream_compat import migrate_pbstream
 
-    with open(in_path, "rb") as f_in, open(out_path, "wb") as f_out:
-        reader = ProtoStreamReader(f_in)
-        writer = ProtoStreamWriter(f_out)
+        migrated = migrate_pbstream(state)
+    except Exception:
+        # Internal tagged-npz payload: container rewrite only.
+        from cartographer_tpu.io.proto_stream import (
+            ProtoStreamReader,
+            ProtoStreamWriter,
+        )
+        import io as _io
+
+        buf = _io.BytesIO()
+        reader = ProtoStreamReader(_io.BytesIO(state))
+        writer = ProtoStreamWriter(buf)
         for record in reader:
             writer.write(record)
         writer.close()
+        migrated = buf.getvalue()
+    with open(out_path, "wb") as f_out:
+        f_out.write(migrated)
     print(f"migrated {in_path} -> {out_path}")
 
 

@@ -127,3 +127,82 @@ class TestClientServer:
             stub.close()
         finally:
             robot.shutdown()
+
+
+class TestStreamingAndSubscriptions:
+    def test_subscriptions_landmarks_delete(self, tmp_path):
+        """Streaming per-sensor RPCs, ReceiveLocalSlamResults /
+        ReceiveGlobalSlamOptimizations subscriptions, landmark set/get,
+        DeleteTrajectory, WriteStateToFile/LoadStateFromFile
+        (client_server_test.cc LocalSlam2DWithCallbacks, DeleteTrajectory)."""
+        from cartographer_tpu.sensor.data import LandmarkData, LandmarkObservation
+        from cartographer_tpu.transform import rigid3 as r3
+
+        server = MapBuilderServer(map_builder_options())
+        server.start()
+        try:
+            stub = MapBuilderStub(f"localhost:{server.port}")
+            local_results = []
+            optimizations = []
+            sub1 = stub.receive_local_slam_results(
+                lambda tid, t, pose: local_results.append((tid, t, pose))
+            )
+            sub2 = stub.receive_global_slam_optimizations(
+                lambda submaps, nodes: optimizations.append((submaps, nodes))
+            )
+            topts = trajectory_options()
+            topts.collate_landmarks = False
+            tid = stub.add_trajectory_builder({"range"}, topts)
+            builder = stub.get_trajectory_builder(tid)
+            # One landmark observation through the streaming landmark RPC.
+            builder.add_sensor_data(
+                "landmarks",
+                LandmarkData(
+                    time=FAKE_START_TIME + 0.501,
+                    landmark_observations=[
+                        LandmarkObservation(
+                            id="lm_0",
+                            landmark_to_tracking_transform=r3.translation(
+                                np.array([1.0, 0.0, 0.0])
+                            ),
+                            translation_weight=10.0,
+                            rotation_weight=10.0,
+                        )
+                    ],
+                ),
+            )
+            drive_trajectory(stub, tid)
+            stub.finish_trajectory(tid)
+            stub.pose_graph.run_final_optimization()
+
+            deadline = time.monotonic() + 10.0
+            while time.monotonic() < deadline and not (
+                local_results and optimizations
+            ):
+                time.sleep(0.05)
+            assert len(local_results) > 10
+            assert optimizations, "no global optimization events received"
+
+            landmarks = stub.pose_graph.get_landmark_poses()
+            assert "lm_0" in landmarks
+            stub.pose_graph.set_landmark_pose(
+                "lm_0", r3.translation(np.array([2.0, 3.0, 0.0])), frozen=True
+            )
+            landmarks = stub.pose_graph.get_landmark_poses()
+            assert np.allclose(landmarks["lm_0"][:2], [2.0, 3.0], atol=1e-6)
+
+            # State to file and back, then delete the trajectory.
+            path = str(tmp_path / "state.bin")
+            nbytes = stub.write_state_to_file(path)
+            assert nbytes > 1000
+            stub.pose_graph.delete_trajectory(tid)
+            assert len(stub.pose_graph.get_trajectory_node_poses()) == 0
+            remap = stub.load_state_from_file(path)
+            assert remap
+            assert len(stub.pose_graph.get_trajectory_node_poses()) > 0
+
+            sub1.cancel()
+            sub2.cancel()
+            stub.close()
+        finally:
+            server.shutdown()

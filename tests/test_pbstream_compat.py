@@ -147,3 +147,92 @@ class TestStateRoundtrip2D:
             n1 = int(np.asarray(d1.submap.grid.known).sum())
             n2 = int(np.asarray(d2.submap.grid.known).sum())
             assert n2 == n1
+
+
+class TestMigration:
+    def test_v1_to_v2_restores_3d_histograms(self, tmp_path):
+        """serialization_format_migration.cc: a v1 stream (3D submaps
+        without histograms) migrates to v2 with histograms accumulated from
+        INTRA-constraint node histograms rotated into the submap frame."""
+        import io as _io
+
+        import numpy as np
+        import tests.test_map_builder_3d as t3d
+
+        from cartographer_tpu.io import pbstream_compat as pc
+        from cartographer_tpu.io.proto import state_pb2 as pb
+        from cartographer_tpu.io.proto_stream import (
+            ProtoStreamReader,
+            ProtoStreamWriter,
+        )
+        from cartographer_tpu.mapping.map_builder import MapBuilder
+        from cartographer_tpu.testing.synthetic import FAKE_START_TIME
+
+        from cartographer_tpu.testing.synthetic import (
+            generate_fake_range_measurements,
+        )
+
+        mb = MapBuilder(t3d.map_builder_options())
+        tid = mb.add_trajectory_builder(
+            {"range", "imu"}, t3d.trajectory_options(), None
+        )
+        builder = mb.get_trajectory_builder(tid)
+        imu = t3d.imu_stream(FAKE_START_TIME - 0.5, FAKE_START_TIME + 2.1)
+        measurements = generate_fake_range_measurements(
+            translation=np.array([0.5, 0.25, 0.0]), duration=2.0, time_step=0.1
+        )
+        events = [("imu", d.time, d) for d in imu] + [
+            ("range", m.time, m) for m in measurements
+        ]
+        events.sort(key=lambda e: e[1])
+        for kind, _, payload in events:
+            builder.add_sensor_data(kind, payload)
+        mb.finish_trajectory(tid)
+        mb.pose_graph.run_final_optimization()
+        v2 = pc.write_pbstream(mb)
+
+        # Downgrade: strip submap histograms, set header version 1.
+        reader = ProtoStreamReader(_io.BytesIO(v2))
+        header = pb.SerializationHeader()
+        header.ParseFromString(reader.read())
+        header.format_version = 1
+        records = [pb.SerializedData.FromString(raw) for raw in reader]
+        buf = _io.BytesIO()
+        writer = ProtoStreamWriter(buf)
+        writer.write(header.SerializeToString())
+        had_histograms = 0
+        for rec in records:
+            if rec.WhichOneof("data") == "submap" and rec.submap.HasField(
+                "submap_3d"
+            ):
+                if len(rec.submap.submap_3d.rotational_scan_matcher_histogram):
+                    had_histograms += 1
+                del rec.submap.submap_3d.rotational_scan_matcher_histogram[:]
+            writer.write(rec.SerializeToString())
+        writer.close()
+        assert had_histograms > 0
+        v1 = buf.getvalue()
+
+        migrated = pc.migrate_pbstream(v1)
+        reader = ProtoStreamReader(_io.BytesIO(migrated))
+        header = pb.SerializationHeader()
+        header.ParseFromString(reader.read())
+        assert header.format_version == 2
+        restored = 0
+        for raw in reader:
+            rec = pb.SerializedData.FromString(raw)
+            if rec.WhichOneof("data") == "submap" and rec.submap.HasField(
+                "submap_3d"
+            ):
+                h = np.asarray(
+                    rec.submap.submap_3d.rotational_scan_matcher_histogram
+                )
+                if h.size:
+                    assert np.all(np.isfinite(h)) and h.max() > 0
+                    restored += 1
+        assert restored > 0
+
+        # The migrated stream loads back.
+        mb3 = MapBuilder(t3d.map_builder_options())
+        remap = mb3.load_state_pbstream(migrated, load_frozen_state=True)
+        assert remap
