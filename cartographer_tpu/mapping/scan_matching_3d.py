@@ -127,7 +127,7 @@ class CeresScanMatcher3D:
             hi = np.zeros(len(hm), np.float32)
             hi[: len(high_intensities)] = high_intensities
             iopts = opts.intensity_cost_function_options_0
-            t, q, cost = gauss_newton_3d.match_3d_intensity(
+            packed = gauss_newton_3d.match_3d_intensity(
                 high_resolution_grid.probability(),
                 high_resolution_grid.origin,
                 low_resolution_grid.probability(),
@@ -153,11 +153,9 @@ class CeresScanMatcher3D:
                 opts.ceres_solver_options.max_num_iterations,
                 opts.only_optimize_yaw,
             )
-            pose = np.concatenate(
-                [np.asarray(t, np.float64), np.asarray(q, np.float64)]
-            )
-            return pose, float(cost)
-        t, q, cost = gauss_newton_3d.match_3d(
+            packed = np.asarray(packed, np.float64)  # single round trip
+            return packed[:7], float(packed[7])
+        packed = gauss_newton_3d.match_3d(
             high_resolution_grid.probability(),
             high_resolution_grid.origin,
             low_resolution_grid.probability(),
@@ -178,5 +176,5 @@ class CeresScanMatcher3D:
             opts.ceres_solver_options.max_num_iterations,
             opts.only_optimize_yaw,
         )
-        pose = np.concatenate([np.asarray(t, np.float64), np.asarray(q, np.float64)])
-        return pose, float(cost)
+        packed = np.asarray(packed, np.float64)  # single round trip
+        return packed[:7], float(packed[7])

@@ -297,4 +297,6 @@ def _match_3d_impl(
         r = r * jnp.asarray([0.0, 0.0, 1.0])
     q = _quat_multiply(initial_quat, _quat_exp(r))
     q = q / jnp.linalg.norm(q)
-    return t, q, cost
+    # One packed result vector: the host pays a single device->host round
+    # trip per scan (the link to a remote-attached TPU is latency-bound).
+    return jnp.concatenate([t, q, cost[None]])
