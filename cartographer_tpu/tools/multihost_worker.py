@@ -1,0 +1,113 @@
+"""Multi-host worker: run on EVERY host of a slice (same command line).
+
+Measures the sharded constraint-scoring and SPA workloads over the global
+mesh and prints a per-host scaling report (BASELINE.md: scaling efficiency
+1 chip -> 1 host -> N hosts).
+
+    python -m cartographer_tpu.tools.multihost_worker \
+        --coordinator_address=HOST0:1234 --num_processes=H --process_id=I
+
+Without arguments it runs single-process (all local devices), which is
+also how the scaling baseline for "1 host" is measured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--coordinator_address", default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--candidates_per_device", type=int, default=4096)
+    parser.add_argument("--spa_nodes", type=int, default=10000)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from cartographer_tpu.ops import spa_solver
+    from cartographer_tpu.parallel import multihost, sharded
+
+    ctx = multihost.initialize(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
+    n_dev = len(ctx.mesh.devices.reshape(-1))
+    rng = np.random.default_rng(ctx.process_id)
+
+    # -- sharded candidate scoring -------------------------------------------
+    score = sharded.make_sharded_score_level(ctx.mesh)
+    H = W = 1024
+    A, N = 64, 512
+    C = args.candidates_per_device * n_dev
+    pool = jnp.asarray(rng.uniform(0.1, 0.9, (H, W)).astype(np.float32))
+    ix = jnp.asarray(rng.integers(0, W, (A, N)).astype(np.int32))
+    iy = jnp.asarray(rng.integers(0, H, (A, N)).astype(np.int32))
+    pmask = jnp.ones((N,), bool)
+    cand_args = (
+        jnp.asarray(rng.integers(0, A, C).astype(np.int32)),
+        jnp.asarray(rng.integers(-64, 64, C).astype(np.int32)),
+        jnp.asarray(rng.integers(-64, 64, C).astype(np.int32)),
+        jnp.ones((C,), bool),
+    )
+    scores = score(pool, ix, iy, pmask, *cand_args)
+    jax.block_until_ready(scores)
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        scores = score(pool, ix, iy, pmask, *cand_args)
+    _ = np.asarray(scores[:1])
+    dt = (time.perf_counter() - t0) / reps
+    report = multihost.scaling_report(ctx, C, dt)
+    report["metric"] = "sharded_candidate_scores"
+    print(json.dumps(report))
+
+    # -- sharded SPA ----------------------------------------------------------
+    def pad_to(n: int) -> int:
+        return ((n + n_dev - 1) // n_dev) * n_dev
+
+    n_nodes = args.spa_nodes
+    n_submaps = max(2, n_nodes // 90)
+    n_con = pad_to(n_nodes * 3)
+    n_odo = pad_to(n_nodes - 1)
+    solve = sharded.make_sharded_spa_solve(
+        ctx.mesh, max_iterations=20, cg_iterations=50
+    )
+    problem = spa_solver.SpaProblem(
+        submap_poses=jnp.asarray(rng.normal(0, 5, (n_submaps, 3)).astype(np.float32)),
+        node_poses=jnp.asarray(rng.normal(0, 5, (n_nodes, 3)).astype(np.float32)),
+        free_submap=jnp.asarray(np.array([False] + [True] * (n_submaps - 1))),
+        free_node=jnp.ones((n_nodes,), bool),
+        c_submap=jnp.asarray(rng.integers(0, n_submaps, n_con).astype(np.int32)),
+        c_node=jnp.asarray(rng.integers(0, n_nodes, n_con).astype(np.int32)),
+        c_z=jnp.asarray(rng.normal(0, 1, (n_con, 3)).astype(np.float32)),
+        c_weight=jnp.ones((n_con, 2), jnp.float32) * 1e4,
+        c_huber=jnp.ones((n_con,), bool),
+        c_mask=jnp.ones((n_con,), bool),
+        n_a=jnp.asarray((np.arange(n_odo) % (n_nodes - 1)).astype(np.int32)),
+        n_b=jnp.asarray((np.arange(n_odo) % (n_nodes - 1) + 1).astype(np.int32)),
+        n_z=jnp.asarray(rng.normal(0, 0.1, (n_odo, 3)).astype(np.float32)),
+        n_weight=jnp.ones((n_odo, 2), jnp.float32) * 1e5,
+        n_mask=jnp.asarray(np.arange(n_odo) < n_nodes - 1),
+    )
+    sp, npo, cost = solve(problem, jnp.float32(1e3))
+    _ = np.asarray(cost)
+    t0 = time.perf_counter()
+    sp, npo, cost = solve(problem, jnp.float32(1e3))
+    _ = np.asarray(cost)
+    dt = time.perf_counter() - t0
+    report = multihost.scaling_report(ctx, n_con, dt)
+    report["metric"] = "sharded_spa_solve"
+    report["seconds"] = round(dt, 4)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -9,10 +9,15 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
-# Persistent compilation cache makes repeated test runs fast (the env var is
-# not read by this jax version; set the config explicitly).
 import jax  # noqa: E402
 
+# The environment may pre-import jax with JAX_PLATFORMS pointing at a real
+# accelerator (sitecustomize); the config update below overrides it even
+# then — it takes effect as long as no backend has been used yet.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache makes repeated test runs fast (the env var is
+# not read by this jax version; set the config explicitly).
 jax.config.update("jax_compilation_cache_dir", "/tmp/ctpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,163 @@
+"""Extended benchmark suite for the BASELINE.md measurement plan.
+
+Measures, on the attached TPU:
+  1. full-pipeline local SLAM throughput (scans/s/chip) — same as bench.py;
+  2. loop-closure candidate matches/sec (BnB FastCorrelativeScanMatcher2D
+     full-submap searches, the reference's hot backend path —
+     internal/2d/scan_matching/fast_correlative_scan_matcher_2d.cc);
+  3. SPA solve wall time vs graph size (device LM+CG,
+     internal/optimization/optimization_problem_2d.cc analog).
+
+Prints one JSON object per metric (one per line). bench.py remains the
+single-line driver benchmark; this suite records the fuller table
+(results archived in docs/STATUS.md).
+
+Run from the repo root: python tools/bench_suite.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def emit(r):
+    print(json.dumps(r), flush=True)
+
+
+def main() -> None:
+
+    from cartographer_tpu.common.config import (
+        FastCorrelativeScanMatcherOptions2D,
+        GridOptions2D,
+        SubmapsOptions2D,
+        TrajectoryBuilder2DOptions,
+    )
+    from cartographer_tpu.mapping.chunked_frontend_2d import (
+        ChunkedLocalTrajectoryBuilder2D,
+    )
+    from cartographer_tpu.testing.synthetic import (
+        generate_fake_range_measurements,
+    )
+
+    # -- 1. local SLAM throughput -------------------------------------------
+    direction = np.array([2.0, 1.0, 0.0])
+    direction /= np.linalg.norm(direction)
+    measurements = generate_fake_range_measurements(
+        translation=direction * 10.0, duration=60.0, time_step=0.05
+    )
+    builder = ChunkedLocalTrajectoryBuilder2D(
+        TrajectoryBuilder2DOptions(
+            use_imu_data=False,
+            max_range=10.0,
+            submaps=SubmapsOptions2D(
+                num_range_data=40,
+                grid_options_2d=GridOptions2D(resolution=0.05, grid_size=512),
+            ),
+        ),
+        {"range"},
+        chunk_size=32,
+    )
+    warmup = 256
+    for m in measurements[:warmup]:
+        builder.add_range_data("range", m)
+    t0 = time.perf_counter()
+    for m in measurements[warmup:]:
+        builder.add_range_data("range", m)
+    builder.flush()
+    dt = time.perf_counter() - t0
+    emit(
+        {
+            "metric": "local_slam_2d_full_pipeline_scans_per_sec_per_chip",
+            "value": round((len(measurements) - warmup) / dt, 2),
+            "unit": "scans/s",
+        }
+    )
+
+    # -- 2. loop-closure full-submap matches/sec (BnB) ------------------------
+    from cartographer_tpu.ops.scan_matching.fast_correlative_2d import (
+        FastCorrelativeScanMatcher2D,
+    )
+
+    grid = builder._submaps[0].grid
+    matcher = FastCorrelativeScanMatcher2D(
+        grid,
+        FastCorrelativeScanMatcherOptions2D(
+            branch_and_bound_depth=7,
+            linear_search_window=7.0,
+            angular_search_window=np.radians(30.0),
+        ),
+    )
+    cloud = measurements[-1].ranges.points[:, :2]
+    matcher.match_full_submap(cloud, min_score=0.3)  # warm up / compile
+    n_matches = 20
+    t0 = time.perf_counter()
+    for _ in range(n_matches):
+        matcher.match_full_submap(cloud, min_score=0.3)
+    dt = time.perf_counter() - t0
+    emit(
+        {
+            "metric": "loop_closure_full_submap_matches_per_sec_per_chip",
+            "value": round(n_matches / dt, 2),
+            "unit": "matches/s",
+            "note": "BnB depth 7, +-pi yaw, full-grid window per match",
+        }
+    )
+
+    # -- 3. SPA solve time vs graph size --------------------------------------
+    import jax.numpy as jnp
+
+    from cartographer_tpu.ops import spa_solver
+
+    rng = np.random.default_rng(0)
+    for n_nodes in (1000, 10000):
+        n_submaps = max(2, n_nodes // 90)
+        n_con = n_nodes * 3
+        problem = spa_solver.SpaProblem(
+            submap_poses=jnp.asarray(
+                rng.normal(0, 5, (n_submaps, 3)).astype(np.float32)
+            ),
+            node_poses=jnp.asarray(rng.normal(0, 5, (n_nodes, 3)).astype(np.float32)),
+            free_submap=jnp.asarray(np.array([False] + [True] * (n_submaps - 1))),
+            free_node=jnp.ones((n_nodes,), bool),
+            c_submap=jnp.asarray(
+                rng.integers(0, n_submaps, n_con).astype(np.int32)
+            ),
+            c_node=jnp.asarray(rng.integers(0, n_nodes, n_con).astype(np.int32)),
+            c_z=jnp.asarray(rng.normal(0, 1, (n_con, 3)).astype(np.float32)),
+            c_weight=jnp.ones((n_con, 2), jnp.float32) * 1e4,
+            c_huber=jnp.ones((n_con,), bool),
+            c_mask=jnp.ones((n_con,), bool),
+            n_a=jnp.asarray((np.arange(n_nodes - 1)).astype(np.int32)),
+            n_b=jnp.asarray((np.arange(n_nodes - 1) + 1).astype(np.int32)),
+            n_z=jnp.asarray(rng.normal(0, 0.1, (n_nodes - 1, 3)).astype(np.float32)),
+            n_weight=jnp.ones((n_nodes - 1, 2), jnp.float32) * 1e5,
+            n_mask=jnp.ones((n_nodes - 1,), bool),
+        )
+        sp, npo, cost = spa_solver.solve(
+            problem, jnp.float32(1e3), max_iterations=20, cg_iterations=50
+        )
+        np.asarray(cost)  # compile + settle
+        t0 = time.perf_counter()
+        sp, npo, cost = spa_solver.solve(
+            problem, jnp.float32(1e3), max_iterations=20, cg_iterations=50
+        )
+        np.asarray(cost)
+        dt = time.perf_counter() - t0
+        emit(
+            {
+                "metric": f"spa_solve_seconds_{n_nodes}_nodes",
+                "value": round(dt, 4),
+                "unit": "s",
+                "note": f"{n_submaps} submaps, {n_con} inter constraints, "
+                "20 LM iterations x 50 CG",
+            }
+        )
+
+    pass
+
+
+if __name__ == "__main__":
+    main()
