@@ -164,11 +164,7 @@ class MapBuilder:
         else:
             from cartographer_tpu.mapping.pose_graph_3d import PoseGraph3D
 
-            self._pose_graph = PoseGraph3D(options.pose_graph)
-            if thread_pool is not None:
-                raise NotImplementedError(
-                    "async_pose_graph currently supports the 2D backend"
-                )
+            self._pose_graph = PoseGraph3D(options.pose_graph, thread_pool)
         self._collator = (
             TrajectoryCollator() if options.collate_by_trajectory else Collator()
         )

@@ -45,8 +45,18 @@ class InternalSubmapData3D:
 
 
 class PoseGraph3D:
-    def __init__(self, options: PoseGraphOptions):
+    def __init__(self, options: PoseGraphOptions, thread_pool=None):
+        """thread_pool: optional common.task.ThreadPool — when given, the
+        loop-closure/optimization work queue drains on pool threads (the
+        reference's asynchronous global SLAM, pose_graph_3d.cc
+        DrainWorkQueue); otherwise draining is inline and deterministic."""
+        import threading
+
         self._options = options
+        self._thread_pool = thread_pool
+        self._work_lock = threading.RLock()
+        self._pending_task = None
+        self._global_slam_optimization_callback = None
         self._constraint_builder = ConstraintBuilder3D(options.constraint_builder)
         self._optimization_problem = OptimizationProblem3D(
             options.optimization_problem
@@ -76,6 +86,17 @@ class PoseGraph3D:
             )
 
     def add_node(
+        self,
+        constant_data: TrajectoryNodeData,
+        trajectory_id: int,
+        insertion_submaps: List[Submap3D],
+    ) -> NodeId:
+        with self._work_lock:
+            return self._add_node_locked(
+                constant_data, trajectory_id, insertion_submaps
+            )
+
+    def _add_node_locked(
         self,
         constant_data: TrajectoryNodeData,
         trajectory_id: int,
@@ -157,6 +178,7 @@ class PoseGraph3D:
     def delete_trajectory(self, trajectory_id: int) -> None:
         """Reference PoseGraph3D::DeleteTrajectory: remove the trajectory's
         nodes, submaps, and constraints."""
+        self.wait_for_all_computations()
         self._trajectory_states[trajectory_id] = TrajectoryState.DELETED
         self._constraints = [
             c
@@ -179,12 +201,14 @@ class PoseGraph3D:
         self._trimmers.append(trimmer)
 
     def finish_trajectory(self, trajectory_id: int) -> None:
-        self._trajectory_states[trajectory_id] = TrajectoryState.FINISHED
-        for index, data in self._submap_data.trajectory(trajectory_id):
-            submap_id = SubmapId(trajectory_id, index)
-            if data.state == SubmapState.NO_CONSTRAINT_SEARCH:
-                self._finish_submap(submap_id)
-        self._handle_work_queue()
+        self.wait_for_all_computations()
+        with self._work_lock:
+            self._trajectory_states[trajectory_id] = TrajectoryState.FINISHED
+            for index, data in self._submap_data.trajectory(trajectory_id):
+                submap_id = SubmapId(trajectory_id, index)
+                if data.state == SubmapState.NO_CONSTRAINT_SEARCH:
+                    self._finish_submap(submap_id)
+            self._handle_work_queue()
 
     def freeze_trajectory(self, trajectory_id: int) -> None:
         self.add_trajectory_if_needed(trajectory_id)
@@ -197,6 +221,11 @@ class PoseGraph3D:
         return self._trajectory_states.get(trajectory_id) == TrajectoryState.FINISHED
 
     def run_final_optimization(self) -> None:
+        self.wait_for_all_computations()
+        with self._work_lock:
+            self._run_final_optimization_locked()
+
+    def _run_final_optimization_locked(self) -> None:
         self._drain_constraints()
         self._optimization_problem.set_max_num_iterations(
             self._options.max_num_final_iterations
@@ -303,7 +332,43 @@ class PoseGraph3D:
             and self._num_nodes_since_last_loop_closure
             >= self._options.optimize_every_n_nodes
         ):
+            self._dispatch_work_queue()
+
+    def _dispatch_work_queue(self) -> None:
+        if self._thread_pool is None:
             self._handle_work_queue()
+            return
+        from cartographer_tpu.common.task import Task, TaskState
+
+        if (
+            self._pending_task is not None
+            and self._pending_task.state != TaskState.COMPLETED
+        ):
+            return
+        task = Task(self._locked_handle_work_queue)
+        self._pending_task = task
+        self._thread_pool.schedule(task)
+
+    def _locked_handle_work_queue(self) -> None:
+        with self._work_lock:
+            self._handle_work_queue()
+
+    def wait_for_all_computations(self, timeout: float = 600.0) -> None:
+        """Reference WaitForAllComputations (pose_graph_3d.cc)."""
+        if self._thread_pool is None:
+            return
+        import time as _t
+
+        from cartographer_tpu.common.task import TaskState
+
+        deadline = _t.monotonic() + timeout
+        while _t.monotonic() < deadline:
+            task = self._pending_task
+            if task is None or task.state == TaskState.COMPLETED:
+                if self._constraint_builder.num_pending() == 0:
+                    return
+                self._dispatch_work_queue()
+            _t.sleep(0.01)
 
     def _compute_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
         submap_data = self._submap_data.at(submap_id)

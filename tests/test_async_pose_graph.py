@@ -44,3 +44,44 @@ class TestAsyncPoseGraph:
         assert len(errs) > 20
         assert max(errs) < 0.1 * travel
         assert any(c.tag == "INTER_SUBMAP" for c in mb.pose_graph.constraints)
+
+
+class TestAsyncPoseGraph3D:
+    def test_async_3d_matches_ground_truth(self):
+        import tests.test_map_builder_3d as t3d
+
+        options = t3d.map_builder_options()
+        options.async_pose_graph = True
+        options.num_background_threads = 2
+        mb = MapBuilder(options)
+        tid = mb.add_trajectory_builder(
+            {"range", "imu"}, t3d.trajectory_options()
+        )
+        builder = mb.get_trajectory_builder(tid)
+        imu = t3d.imu_stream(FAKE_START_TIME - 0.5, FAKE_START_TIME + 4.1)
+        translation = np.array([0.8, 0.4, 0.0])
+        measurements = generate_fake_range_measurements(
+            translation=translation, duration=4.0, time_step=0.1
+        )
+        events = [("imu", d.time, d) for d in imu] + [
+            ("range", m.time, m) for m in measurements
+        ]
+        events.sort(key=lambda e: e[1])
+        for kind, _, payload in events:
+            builder.add_sensor_data(kind, payload)
+        mb.finish_trajectory(tid)
+        mb.pose_graph.run_final_optimization()
+
+        velocity = translation / 4.0
+        nodes = mb.pose_graph.get_trajectory_nodes()
+        errs = []
+        for node_id, node in nodes.items(NodeId):
+            t = node.constant_data.time
+            expected = rigid3.translation((t - FAKE_START_TIME) * velocity)
+            errs.append(
+                np.linalg.norm(
+                    rigid3.trans(node.global_pose) - rigid3.trans(expected)
+                )
+            )
+        assert len(errs) > 10
+        assert max(errs) < 0.1 * np.linalg.norm(translation) + 0.05
