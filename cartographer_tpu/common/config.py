@@ -336,6 +336,11 @@ class FastCorrelativeScanMatcherOptions2D(ConfigBase):
     linear_search_window: float = 7.0
     angular_search_window: float = math.radians(30.0)
     branch_and_bound_depth: int = 7
+    # TPU addition: per-level candidate beam in the device BnB
+    # (ops/scan_matching/fast_correlative_2d.bnb_search). Exactness is lost
+    # only when more candidates survive bound-pruning than the beam keeps;
+    # scoring cost scales linearly with the beam.
+    beam_width: int = 4096
 
 
 @dataclass
@@ -347,6 +352,8 @@ class FastCorrelativeScanMatcherOptions3D(ConfigBase):
     linear_xy_search_window: float = 5.0
     linear_z_search_window: float = 1.0
     angular_search_window: float = math.radians(15.0)
+    # TPU addition: per-level candidate beam in the device BnB.
+    beam_width: int = 2048
 
 
 @dataclass

@@ -124,13 +124,92 @@ class ConstraintBuilder2D:
         self._num_finished_nodes += 1
 
     def run_pending(self) -> List[Constraint]:
-        """Execute queued searches; returns found constraints (WhenDone)."""
+        """Execute queued searches; returns found constraints (WhenDone).
+
+        Batched in two device phases — all BnB searches dispatched then
+        fetched as ONE stacked array, and likewise all Gauss-Newton
+        refinements — so a batch of K searches costs two host round trips
+        instead of 2K (the searches are independent, the reference runs
+        them as concurrent thread-pool tasks)."""
         results: List[Constraint] = []
         pending, self._pending = self._pending, []
+        if not pending:
+            return results
+        import jax.numpy as jnp
+
+        # Phase 1: dispatch every BnB search, one fetch for all.
+        dispatched = []
         for search in pending:
-            constraint = self._compute_constraint(search)
-            if constraint is not None:
-                results.append(constraint)
+            metrics.constraints_searched.increment()
+            matcher = self._matcher(search.submap_id)
+            cloud = search.constant_data.filtered_gravity_aligned_point_cloud
+            if search.initial_relative_pose is None:
+                packed, ctx = matcher.match_device(
+                    None, cloud, self._options.global_localization_min_score,
+                    full_submap=True,
+                )
+            else:
+                initial_pose = rigid2.compose(
+                    self._submap_local_pose(search.submap_id),
+                    search.initial_relative_pose,
+                )
+                packed, ctx = matcher.match_device(
+                    initial_pose, cloud, self._options.min_score
+                )
+            dispatched.append((search, ctx, packed))
+        all_bnb = np.asarray(jnp.stack([p for _, _, p in dispatched]))
+
+        # Phase 2: decode, dispatch every refinement, one fetch for all.
+        refine = []
+        for (search, ctx, _), packed in zip(dispatched, all_bnb):
+            matcher = self._matcher(search.submap_id)
+            result = matcher.decode(packed, ctx)
+            if result is None:
+                continue
+            self._score_histogram.add(result.score)
+            metrics.constraint_scores.observe(result.score)
+            cloud = search.constant_data.filtered_gravity_aligned_point_cloud
+            grid = self._submap_grids[search.submap_id]
+            if not hasattr(grid, "log_odds"):  # TSDF grid: serial path
+                refined_pose, _ = self._ceres_matcher.match(
+                    result.pose[:2], result.pose, cloud, grid
+                )
+                refine.append((search, refined_pose))
+                continue
+            refine.append(
+                (
+                    search,
+                    self._ceres_matcher.match_device(
+                        result.pose[:2], result.pose, cloud, grid
+                    ),
+                )
+            )
+        if refine:
+            device_rows = [
+                (i, p) for i, (_, p) in enumerate(refine)
+                if not isinstance(p, np.ndarray)
+            ]
+            if device_rows:
+                fetched = np.asarray(jnp.stack([p for _, p in device_rows]))
+                for (i, _), row in zip(device_rows, fetched):
+                    refine[i] = (refine[i][0], self._ceres_matcher.decode(row)[0])
+            for search, refined_pose in refine:
+                submap_local_pose = self._submap_local_pose(search.submap_id)
+                zbar_ij = rigid2.compose(
+                    rigid2.inverse(submap_local_pose), refined_pose
+                )
+                results.append(
+                    Constraint(
+                        submap_id=search.submap_id,
+                        node_id=search.node_id,
+                        pose=ConstraintPose(
+                            zbar_ij=zbar_ij,
+                            translation_weight=self._options.loop_closure_translation_weight,
+                            rotation_weight=self._options.loop_closure_rotation_weight,
+                        ),
+                        tag=INTER_SUBMAP,
+                    )
+                )
         metrics.constraints_found.increment(len(results))
         return results
 

@@ -117,12 +117,90 @@ class ConstraintBuilder3D:
         return len(self._pending)
 
     def run_pending(self) -> List[Constraint]:
+        """Batched like constraint_builder_2d.run_pending: all BnB searches
+        dispatched then fetched as one stacked array, then all Gauss-Newton
+        refinements — two host round trips per batch."""
         results: List[Constraint] = []
         pending, self._pending = self._pending, []
+        if not pending:
+            return results
+        import jax.numpy as jnp
+
+        dispatched = []
         for search in pending:
-            constraint = self._compute_constraint(search)
-            if constraint is not None:
-                results.append(constraint)
+            metrics.constraints_searched.increment()
+            matcher = self._matcher(search.submap_id)
+            cd = search.constant_data
+            if search.global_node_pose is None:
+                initial = rigid3.make(
+                    np.zeros(3), rigid3.quat_conjugate(cd.gravity_alignment)
+                )
+                d = matcher.match_device(
+                    initial,
+                    cd.rotational_scan_matcher_histogram,
+                    search.gravity_yaw,
+                    cd.high_resolution_point_cloud,
+                    cd.low_resolution_point_cloud,
+                    self._options.global_localization_min_score,
+                    full_submap=True,
+                )
+            else:
+                d = matcher.match_device(
+                    search.global_node_pose,
+                    cd.rotational_scan_matcher_histogram,
+                    search.gravity_yaw,
+                    cd.high_resolution_point_cloud,
+                    cd.low_resolution_point_cloud,
+                    self._options.min_score,
+                )
+            if d is not None:  # None: yaw pruning rejected every candidate
+                dispatched.append((search, d[1], d[0]))
+        if not dispatched:
+            metrics.constraints_found.increment(0)
+            return results
+        all_bnb = np.asarray(jnp.stack([p for _, _, p in dispatched]))
+
+        refine = []
+        for (search, ctx, _), packed in zip(dispatched, all_bnb):
+            matcher = self._matcher(search.submap_id)
+            result = matcher.decode(packed, ctx)
+            if result is None:
+                continue
+            self._score_histogram.add(result.score)
+            self._rotational_score_histogram.add(result.rotational_score)
+            self._low_resolution_score_histogram.add(result.low_resolution_score)
+            metrics.constraint_scores.observe(result.score)
+            cd = search.constant_data
+            submap = self._submaps[search.submap_id]
+            refine.append(
+                (
+                    search,
+                    self._ceres_matcher.match_device(
+                        result.pose[:3],
+                        result.pose,
+                        cd.high_resolution_point_cloud,
+                        submap.high_resolution_grid,
+                        cd.low_resolution_point_cloud,
+                        submap.low_resolution_grid,
+                    ),
+                )
+            )
+        if refine:
+            all_gn = np.asarray(jnp.stack([p for _, p in refine]))
+            for (search, _), packed in zip(refine, all_gn):
+                refined_pose, _cost = self._ceres_matcher.decode(packed)
+                results.append(
+                    Constraint(
+                        submap_id=search.submap_id,
+                        node_id=search.node_id,
+                        pose=ConstraintPose(
+                            zbar_ij=refined_pose,
+                            translation_weight=self._options.loop_closure_translation_weight,
+                            rotation_weight=self._options.loop_closure_rotation_weight,
+                        ),
+                        tag=INTER_SUBMAP,
+                    )
+                )
         metrics.constraints_found.increment(len(results))
         return results
 

@@ -153,3 +153,37 @@ class CeresScanMatcher2D:
         pose = np.asarray(pose, np.float64)
         pose[2] = rigid2.normalize_angle(pose[2])
         return pose, float(cost)
+
+    def match_device(
+        self,
+        target_translation: np.ndarray,
+        initial_pose_estimate: np.ndarray,
+        point_cloud: np.ndarray,
+        grid: Grid2D,
+    ):
+        """Dispatch the refinement without fetching: returns a (4,) device
+        vector [x, y, theta, cost] for callers that batch many matches into
+        one host round trip (probability grids only)."""
+        opts = self._options
+        points_p, point_mask = pad_points_2d(np.asarray(point_cloud))
+        pose, cost = gauss_newton_2d.match_log_odds(
+            grid.log_odds,
+            grid.known,
+            grid.origin,
+            jnp.asarray(initial_pose_estimate, jnp.float32),
+            jnp.asarray(target_translation, jnp.float32),
+            jnp.asarray(points_p),
+            jnp.asarray(point_mask),
+            grid.resolution,
+            opts.occupied_space_weight,
+            opts.translation_weight,
+            opts.rotation_weight,
+            opts.ceres_solver_options.max_num_iterations,
+        )
+        return jnp.concatenate([pose, cost[None]])
+
+    @staticmethod
+    def decode(packed: np.ndarray):
+        pose = np.asarray(packed[:3], np.float64)
+        pose[2] = rigid2.normalize_angle(pose[2])
+        return pose, float(packed[3])

@@ -178,3 +178,45 @@ class CeresScanMatcher3D:
         )
         packed = np.asarray(packed, np.float64)  # single round trip
         return packed[:7], float(packed[7])
+
+    def match_device(
+        self,
+        target_translation: np.ndarray,
+        initial_pose_estimate: np.ndarray,
+        high_resolution_cloud: np.ndarray,
+        high_resolution_grid,
+        low_resolution_cloud: np.ndarray,
+        low_resolution_grid,
+    ):
+        """Dispatch the dual-grid refinement without fetching; returns the
+        packed (8,) device vector [t(3), q(4), cost] for callers batching
+        matches into one host round trip (no intensity cost)."""
+        opts = self._options
+        hp, hm = pad_points_3d(np.asarray(high_resolution_cloud))
+        lp, lm = pad_points_3d(np.asarray(low_resolution_cloud))
+        return gauss_newton_3d.match_3d(
+            high_resolution_grid.probability(),
+            high_resolution_grid.origin,
+            low_resolution_grid.probability(),
+            low_resolution_grid.origin,
+            jnp.asarray(initial_pose_estimate[:3], jnp.float32),
+            jnp.asarray(initial_pose_estimate[3:7], jnp.float32),
+            jnp.asarray(target_translation, jnp.float32),
+            jnp.asarray(hp),
+            jnp.asarray(hm),
+            jnp.asarray(lp),
+            jnp.asarray(lm),
+            high_resolution_grid.resolution,
+            low_resolution_grid.resolution,
+            opts.occupied_space_weight_0,
+            opts.occupied_space_weight_1,
+            opts.translation_weight,
+            opts.rotation_weight,
+            opts.ceres_solver_options.max_num_iterations,
+            opts.only_optimize_yaw,
+        )
+
+    @staticmethod
+    def decode(packed: np.ndarray):
+        packed = np.asarray(packed, np.float64)
+        return packed[:7], float(packed[7])

@@ -101,6 +101,93 @@ def _pad_pow2(arr: np.ndarray, minimum: int = 256, fill=0):
     return out, mask
 
 
+def _score_cands(pool, ix, iy, pmask, a, x, y, valid):
+    """Masked batched candidate scores at one pyramid level (inline version
+    of _score_level for use inside the fused search)."""
+    h, w = pool.shape
+    cix = ix[a] + x[:, None]
+    ciy = iy[a] + y[:, None]
+    oob = (cix < 0) | (cix >= w) | (ciy < 0) | (ciy >= h)
+    vals = pool[jnp.clip(ciy, 0, h - 1), jnp.clip(cix, 0, w - 1)]
+    vals = jnp.where(oob, pv.MIN_PROBABILITY, vals)
+    count = jnp.maximum(jnp.sum(pmask), 1)
+    scores = jnp.sum(vals * pmask[None, :], axis=-1) / count
+    return jnp.where(valid, scores, -jnp.inf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth", "beam", "leaf_probe")
+)
+def bnb_search(
+    pyramid: jax.Array,  # [depth, H, W]
+    ix: jax.Array,  # [A, N] int32 discretized scan per angle
+    iy: jax.Array,  # [A, N]
+    pmask: jax.Array,  # [N]
+    a0: jax.Array,  # [K0] initial candidate angle indices
+    x0: jax.Array,  # [K0] initial x offsets (cells)
+    y0: jax.Array,  # [K0]
+    m0: jax.Array,  # [K0] initial-candidate mask
+    num_linear: jax.Array,  # i32 window bound for children
+    min_score: jax.Array,  # f32
+    depth: int,
+    beam: int = 8192,
+    leaf_probe: int = 256,
+):
+    """The whole level-synchronous branch-and-bound on device: score ->
+    leaf-probe (true lower bounds) -> prune -> beam top-k -> expand, for
+    every level, with a single (score, angle, x, y) result — one host
+    round trip per search instead of one per level. Exact while the beam
+    cap does not bind (pooled bounds are admissible; leaf probing only
+    tightens the incumbent)."""
+    best_score = jnp.float32(min_score)
+    best = jnp.array([-1, 0, 0], jnp.int32)
+    a, x, y, valid = a0, x0, y0, m0
+    for level in range(depth - 1, -1, -1):
+        scores = _score_cands(pyramid[level], ix, iy, pmask, a, x, y, valid)
+        if level == 0:
+            i = jnp.argmax(scores)
+            better = scores[i] > best_score
+            best_score = jnp.where(better, scores[i], best_score)
+            best = jnp.where(
+                better, jnp.stack([a[i], x[i], y[i]]), best
+            )
+            break
+        # Leaf probe: every internal candidate's (x, y) is a valid leaf;
+        # scoring the most promising ones at full resolution gives true
+        # lower bounds that tighten pruning.
+        k_probe = min(leaf_probe, scores.shape[0])
+        pscores, pidx = jax.lax.top_k(scores, k_probe)
+        leaf = _score_cands(
+            pyramid[0], ix, iy, pmask, a[pidx], x[pidx], y[pidx],
+            pscores > -jnp.inf,
+        )
+        j = jnp.argmax(leaf)
+        better = leaf[j] > best_score
+        best_score = jnp.where(better, leaf[j], best_score)
+        best = jnp.where(
+            better,
+            jnp.stack([a[pidx[j]], x[pidx[j]], y[pidx[j]]]),
+            best,
+        )
+        # Prune by the admissible bound, keep the best `beam`, expand 4x.
+        pruned = jnp.where(scores > best_score, scores, -jnp.inf)
+        k_beam = min(beam, pruned.shape[0])
+        top_scores, top_idx = jax.lax.top_k(pruned, k_beam)
+        half = 1 << (level - 1)
+        pa = jnp.repeat(a[top_idx], 4)
+        px = jnp.repeat(x[top_idx], 4) + jnp.tile(
+            jnp.asarray([0, half, 0, half], jnp.int32), k_beam
+        )
+        py = jnp.repeat(y[top_idx], 4) + jnp.tile(
+            jnp.asarray([0, 0, half, half], jnp.int32), k_beam
+        )
+        pvalid = jnp.repeat(top_scores > -jnp.inf, 4) & (
+            px <= num_linear
+        ) & (py <= num_linear)
+        a, x, y, valid = pa, px, py, pvalid
+    return best_score, best
+
+
 @dataclasses.dataclass
 class MatchResult:
     score: float
@@ -148,6 +235,47 @@ class FastCorrelativeScanMatcher2D:
             math.pi,
         )
 
+    def match_device(
+        self,
+        initial_pose_estimate: np.ndarray,
+        point_cloud: np.ndarray,
+        min_score: float,
+        full_submap: bool = False,
+    ):
+        """Dispatch the search; returns (packed device array [4], decode
+        context). The host pays no round trip until the packed result is
+        fetched — callers batching many searches stack the packed vectors
+        and fetch once (constraint_builder_2d.run_pending)."""
+        opts = self._options
+        if full_submap:
+            center = self._origin + 0.5 * self._resolution * np.array(
+                [self._shape[1], self._shape[0]]
+            )
+            return self._dispatch_window(
+                rigid2.make(center, 0.0), point_cloud, min_score,
+                1e6 * self._resolution, math.pi,
+            )
+        return self._dispatch_window(
+            initial_pose_estimate, point_cloud, min_score,
+            opts.linear_search_window, opts.angular_search_window,
+        )
+
+    @staticmethod
+    def decode(packed: np.ndarray, ctx) -> Optional[MatchResult]:
+        """Decode a fetched packed result from match_device."""
+        angles, initial_pose_estimate, initial_rotation, resolution = ctx
+        best_score = float(packed[0])
+        ba, bx, by = int(packed[1]), int(packed[2]), int(packed[3])
+        if ba < 0:
+            return None
+        dtheta = float(angles[ba])
+        pose = rigid2.make(
+            np.asarray(initial_pose_estimate[:2], np.float64)
+            + [bx * resolution, by * resolution],
+            rigid2.normalize_angle(initial_rotation + dtheta),
+        )
+        return MatchResult(score=best_score, pose=pose)
+
     def _match_with_window(
         self,
         initial_pose_estimate: np.ndarray,
@@ -156,6 +284,20 @@ class FastCorrelativeScanMatcher2D:
         linear_search_window: float,
         angular_search_window: float,
     ) -> Optional[MatchResult]:
+        packed_d, ctx = self._dispatch_window(
+            initial_pose_estimate, point_cloud, min_score,
+            linear_search_window, angular_search_window,
+        )
+        return self.decode(np.asarray(packed_d), ctx)
+
+    def _dispatch_window(
+        self,
+        initial_pose_estimate: np.ndarray,
+        point_cloud: np.ndarray,
+        min_score: float,
+        linear_search_window: float,
+        angular_search_window: float,
+    ):
         initial_rotation = float(initial_pose_estimate[2])
         rot = rigid2.make(np.zeros(2), initial_rotation)
         rotated = rigid2.apply(rot, np.asarray(point_cloud[:, :2], np.float64))
@@ -185,10 +327,6 @@ class FastCorrelativeScanMatcher2D:
         point_mask = np.zeros(n_pad, bool)
         point_mask[: ix.shape[1]] = True
 
-        ix_d = jnp.asarray(ix_p)
-        iy_d = jnp.asarray(iy_p)
-        pmask_d = jnp.asarray(point_mask)
-
         num_linear = int(math.ceil(linear_search_window / self._resolution))
         # Clamp the window to offsets that can overlap the grid at all.
         num_linear = min(num_linear, max(self._shape) + 1)
@@ -198,85 +336,27 @@ class FastCorrelativeScanMatcher2D:
         a_grid, x_grid, y_grid = np.meshgrid(
             np.arange(num_scans, dtype=np.int32), offs, offs, indexing="ij"
         )
-        cand_a = a_grid.ravel()
-        cand_x = x_grid.ravel()
-        cand_y = y_grid.ravel()
+        cand_a, m0 = _pad_pow2(a_grid.ravel(), 1024)
+        cand_x, _ = _pad_pow2(x_grid.ravel(), 1024)
+        cand_y, _ = _pad_pow2(y_grid.ravel(), 1024)
 
-        best_score = float(min_score)
-        best: Optional[Tuple[float, int, int, int]] = None
-
-        def score_at(depth, a, x, y):
-            """Chunked batched scoring of candidates at a pyramid level."""
-            out = np.empty(len(a), np.float32)
-            for s in range(0, len(a), _MAX_CANDIDATES):
-                e = min(s + _MAX_CANDIDATES, len(a))
-                a_p, cmask = _pad_pow2(a[s:e], 256)
-                x_p, _ = _pad_pow2(x[s:e], 256)
-                y_p, _ = _pad_pow2(y[s:e], 256)
-                out[s:e] = np.asarray(
-                    _score_level(
-                        self._pyramid[depth],
-                        ix_d,
-                        iy_d,
-                        pmask_d,
-                        jnp.asarray(a_p),
-                        jnp.asarray(x_p),
-                        jnp.asarray(y_p),
-                        jnp.asarray(cmask),
-                    )
-                )[: e - s]
-            return out
-
-        for depth in range(self._depth - 1, -1, -1):
-            if len(cand_a) == 0:
-                break
-            scores = score_at(depth, cand_a, cand_x, cand_y)
-
-            if depth == 0:
-                i = int(np.argmax(scores))
-                if scores[i] > best_score:
-                    best_score = float(scores[i])
-                    best = (best_score, cand_a[i], cand_x[i], cand_y[i])
-                break
-
-            # Probe the most promising candidates at full resolution: their
-            # (x, y) as-is are valid leaves, giving true lower bounds.
-            probe = np.argsort(-scores)[:_LEAF_PROBE]
-            leaf_scores = score_at(0, cand_a[probe], cand_x[probe], cand_y[probe])
-            j = int(np.argmax(leaf_scores))
-            if leaf_scores[j] > best_score:
-                best_score = float(leaf_scores[j])
-                k = probe[j]
-                best = (best_score, cand_a[k], cand_x[k], cand_y[k])
-
-            keep = scores > best_score
-            cand_a, cand_x, cand_y = cand_a[keep], cand_x[keep], cand_y[keep]
-            scores = scores[keep]
-            if len(cand_a) > _MAX_CANDIDATES:
-                # Beam cap: keep the best-bounded survivors. Exactness is
-                # lost only if this triggers (rare; pruning bites first).
-                order = np.argsort(-scores)[:_MAX_CANDIDATES]
-                cand_a, cand_x, cand_y = cand_a[order], cand_x[order], cand_y[order]
-
-            # Expand each survivor into up to 4 children at half stride.
-            half = 1 << (depth - 1)
-            child_a = np.repeat(cand_a, 4)
-            child_x = np.repeat(cand_x, 4) + np.tile([0, half, 0, half], len(cand_a))
-            child_y = np.repeat(cand_y, 4) + np.tile([0, 0, half, half], len(cand_a))
-            in_bounds = (child_x <= num_linear) & (child_y <= num_linear)
-            cand_a, cand_x, cand_y = (
-                child_a[in_bounds],
-                child_x[in_bounds],
-                child_y[in_bounds],
-            )
-
-        if best is None:
-            return None
-        _, ba, bx, by = best
-        dtheta = float(angles[ba])
-        pose = rigid2.make(
-            np.asarray(initial_pose_estimate[:2], np.float64)
-            + [bx * self._resolution, by * self._resolution],
-            rigid2.normalize_angle(initial_rotation + dtheta),
+        # The entire search runs on device — one dispatch, one fetch.
+        score, best = bnb_search(
+            self._pyramid,
+            jnp.asarray(ix_p),
+            jnp.asarray(iy_p),
+            jnp.asarray(point_mask),
+            jnp.asarray(cand_a),
+            jnp.asarray(cand_x),
+            jnp.asarray(cand_y),
+            jnp.asarray(m0),
+            jnp.int32(num_linear),
+            jnp.float32(min_score),
+            self._depth,
+            beam=self._options.beam_width,
         )
-        return MatchResult(score=best_score, pose=pose)
+        packed_d = jnp.concatenate(
+            [score[None].astype(jnp.float32), best.astype(jnp.float32)]
+        )
+        ctx = (angles, initial_pose_estimate, initial_rotation, self._resolution)
+        return packed_d, ctx

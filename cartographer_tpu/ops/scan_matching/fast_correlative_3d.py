@@ -116,6 +116,140 @@ def _pad_pow2(arr: np.ndarray, minimum: int = 128, fill=0):
     return out, mask
 
 
+def _score_cands_3d(pool, cells, pmask, a, x, y, z, valid, level):
+    d, h, w = pool.shape
+    base = cells[a]  # [C, N, 3]
+    cx = (base[..., 0] + x[:, None]) >> level
+    cy = (base[..., 1] + y[:, None]) >> level
+    cz = (base[..., 2] + z[:, None]) >> level
+
+    def at(zi, yi, xi):
+        oob = (xi < 0) | (xi >= w) | (yi < 0) | (yi >= h) | (zi < 0) | (zi >= d)
+        vals = pool[
+            jnp.clip(zi, 0, d - 1), jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)
+        ]
+        return jnp.where(oob, pv.MIN_PROBABILITY, vals)
+
+    vals = at(cz, cy, cx)
+    if level > 0:
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    if dz == dy == dx == 0:
+                        continue
+                    vals = jnp.maximum(vals, at(cz + dz, cy + dy, cx + dx))
+    count = jnp.maximum(jnp.sum(pmask), 1)
+    scores = jnp.sum(vals * pmask[None, :], axis=-1) / count
+    return jnp.where(valid, scores, -jnp.inf)
+
+
+def _low_res_scores_device(
+    low_prob, low_base, low_mask, a, x, y, z, valid, ratio
+):
+    """Low-resolution veto scores (low_resolution_matcher.cc) for a batch of
+    candidates: gather the low grid at the candidate-shifted cloud."""
+    d, h, w = low_prob.shape
+    base = low_base[a]  # [C, Nl, 3] fractional low-res cells at offset 0
+    off = jnp.stack([x, y, z], axis=-1).astype(jnp.float32) * ratio  # [C, 3]
+    ci = jnp.floor(base + off[:, None, :] + 0.5).astype(jnp.int32)
+    cx, cy, cz = ci[..., 0], ci[..., 1], ci[..., 2]
+    oob = (cx < 0) | (cx >= w) | (cy < 0) | (cy >= h) | (cz < 0) | (cz >= d)
+    vals = low_prob[
+        jnp.clip(cz, 0, d - 1), jnp.clip(cy, 0, h - 1), jnp.clip(cx, 0, w - 1)
+    ]
+    vals = jnp.where(oob, pv.MIN_PROBABILITY, vals)
+    count = jnp.maximum(jnp.sum(low_mask), 1)
+    scores = jnp.sum(vals * low_mask[None, :], axis=-1) / count
+    return jnp.where(valid, scores, -jnp.inf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth", "beam", "leaf_probe")
+)
+def bnb_search_3d(
+    pyramid,  # tuple of [Dl, Hl, Wl] octave levels
+    cells: jax.Array,  # i32 [A, N, 3]
+    pmask: jax.Array,  # [N]
+    low_prob: jax.Array,  # low-res probability volume
+    low_base: jax.Array,  # f32 [A, Nl, 3] fractional low-res cells
+    low_mask: jax.Array,  # [Nl]
+    a0, x0, y0, z0, m0,  # [K0] initial candidates
+    nl_xy: jax.Array,  # i32 window bounds for children
+    nl_z: jax.Array,
+    min_score: jax.Array,
+    min_low_score: jax.Array,
+    ratio: jax.Array,  # f32 high-res cell size in low-res cells
+    depth: int,
+    beam: int = 4096,
+    leaf_probe: int = 128,
+):
+    """Device-resident 3D branch-and-bound with yaw-pruned candidates and
+    low-resolution leaf veto; one host round trip per search. Returns
+    (score, low_score, [a, x, y, z])."""
+    best_score = jnp.float32(min_score)
+    best_low = jnp.float32(0.0)
+    best = jnp.array([-1, 0, 0, 0], jnp.int32)
+    a, x, y, z, valid = a0, x0, y0, z0, m0
+    for level in range(depth - 1, -1, -1):
+        scores = _score_cands_3d(
+            pyramid[level], cells, pmask, a, x, y, z, valid, level
+        )
+        if level == 0:
+            lows = _low_res_scores_device(
+                low_prob, low_base, low_mask, a, x, y, z, valid, ratio
+            )
+            ok = lows >= min_low_score
+            masked = jnp.where(ok, scores, -jnp.inf)
+            i = jnp.argmax(masked)
+            better = masked[i] > best_score
+            best_score = jnp.where(better, masked[i], best_score)
+            best_low = jnp.where(better, lows[i], best_low)
+            best = jnp.where(
+                better, jnp.stack([a[i], x[i], y[i], z[i]]), best
+            )
+            break
+        k_probe = min(leaf_probe, scores.shape[0])
+        pscores, pidx = jax.lax.top_k(scores, k_probe)
+        pa, px_, py_, pz_ = a[pidx], x[pidx], y[pidx], z[pidx]
+        pvalid = pscores > -jnp.inf
+        leaf = _score_cands_3d(
+            pyramid[0], cells, pmask, pa, px_, py_, pz_, pvalid, 0
+        )
+        lows = _low_res_scores_device(
+            low_prob, low_base, low_mask, pa, px_, py_, pz_, pvalid, ratio
+        )
+        masked = jnp.where(lows >= min_low_score, leaf, -jnp.inf)
+        j = jnp.argmax(masked)
+        better = masked[j] > best_score
+        best_score = jnp.where(better, masked[j], best_score)
+        best_low = jnp.where(better, lows[j], best_low)
+        best = jnp.where(
+            better, jnp.stack([pa[j], px_[j], py_[j], pz_[j]]), best
+        )
+        pruned = jnp.where(scores > best_score, scores, -jnp.inf)
+        k_beam = min(beam, pruned.shape[0])
+        top_scores, top_idx = jax.lax.top_k(pruned, k_beam)
+        half = 1 << (level - 1)
+        ca = jnp.repeat(a[top_idx], 8)
+        cx = jnp.repeat(x[top_idx], 8) + jnp.tile(
+            jnp.asarray([0, half] * 4, jnp.int32), k_beam
+        )
+        cy = jnp.repeat(y[top_idx], 8) + jnp.tile(
+            jnp.asarray([0, 0, half, half] * 2, jnp.int32), k_beam
+        )
+        cz = jnp.repeat(z[top_idx], 8) + jnp.tile(
+            jnp.asarray([0] * 4 + [half] * 4, jnp.int32), k_beam
+        )
+        cvalid = (
+            jnp.repeat(top_scores > -jnp.inf, 8)
+            & (cx <= nl_xy)
+            & (cy <= nl_xy)
+            & (cz <= nl_z)
+        )
+        a, x, y, z, valid = ca, cx, cy, cz, cvalid
+    return best_score, best_low, best
+
+
 @dataclasses.dataclass
 class MatchResult3D:
     score: float
@@ -153,6 +287,34 @@ class FastCorrelativeScanMatcher3D:
         min_score: float,
         full_submap: bool = False,
     ) -> Optional[MatchResult3D]:
+        dispatched = self.match_device(
+            global_node_pose_in_submap,
+            node_histogram,
+            node_gravity_yaw,
+            point_cloud,
+            low_resolution_point_cloud,
+            min_score,
+            full_submap,
+        )
+        if dispatched is None:
+            return None
+        packed_d, ctx = dispatched
+        return self.decode(np.asarray(packed_d), ctx)
+
+    def match_device(
+        self,
+        global_node_pose_in_submap: np.ndarray,
+        node_histogram: np.ndarray,
+        node_gravity_yaw: float,
+        point_cloud: np.ndarray,
+        low_resolution_point_cloud: np.ndarray,
+        min_score: float,
+        full_submap: bool = False,
+    ):
+        """Dispatch the search (no host round trip); returns
+        (packed device array [6], decode ctx) or None when the rotational
+        histogram prunes every candidate yaw. Callers batching searches
+        stack the packed vectors and fetch once."""
         opts = self._options
         if full_submap:
             linear_xy = 0.5 * self._shape[2] * self._resolution
@@ -206,9 +368,6 @@ class FastCorrelativeScanMatcher3D:
         cells_p[:, :n] = cells
         point_mask = np.zeros(n_pad, bool)
         point_mask[:n] = True
-        cells_d = jnp.asarray(cells_p)
-        pmask_d = jnp.asarray(point_mask)
-
         nl_xy = int(math.ceil(linear_xy / self._resolution))
         nl_z = int(math.ceil(linear_z / self._resolution))
         nl_xy = min(nl_xy, max(self._shape) + 1)
@@ -228,142 +387,70 @@ class FastCorrelativeScanMatcher3D:
             offs_z,
             indexing="ij",
         )
-        cand = dict(
-            a=a_grid.ravel(), x=x_grid.ravel(), y=y_grid.ravel(), z=z_grid.ravel()
+        a0, m0 = _pad_pow2(a_grid.ravel(), 1024)
+        x0, _ = _pad_pow2(x_grid.ravel(), 1024)
+        y0, _ = _pad_pow2(y_grid.ravel(), 1024)
+        z0, _ = _pad_pow2(z_grid.ravel(), 1024)
+
+        # Low-resolution veto cloud: fractional low-res cells per kept yaw
+        # at offset 0 (the device shifts by candidate offsets).
+        lorigin = np.asarray(self._low_grid.origin)
+        lres = self._low_grid.resolution
+        low_cloud = low_resolution_point_cloud[:, :3].astype(np.float64)
+        low_bases = []
+        for a in angles_kept:
+            half = 0.5 * a
+            qa = np.array([np.cos(half), 0.0, 0.0, np.sin(half)])
+            q = rigid3.quat_multiply(qa, q0)
+            world = rigid3.quat_rotate(q[None, :], low_cloud) + t0
+            low_bases.append(((world - lorigin) / lres).astype(np.float32))
+        low_bases = np.stack(low_bases)  # [A, Nl, 3]
+        nl = low_bases.shape[1]
+        nl_pad = 64
+        while nl_pad < nl:
+            nl_pad *= 2
+        low_base_p = np.zeros((len(angles_kept), nl_pad, 3), np.float32)
+        low_base_p[:, :nl] = low_bases
+        low_mask = np.zeros(nl_pad, bool)
+        low_mask[:nl] = True
+
+        # The entire search runs on device — one dispatch, one fetch.
+        score_d, low_d, best_d = bnb_search_3d(
+            self._pyramid,
+            jnp.asarray(cells_p),
+            jnp.asarray(point_mask),
+            self._low_grid.probability(),
+            jnp.asarray(low_base_p),
+            jnp.asarray(low_mask),
+            jnp.asarray(a0),
+            jnp.asarray(x0),
+            jnp.asarray(y0),
+            jnp.asarray(z0),
+            jnp.asarray(m0),
+            jnp.int32(nl_xy),
+            jnp.int32(nl_z),
+            jnp.float32(min_score),
+            jnp.float32(opts.min_low_resolution_score),
+            jnp.float32(self._resolution / lres),
+            self._depth,
+            beam=opts.beam_width,
         )
+        packed_d = jnp.concatenate(
+            [
+                score_d[None].astype(jnp.float32),
+                low_d[None].astype(jnp.float32),
+                best_d.astype(jnp.float32),
+            ]
+        )
+        return packed_d, (angles_kept, rot_scores_kept, initial_pose)
 
-        def score_at(level, c):
-            out = np.empty(len(c["a"]), np.float32)
-            for s in range(0, len(c["a"]), _MAX_CANDIDATES):
-                e = min(s + _MAX_CANDIDATES, len(c["a"]))
-                a_p, cmask = _pad_pow2(c["a"][s:e])
-                x_p, _ = _pad_pow2(c["x"][s:e])
-                y_p, _ = _pad_pow2(c["y"][s:e])
-                z_p, _ = _pad_pow2(c["z"][s:e])
-                out[s:e] = np.asarray(
-                    _score_level_3d(
-                        self._pyramid[level],
-                        cells_d,
-                        pmask_d,
-                        jnp.asarray(a_p),
-                        jnp.asarray(x_p),
-                        jnp.asarray(y_p),
-                        jnp.asarray(z_p),
-                        jnp.asarray(cmask),
-                        level,
-                    )
-                )[: e - s]
-            return out
-
-        def low_res_scores(c):
-            """Leaf veto scores on the low-resolution grid."""
-            poses = self._candidate_poses(c, angles_kept, initial_pose)
-            out = np.empty(len(poses), np.float32)
-            prob = self._low_grid.probability()
-            lorigin = np.asarray(self._low_grid.origin)
-            lres = self._low_grid.resolution
-            lp = np.asarray(prob)
-            d, h, w = lp.shape
-            for i, pose in enumerate(poses):
-                world = (
-                    rigid3.quat_rotate(
-                        rigid3.quat(pose)[None, :],
-                        low_resolution_point_cloud[:, :3].astype(np.float64),
-                    )
-                    + pose[:3]
-                )
-                ci = np.floor((world - lorigin) / lres + 0.5).astype(int)
-                inb = (
-                    (ci[:, 0] >= 0) & (ci[:, 0] < w)
-                    & (ci[:, 1] >= 0) & (ci[:, 1] < h)
-                    & (ci[:, 2] >= 0) & (ci[:, 2] < d)
-                )
-                vals = np.where(
-                    inb,
-                    lp[
-                        np.clip(ci[:, 2], 0, d - 1),
-                        np.clip(ci[:, 1], 0, h - 1),
-                        np.clip(ci[:, 0], 0, w - 1),
-                    ],
-                    pv.MIN_PROBABILITY,
-                )
-                out[i] = vals.mean()
-            return out
-
-        best_score = float(min_score)
-        best = None
-
-        for depth in range(self._depth - 1, -1, -1):
-            if len(cand["a"]) == 0:
-                break
-            scores = score_at(depth, cand)
-            if depth == 0:
-                order = np.argsort(-scores)
-                for i in order[:_LEAF_PROBE]:
-                    if scores[i] <= best_score and best is not None:
-                        break
-                    sub = {k: v[i : i + 1] for k, v in cand.items()}
-                    low = low_res_scores(sub)[0]
-                    if (
-                        scores[i] > best_score
-                        and low >= opts.min_low_resolution_score
-                    ):
-                        best_score = float(scores[i])
-                        best = (
-                            best_score,
-                            float(low),
-                            int(cand["a"][i]),
-                            int(cand["x"][i]),
-                            int(cand["y"][i]),
-                            int(cand["z"][i]),
-                        )
-                        break
-                break
-
-            probe = np.argsort(-scores)[:_LEAF_PROBE]
-            probe_sub = {k: v[probe] for k, v in cand.items()}
-            leaf_scores = score_at(0, probe_sub)
-            lows = low_res_scores(probe_sub)
-            ok = (leaf_scores > best_score) & (lows >= opts.min_low_resolution_score)
-            if ok.any():
-                j = int(np.argmax(np.where(ok, leaf_scores, -np.inf)))
-                best_score = float(leaf_scores[j])
-                best = (
-                    best_score,
-                    float(lows[j]),
-                    int(probe_sub["a"][j]),
-                    int(probe_sub["x"][j]),
-                    int(probe_sub["y"][j]),
-                    int(probe_sub["z"][j]),
-                )
-
-            keep = scores > best_score
-            cand = {k: v[keep] for k, v in cand.items()}
-            scores = scores[keep]
-            if len(cand["a"]) > _MAX_CANDIDATES:
-                order = np.argsort(-scores)[:_MAX_CANDIDATES]
-                cand = {k: v[order] for k, v in cand.items()}
-
-            half = 1 << (depth - 1)
-            reps = len(cand["a"])
-            child = {
-                "a": np.repeat(cand["a"], 8),
-                "x": np.repeat(cand["x"], 8) + np.tile([0, half] * 4, reps),
-                "y": np.repeat(cand["y"], 8)
-                + np.tile([0, 0, half, half, 0, 0, half, half], reps),
-                "z": np.repeat(cand["z"], 8)
-                + np.tile([0] * 4 + [half] * 4, reps),
-            }
-            inb = (
-                (child["x"] <= nl_xy)
-                & (child["y"] <= nl_xy)
-                & (child["z"] <= nl_z)
-            )
-            cand = {k: v[inb] for k, v in child.items()}
-
-        if best is None:
+    def decode(self, packed: np.ndarray, ctx) -> Optional[MatchResult3D]:
+        angles_kept, rot_scores_kept, initial_pose = ctx
+        ba = int(packed[2])
+        if ba < 0:
             return None
-        score, low, ba, bx, by, bz = best
+        score, low = float(packed[0]), float(packed[1])
+        bx, by, bz = int(packed[3]), int(packed[4]), int(packed[5])
         pose = self._candidate_poses(
             {"a": np.array([ba]), "x": np.array([bx]), "y": np.array([by]), "z": np.array([bz])},
             angles_kept,

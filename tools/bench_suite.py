@@ -91,8 +91,18 @@ def main() -> None:
         ),
     )
     import cartographer_tpu.transform.rigid2 as rigid2
+    from cartographer_tpu.common.config import AdaptiveVoxelFilterOptions
+    from cartographer_tpu.sensor.data import PointCloud
+    from cartographer_tpu.sensor.voxel_filter import adaptive_voxel_filter
 
-    cloud = measurements[-1].ranges.points[:, :2]
+    # The constraint builder matches the node's loop-closure-filtered cloud
+    # (trajectory_builder_2d.lua loop_closure_adaptive_voxel_filter).
+    cloud = adaptive_voxel_filter(
+        PointCloud(measurements[-1].ranges.points),
+        AdaptiveVoxelFilterOptions(
+            max_length=0.9, min_num_points=100, max_range=50.0
+        ),
+    ).points[:, :2]
     center = np.asarray(grid.origin) + 0.5 * 0.05 * 512
     initial = rigid2.make(center, 0.1)
     matcher.match(initial, cloud, min_score=0.3)  # warm up / compile
@@ -108,6 +118,61 @@ def main() -> None:
             "unit": "matches/s",
             "note": "BnB depth 7, 7 m / 30 deg window per match "
             "(constraint-builder hot path)",
+        }
+    )
+
+    # -- 2b. batched constraint searches (two round trips per batch) ----------
+    from cartographer_tpu.common.config import ConstraintBuilderOptions
+    from cartographer_tpu.mapping.constraint_builder_2d import ConstraintBuilder2D
+    from cartographer_tpu.mapping.id import NodeId, SubmapId
+    from cartographer_tpu.mapping.trajectory_node import TrajectoryNodeData
+
+    cb_opts = ConstraintBuilderOptions()
+    cb_opts.sampling_ratio = 1.0
+    cb_opts.max_constraint_distance = 1e6
+    cb_opts.min_score = 0.3
+    cb_opts.fast_correlative_scan_matcher = FastCorrelativeScanMatcherOptions2D(
+        branch_and_bound_depth=7,
+        linear_search_window=7.0,
+        angular_search_window=np.radians(30.0),
+    )
+    cb = ConstraintBuilder2D(cb_opts)
+    sid = SubmapId(0, 0)
+    cb.set_submap_local_pose(sid, np.zeros(3))
+    cloud3 = np.concatenate([cloud, np.zeros((len(cloud), 1))], axis=1).astype(
+        np.float32
+    )
+    batch = 16
+    from cartographer_tpu.transform import rigid3 as r3
+
+    def enqueue():
+        for k in range(batch):
+            cb.maybe_add_constraint(
+                sid,
+                grid,
+                NodeId(0, k),
+                TrajectoryNodeData(
+                    time=0.0,
+                    gravity_alignment=np.array([1.0, 0, 0, 0]),
+                    filtered_gravity_aligned_point_cloud=cloud3,
+                    local_pose=r3.identity(),
+                ),
+                rigid2.make(center, 0.1),
+            )
+
+    enqueue()
+    cb.run_pending()  # warm up / compile
+    enqueue()
+    t0 = time.perf_counter()
+    found = cb.run_pending()
+    dt = time.perf_counter() - t0
+    emit(
+        {
+            "metric": "loop_closure_batched_matches_per_sec_per_chip",
+            "value": round(batch / dt, 2),
+            "unit": "matches/s",
+            "note": f"batch of {batch} BnB searches + GN refinements, "
+            f"{len(found)} constraints found, two host round trips total",
         }
     )
 
