@@ -60,10 +60,10 @@ def _round_up_multiple(n: int, multiple: int = 256) -> int:
 
 
 def supports(options: TrajectoryBuilder2DOptions) -> bool:
-    """Whether this frontend covers the given configuration."""
+    """Whether this frontend covers the given configuration (with or
+    without IMU; constant-velocity extrapolation, no odometry)."""
     return (
-        not options.use_imu_data
-        and options.num_accumulated_range_data == 1
+        options.num_accumulated_range_data == 1
         and not options.use_online_correlative_scan_matching
         and options.submaps.grid_options_2d.grid_type == "PROBABILITY_GRID"
         and not options.pose_extrapolator.use_imu_based
@@ -80,9 +80,9 @@ class ChunkedLocalTrajectoryBuilder2D:
         chunk_size: int = 64,
     ):
         assert supports(options), (
-            "ChunkedLocalTrajectoryBuilder2D supports the no-IMU/no-odometry "
-            "probability-grid configuration; use LocalTrajectoryBuilder2D "
-            "otherwise."
+            "ChunkedLocalTrajectoryBuilder2D supports probability-grid "
+            "configurations with the constant-velocity extrapolator; use "
+            "LocalTrajectoryBuilder2D otherwise."
         )
         self._options = options
         self._range_data_collator = RangeDataCollator(expected_range_sensor_ids)
@@ -119,10 +119,15 @@ class ChunkedLocalTrajectoryBuilder2D:
             mf_max_angle=options.motion_filter.max_angle_radians,
             pose_queue_duration=options.pose_extrapolator.constant_velocity.pose_queue_duration,
             num_steps=num_steps,
+            use_imu=options.use_imu_data,
+            imu_gravity_time_constant=(
+                options.pose_extrapolator.constant_velocity.imu_gravity_time_constant
+            ),
         )
         self._state: Optional[frontend_2d.FrontendState2D] = None
         self._epoch: Optional[Time] = None
         self._buffer: List[dict] = []  # scans awaiting dispatch
+        self._imu_buffer: List = []  # IMU samples awaiting assignment
         self._pending: List[dict] = []  # dispatched chunks awaiting collection
         self._max_in_flight = 3
         self._submaps: List[Submap2D] = []
@@ -133,9 +138,34 @@ class ChunkedLocalTrajectoryBuilder2D:
     # -- sensor feeds ---------------------------------------------------------
 
     def add_imu_data(self, imu_data) -> None:
-        raise NotImplementedError(
-            "chunked device frontend runs without IMU (use_imu_data=False)"
-        )
+        if not self._options.use_imu_data:
+            raise RuntimeError("IMU data provided but use_imu_data=False")
+        if self._state is None:
+            # PoseExtrapolator::InitializeWithImu: seed the tracker from the
+            # first sample and add the initial pose at its time — computed
+            # with the host ImuTracker, then mirrored into device state.
+            from cartographer_tpu.mapping.imu_tracker import ImuTracker
+
+            tracker = ImuTracker(
+                self._cfg.imu_gravity_time_constant, imu_data.time
+            )
+            tracker.add_imu_linear_acceleration_observation(
+                imu_data.linear_acceleration
+            )
+            tracker.add_imu_angular_velocity_observation(
+                imu_data.angular_velocity
+            )
+            tracker.advance(imu_data.time)
+            self._state = frontend_2d.init_state(
+                self._cfg.grid_size,
+                0.0,
+                initial_q=tracker.orientation(),
+                tracker_grav=tracker._gravity_vector,
+                tracker_omega=tracker._imu_angular_velocity,
+                tracker_last_acc_t=0.0,
+            )
+            self._epoch = imu_data.time
+        self._imu_buffer.append(imu_data)
 
     def add_odometry_data(self, odometry_data) -> None:
         raise NotImplementedError(
@@ -152,9 +182,17 @@ class ChunkedLocalTrajectoryBuilder2D:
             return []
         time = synchronized.time
         if self._state is None:
+            if self._options.use_imu_data:
+                # Until the first IMU message arrives we cannot compute the
+                # rangefinder orientation (local_trajectory_builder_2d.cc).
+                return []
             # create_without_imu: identity pose at the first scan's time.
             self._state = frontend_2d.init_state(self._cfg.grid_size, 0.0)
             self._epoch = time
+        # IMU samples strictly before this scan belong to its window.
+        scan_imu = []
+        while self._imu_buffer and self._imu_buffer[0].time < time:
+            scan_imu.append(self._imu_buffer.pop(0))
         origins = synchronized.origins[synchronized.origin_index]  # (N, 3)
         # Single-origin scans only (one rangefinder, or collated to one).
         origin = origins[0] if origins.ndim == 2 else origins
@@ -164,6 +202,7 @@ class ChunkedLocalTrajectoryBuilder2D:
                 "points": np.asarray(synchronized.points, np.float32),
                 "times": np.asarray(synchronized.times, np.float64),
                 "origin": np.asarray(origin, np.float32).reshape(3),
+                "imu": scan_imu,
             }
         )
         if len(self._buffer) >= self._chunk:
@@ -195,8 +234,12 @@ class ChunkedLocalTrajectoryBuilder2D:
         epoch_shift = np.float32(new_epoch - self._epoch)
         self._epoch = new_epoch
 
+        m = 16
+        while m < max((len(s["imu"]) for s in scans), default=1):
+            m *= 2
         scan_input = np.zeros((c, n, 5), np.float32)
         scan_meta = np.zeros((c, 4), np.float32)
+        imu_input = np.zeros((c, m, 8), np.float32)
         last_t = 0.0
         has_misses = False
         for i, s in enumerate(scans):
@@ -208,6 +251,11 @@ class ChunkedLocalTrajectoryBuilder2D:
             scan_input[i, :k, 4] = 1.0
             scan_meta[i, 0] = s["time"] - new_epoch
             scan_meta[i, 1:4] = s["origin"]
+            for j, d in enumerate(s["imu"]):
+                imu_input[i, j, 0] = d.time - new_epoch
+                imu_input[i, j, 1:4] = d.linear_acceleration
+                imu_input[i, j, 4:7] = d.angular_velocity
+                imu_input[i, j, 7] = 1.0
             last_t = scan_meta[i, 0]
             if not has_misses:
                 # Ranges are invariant under the rigid per-point unwarp, so
@@ -224,9 +272,11 @@ class ChunkedLocalTrajectoryBuilder2D:
             scan_input[i, :, 3] = last_t
             scan_meta[i, 0] = last_t
 
-        cfg = dataclasses.replace(self._cfg, has_misses=has_misses)
+        cfg = dataclasses.replace(
+            self._cfg, has_misses=has_misses, max_imu_per_scan=m
+        )
         state, fin, out_points, out_scalars = frontend_2d.run_chunk(
-            cfg, self._state, epoch_shift, scan_input, scan_meta
+            cfg, self._state, epoch_shift, scan_input, scan_meta, imu_input
         )
         self._state = state
         # Start the host copies now; they overlap the next chunk's compute.
@@ -261,11 +311,17 @@ class ChunkedLocalTrajectoryBuilder2D:
             if sc[i, S["matched"]] < 0.5:
                 continue
             pose2d = sc[i, S["pose_x"]: S["pose_yaw"] + 1].astype(np.float64)
-            g_yaw = float(sc[i, S["g_yaw"]])
-            yaw_tot = pose2d[2] + g_yaw
+            g_quat = sc[i, S["g_qw"]: S["g_qz"] + 1].astype(np.float64)
             pose_estimate = rigid3.make(
                 np.array([pose2d[0], pose2d[1], 0.0]),
-                rigid3.quat_from_angle_axis(np.array([0.0, 0.0, yaw_tot])),
+                rigid3.quat_normalize(
+                    rigid3.quat_multiply(
+                        rigid3.quat_from_angle_axis(
+                            np.array([0.0, 0.0, pose2d[2]])
+                        ),
+                        g_quat,
+                    )
+                ),
             )
             # range_data_in_local = gravity-aligned data ∘ embed_3d(pose2d).
             cy, sy = math.cos(pose2d[2]), math.sin(pose2d[2])
@@ -300,7 +356,7 @@ class ChunkedLocalTrajectoryBuilder2D:
                 adaptive = np.abs(code - 2.0) < 0.25
                 filtered = out_points[i, adaptive, 0:3].astype(np.float32)
                 insertion_result = self._replay_insert(
-                    sc[i], filtered, s, pose2d, g_yaw
+                    sc[i], filtered, s, pose2d, g_quat, pose_estimate
                 )
             results.append(
                 MatchingResult(
@@ -335,7 +391,7 @@ class ChunkedLocalTrajectoryBuilder2D:
         return results
 
     def _replay_insert(
-        self, sc_row, filtered, s: dict, pose2d, g_yaw: float
+        self, sc_row, filtered, s: dict, pose2d, g_quat, pose_estimate
     ) -> InsertionResult:
         """Mirror ActiveSubmaps2D::InsertRangeData bookkeeping from the
         device-decided event flags."""
@@ -354,18 +410,12 @@ class ChunkedLocalTrajectoryBuilder2D:
             submap.num_range_data += 1
         if sc_row[S["finished"]] > 0.5:
             self._submaps[0].finish()
-        yaw_tot = pose2d[2] + g_yaw
         return InsertionResult(
             constant_data=TrajectoryNodeData(
                 time=s["time"],
-                gravity_alignment=rigid3.quat_from_angle_axis(
-                    np.array([0.0, 0.0, g_yaw])
-                ),
+                gravity_alignment=rigid3.quat_normalize(np.asarray(g_quat)),
                 filtered_gravity_aligned_point_cloud=filtered,
-                local_pose=rigid3.make(
-                    np.array([pose2d[0], pose2d[1], 0.0]),
-                    rigid3.quat_from_angle_axis(np.array([0.0, 0.0, yaw_tot])),
-                ),
+                local_pose=pose_estimate,
             ),
             insertion_submaps=list(self._submaps),
         )

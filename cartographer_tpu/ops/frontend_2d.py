@@ -6,8 +6,8 @@ blocking host<->device round trips per scan — the dominant cost on a
 remote-attached TPU. This module runs the ENTIRE per-scan pipeline on
 device inside one `lax.scan` over a chunk of scans:
 
-    constant-velocity pose extrapolation (pose_extrapolator.cc:35-262,
-    planar no-IMU specialization) -> per-point motion unwarp -> min/max
+    pose extrapolation with IMU fusion (pose_extrapolator.cc:35-262,
+    imu_tracker.cc:30-74) -> per-point motion unwarp -> min/max
     range split (local_trajectory_builder_2d.cc:139-170) -> gravity
     alignment + z-crop + voxel filter (:51-63) -> adaptive voxel filter
     (sensor/internal/voxel_filter.cc:38-75) -> Gauss-Newton scan match
@@ -19,15 +19,13 @@ device inside one `lax.scan` over a chunk of scans:
 One dispatch + one device_get per chunk; grids never leave the device.
 
 Scope (asserted by the host wrapper in mapping/chunked_frontend_2d.py):
-no IMU, no odometry (constant-velocity planar extrapolation),
+constant-velocity extrapolation with or without IMU (full quaternion
+ImuTracker on device; per-scan IMU sample batches), no odometry,
 num_accumulated_range_data == 1, probability grids, no online
 correlative matching. The general path remains
-mapping/local_trajectory_builder_2d.py.
-
-Planar specialization: without IMU the reference's ImuTracker sees only
-fake gravity [0,0,1] and pose-derived angular velocity (0,0,wz)
-(pose_extrapolator.cc:201-210), so every orientation in the chain is a
-pure yaw rotation; quaternions reduce to yaw scalars exactly.
+mapping/local_trajectory_builder_2d.py. Known deviation: IMU samples in
+the window of a scan that produces no match (empty cloud / extrapolator
+still initializing) are dropped rather than retained for the next scan.
 """
 
 from __future__ import annotations
@@ -41,6 +39,7 @@ from flax import struct
 
 from cartographer_tpu.ops import raycast_2d
 from cartographer_tpu.ops.scan_matching import gauss_newton_2d
+from cartographer_tpu.transform import rigid3 as rigid3_quat
 
 MIN_PROBABILITY = 0.1
 
@@ -144,29 +143,37 @@ def adaptive_voxel_mask(points, valid, max_length, min_num_points):
 class FrontendState2D:
     """Device state carried across scans/chunks. All times are float32
     offsets from a host-managed epoch (rebased every chunk for precision).
+
+    Full SE(3)/quaternion extrapolator state (PoseExtrapolator + ImuTracker,
+    pose_extrapolator.cc:35-262 / imu_tracker.cc:30-74): with IMU the
+    tracker integrates gyro + corrects toward the accelerometer gravity
+    EMA; without IMU it sees fake gravity and pose-derived angular velocity
+    (the planar case, pose_extrapolator.cc:201-210).
     """
 
-    # Pose queue (PoseExtrapolator timed_pose_queue, planar, length 2).
+    # Pose queue (timed_pose_queue, length 2).
     older_t: jax.Array
-    older_xy: jax.Array  # [2]
-    older_yaw: jax.Array
+    older_xyz: jax.Array  # [3]
+    older_q: jax.Array  # [4] wxyz
     newest_t: jax.Array
-    newest_xy: jax.Array  # [2]
-    newest_yaw: jax.Array
+    newest_xyz: jax.Array  # [3]
+    newest_q: jax.Array  # [4]
     queue_len: jax.Array  # i32 (1 or 2)
     # Velocities from poses (pose_extrapolator.cc:261-280).
-    vel: jax.Array  # [2] linear (planar)
-    omega: jax.Array  # yaw rate
-    # ImuTracker yaw (fake-gravity planar integration); advanced to
-    # newest_t at every add_pose, so tracker_time == newest_t.
-    tracker_yaw: jax.Array
+    vel: jax.Array  # [3] linear
+    ang_vel: jax.Array  # [3] angular (from poses)
+    # ImuTracker (advanced to newest_t at every add_pose).
+    tracker_ori: jax.Array  # [4]
+    tracker_grav: jax.Array  # [3]
+    tracker_omega: jax.Array  # [3]
+    tracker_last_acc_t: jax.Array  # f32; -1e30 = never observed
     # Extrapolation frontier (get_last_extrapolated_time()).
     last_extrap_t: jax.Array
     # Motion filter memory.
     mf_valid: jax.Array  # bool
     mf_t: jax.Array
-    mf_xy: jax.Array  # [2]
-    mf_yaw: jax.Array
+    mf_xyz: jax.Array  # [3]
+    mf_q: jax.Array  # [4]
     # Active submaps: slot 0 = older, slot 1 = newer.
     grids_lo: jax.Array  # f32 [2, H, W]
     grids_known: jax.Array  # bool [2, H, W]
@@ -176,26 +183,53 @@ class FrontendState2D:
     slot_valid: jax.Array  # bool [2]
 
 
-def init_state(grid_size: int, t0: float = 0.0) -> FrontendState2D:
-    """State after PoseExtrapolator init with identity pose at t0
-    (pose_extrapolator_interface.create_without_imu)."""
+def init_state(
+    grid_size: int,
+    t0: float = 0.0,
+    initial_q=None,
+    tracker_grav=None,
+    tracker_omega=None,
+    tracker_last_acc_t: float = -1e30,
+) -> FrontendState2D:
+    """State after PoseExtrapolator initialization with a pose at t0:
+    identity (create_without_imu) or the IMU-seeded orientation
+    (PoseExtrapolator::InitializeWithImu — the host wrapper computes the
+    initial ImuTracker state from the first IMU sample and seeds it here)."""
     f = jnp.float32
+    q0 = (
+        jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)
+        if initial_q is None
+        else jnp.asarray(initial_q, jnp.float32)
+    )
+    grav0 = (
+        jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+        if tracker_grav is None
+        else jnp.asarray(tracker_grav, jnp.float32)
+    )
+    omega0 = (
+        jnp.zeros(3, jnp.float32)
+        if tracker_omega is None
+        else jnp.asarray(tracker_omega, jnp.float32)
+    )
     return FrontendState2D(
         older_t=f(t0),
-        older_xy=jnp.zeros(2, jnp.float32),
-        older_yaw=f(0.0),
+        older_xyz=jnp.zeros(3, jnp.float32),
+        older_q=q0,
         newest_t=f(t0),
-        newest_xy=jnp.zeros(2, jnp.float32),
-        newest_yaw=f(0.0),
+        newest_xyz=jnp.zeros(3, jnp.float32),
+        newest_q=q0,
         queue_len=jnp.int32(1),
-        vel=jnp.zeros(2, jnp.float32),
-        omega=f(0.0),
-        tracker_yaw=f(0.0),
+        vel=jnp.zeros(3, jnp.float32),
+        ang_vel=jnp.zeros(3, jnp.float32),
+        tracker_ori=q0,
+        tracker_grav=grav0,
+        tracker_omega=omega0,
+        tracker_last_acc_t=f(tracker_last_acc_t),
         last_extrap_t=f(t0),
         mf_valid=jnp.asarray(False),
         mf_t=f(0.0),
-        mf_xy=jnp.zeros(2, jnp.float32),
-        mf_yaw=f(0.0),
+        mf_xyz=jnp.zeros(3, jnp.float32),
+        mf_q=jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
         grids_lo=jnp.zeros((2, grid_size, grid_size), jnp.float32),
         grids_known=jnp.zeros((2, grid_size, grid_size), bool),
         grid_origin=jnp.zeros((2, 2), jnp.float32),
@@ -233,6 +267,12 @@ class FrontendConfig2D:
     mf_max_angle: float
     pose_queue_duration: float
     num_steps: int  # supercover crossings bound (ceil(max ray / res) + 2)
+    # IMU fusion: when True the device ImuTracker consumes per-scan IMU
+    # sample batches (max_imu_per_scan slots); when False it runs the fake
+    # gravity + pose-derived angular velocity path.
+    use_imu: bool = False
+    imu_gravity_time_constant: float = 10.0
+    max_imu_per_scan: int = 16
     # Whether any scan in the chunk has points beyond max_range (the host
     # knows exactly: ranges are invariant under the rigid unwarp). When
     # False, all missing-echo processing and outputs are compiled out.
@@ -254,28 +294,152 @@ def _rot2(yaw, xy):
     )
 
 
+# Quaternion helpers on device (transform/rigid3.py with xp=jnp).
+def _qmul(a, b):
+    return rigid3_quat.quat_multiply(a, b, xp=jnp)
+
+
+def _qconj(q):
+    return rigid3_quat.quat_conjugate(q, xp=jnp)
+
+
+def _qnorm(q):
+    return rigid3_quat.quat_normalize(q, xp=jnp)
+
+
+def _qrot(q, v):
+    return rigid3_quat.quat_rotate(q, v, xp=jnp)
+
+
+def _qexp(aa):
+    return rigid3_quat.quat_from_angle_axis(aa, xp=jnp)
+
+
+def _qlog(q):
+    return rigid3_quat.quat_to_angle_axis(q, xp=jnp)
+
+
+def _yaw_of(q):
+    return jnp.arctan2(
+        2.0 * (q[..., 0] * q[..., 3] + q[..., 1] * q[..., 2]),
+        1.0 - 2.0 * (q[..., 2] ** 2 + q[..., 3] ** 2),
+    )
+
+
+def _yaw_quat(yaw):
+    half = 0.5 * yaw
+    z = jnp.zeros_like(half)
+    return jnp.stack([jnp.cos(half), z, z, jnp.sin(half)], axis=-1)
+
+
+def _tracker_advance(time, ori, grav, omega, to_t):
+    """ImuTracker::Advance (imu_tracker.cc:44-54)."""
+    dt = to_t - time
+    dq = _qexp(omega * dt)
+    ori2 = _qnorm(_qmul(ori, dq))
+    grav2 = _qrot(_qconj(dq), grav)
+    return to_t, ori2, grav2
+
+
+def _tracker_acc_obs(cfg, time, ori, grav, last_acc_t, acc):
+    """AddImuLinearAccelerationObservation (imu_tracker.cc:56-77)."""
+    dt = jnp.where(last_acc_t > -1e29, time - last_acc_t, jnp.float32(1e30))
+    alpha = 1.0 - jnp.exp(-dt / cfg.imu_gravity_time_constant)
+    grav2 = (1.0 - alpha) * grav + alpha * acc
+    ez = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    rot = rigid3_quat.quat_from_two_vectors(grav2, _qrot(_qconj(ori), ez), xp=jnp)
+    ori2 = _qnorm(_qmul(ori, rot))
+    return ori2, grav2, time
+
+
+def _tracker_fold(cfg, state: "FrontendState2D", t_target, imu):
+    """Advance the ImuTracker from its add_pose state (time == newest_t) to
+    t_target, consuming the scan's IMU samples in order (the host's
+    _advance_imu_tracker / extrapolate_poses_batch breakpoint walk).
+
+    Returns (final tracker tuple, breakpoint arrays (times [M+1],
+    orientations [M+1, 4], angular velocities [M+1, 3])) — every query in
+    (bp_t[i], bp_t[i+1]] extrapolates from breakpoint i."""
+    t0 = state.newest_t
+    ori0, grav0 = state.tracker_ori, state.tracker_grav
+    om0, la0 = state.tracker_omega, state.tracker_last_acc_t
+
+    if not cfg.use_imu:
+        # Fake gravity + pose-derived angular velocity: one advance + one
+        # observation pair at t_target (pose_extrapolator.cc:201-210).
+        m = cfg.max_imu_per_scan
+        bp_t = jnp.full((m + 1,), t0, jnp.float32)
+        bp_ori = jnp.broadcast_to(ori0, (m + 1, 4))
+        bp_om = jnp.broadcast_to(state.ang_vel, (m + 1, 3))
+        t1, ori1, grav1 = _tracker_advance(t0, ori0, grav0, om0, t_target)
+        ez = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+        ori2, grav2, la1 = _tracker_acc_obs(cfg, t1, ori1, grav1, la0, ez)
+        return (t1, ori2, grav2, state.ang_vel, la1), (bp_t, bp_ori, bp_om)
+        # NOTE: the caller overwrites the stored omega with the updated
+        # pose-derived angular velocity after the velocity update.
+
+    imu_t, imu_acc, imu_gyro, imu_valid = imu
+
+    def step(c, x):
+        time, ori, grav, om, la = c
+        it, acc, gyro, valid = x
+        use = valid & (it >= time) & (it < t_target)
+        t_adv = jnp.maximum(it, time)
+        t1, ori1, grav1 = _tracker_advance(time, ori, grav, om, t_adv)
+        ori2, grav2, la1 = _tracker_acc_obs(cfg, t1, ori1, grav1, la, acc)
+        nxt = (
+            jnp.where(use, t1, time),
+            jnp.where(use, ori2, ori),
+            jnp.where(use, grav2, grav),
+            jnp.where(use, gyro, om),
+            jnp.where(use, la1, la),
+        )
+        return nxt, (nxt[0], nxt[1], nxt[3])
+
+    (tf, orif, gravf, omf, laf), (bt, bo, bw) = jax.lax.scan(
+        step, (t0, ori0, grav0, om0, la0), (imu_t, imu_acc, imu_gyro, imu_valid)
+    )
+    bp_t = jnp.concatenate([t0[None], bt])
+    bp_ori = jnp.concatenate([ori0[None], bo])
+    bp_om = jnp.concatenate([om0[None], bw])
+    t1, ori1, grav1 = _tracker_advance(tf, orif, gravf, omf, t_target)
+    return (t1, ori1, grav1, omf, laf), (bp_t, bp_ori, bp_om)
+
+
 def _scan_body(cfg: FrontendConfig2D, carry, x):
     state, fin = carry
-    points, pmask, ptimes, t_scan, sensor_origin = x
-    f32 = jnp.float32
+    points, pmask, ptimes, t_scan, sensor_origin, imu = x
     half = 0.5 * cfg.grid_size * cfg.resolution
 
     # -- skip gate: extrapolator still initializing
     # (local_trajectory_builder_2d.cc:131-137).
     active = ptimes[0] >= state.newest_t
 
-    # -- per-point unwarp (ExtrapolatePose vectorized) -----------------------
+    # -- ImuTracker to t_scan (breakpoints for the per-point unwarp, the
+    # gravity estimate, and the add_pose tracker advance in one fold).
+    (trk_t, trk_ori, trk_grav, trk_om, trk_la), (bp_t, bp_ori, bp_om) = (
+        _tracker_fold(cfg, state, t_scan, imu)
+    )
+    g_quat = trk_ori  # estimate_gravity_orientation(t_scan)
+
+    # -- per-point unwarp (ExtrapolatePosesBatch) -----------------------------
     pt = jnp.maximum(ptimes, state.last_extrap_t)
     pt = jax.lax.associative_scan(jnp.maximum, pt)
-    dtp = pt - state.newest_t
-    yaw_i = state.newest_yaw + state.omega * dtp  # [N]
-    tr_i = state.newest_xy[None, :] + state.vel[None, :] * dtp[:, None]
-    origins_w_xy = _rot2(yaw_i, sensor_origin[None, :2]) + tr_i
-    origins_w = jnp.concatenate(
-        [origins_w_xy, jnp.full((pt.shape[0], 1), sensor_origin[2], f32)], axis=1
+    idx = jnp.clip(
+        jnp.sum(bp_t[None, :] <= pt[:, None], axis=1) - 1, 0, bp_t.shape[0] - 1
     )
-    hits_w_xy = _rot2(yaw_i, points[:, :2]) + tr_i
-    hits_w = jnp.concatenate([hits_w_xy, points[:, 2:3]], axis=1)
+    q_bp = bp_ori[idx]  # [N, 4]
+    w_bp = bp_om[idx]  # [N, 3]
+    dt_bp = (pt - bp_t[idx])[:, None]
+    q_t = _qnorm(_qmul(q_bp, _qexp(w_bp * dt_bp)))
+    # rotation_i = newest.q * (conj(main_tracker.ori) * tracker(t_i).ori)
+    q_rel = _qmul(_qconj(state.tracker_ori)[None, :], q_t)
+    rot_i = _qnorm(_qmul(state.newest_q[None, :], q_rel))  # [N, 4]
+    dtp = pt - state.newest_t
+    tr_i = state.newest_xyz[None, :] + state.vel[None, :] * dtp[:, None]
+
+    origins_w = _qrot(rot_i, sensor_origin[None, :]) + tr_i  # [N, 3]
+    hits_w = _qrot(rot_i, points[:, :3]) + tr_i
     delta = hits_w - origins_w
     ranges = jnp.linalg.norm(delta, axis=1)
     keep = pmask & (ranges >= cfg.min_range)
@@ -287,22 +451,17 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
         )[:, None] * delta
 
     # -- gravity alignment at the last point's pose ---------------------------
-    t_last = pt[-1]
-    dt_last = t_last - state.newest_t
-    last_yaw = state.newest_yaw + state.omega * dt_last
-    last_xy = state.newest_xy + state.vel * dt_last
+    last_q = rot_i[-1]
+    last_xyz = tr_i[-1]
     last_origin_w = origins_w[-1]
-    # estimate_gravity_orientation(t_scan): main tracker yaw advanced by the
-    # current pose-derived angular velocity.
-    g_yaw = state.tracker_yaw + state.omega * (t_scan - state.newest_t)
-    a = g_yaw - last_yaw  # to_gravity = rot(g_yaw) * inverse(last_pose)
+    # to_gravity = rot(g_quat) * inverse(last_pose)
+    a_quat = _qnorm(_qmul(g_quat, _qconj(last_q)))
 
     def to_ga(p):
-        xy = _rot2(a, p[:, :2] - last_xy[None, :])
-        return jnp.concatenate([xy, p[:, 2:3]], axis=1)
+        return _qrot(a_quat[None, :], p - last_xyz[None, :])
 
     ga_hits = to_ga(hits_w)
-    ga_origin_xy = _rot2(a, last_origin_w[None, :2] - last_xy[None, :])[0]
+    ga_origin_xy = to_ga(last_origin_w[None, :])[0, :2]
 
     # -- z-crop + voxel filter (range_data.crop + voxel_filter) ---------------
     crop_h = (ga_hits[:, 2] >= cfg.min_z) & (ga_hits[:, 2] <= cfg.max_z)
@@ -324,11 +483,14 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
 
     # -- pose prediction (project2d(extrapolate ∘ rot(gravity)^-1)) -----------
     dt_s = t_scan - state.newest_t
+    pred_rot = _qnorm(
+        _qmul(state.newest_q, _qmul(_qconj(state.tracker_ori), trk_ori))
+    )
     pred = jnp.stack(
         [
-            state.newest_xy[0] + state.vel[0] * dt_s,
-            state.newest_xy[1] + state.vel[1] * dt_s,
-            _wrap_angle(state.newest_yaw + state.omega * dt_s - g_yaw),
+            state.newest_xyz[0] + state.vel[0] * dt_s,
+            state.newest_xyz[1] + state.vel[1] * dt_s,
+            _wrap_angle(_yaw_of(_qmul(pred_rot, _qconj(g_quat)))),
         ]
     )
 
@@ -367,52 +529,64 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
         )
     pose2d = jnp.where(state.slot_valid[0] & matched, gn_pose, pred)
     pose2d = pose2d.at[2].set(_wrap_angle(pose2d[2]))
-    yaw_tot = _wrap_angle(pose2d[2] + g_yaw)  # pose_estimate yaw (SE(3))
+    # pose_estimate = embed_3d(pose2d) * rotation(gravity_alignment).
+    est_q = _qnorm(_qmul(_yaw_quat(pose2d[2]), g_quat))
+    est_xyz = jnp.concatenate([pose2d[:2], jnp.zeros(1, jnp.float32)])
 
     # -- extrapolator add_pose -------------------------------------------------
-    tracker_yaw_new = g_yaw  # advance main tracker to t_scan (same formula)
     queue_delta = t_scan - state.newest_t
     do_update = (state.queue_len >= 1) & (queue_delta >= cfg.pose_queue_duration)
     vel_new = jnp.where(
-        do_update, (pose2d[:2] - state.newest_xy) / jnp.maximum(queue_delta, 1e-12),
+        do_update, (est_xyz - state.newest_xyz) / jnp.maximum(queue_delta, 1e-12),
         state.vel,
     )
-    omega_new = jnp.where(
+    ang_new = jnp.where(
         do_update,
-        _wrap_angle(yaw_tot - state.newest_yaw) / jnp.maximum(queue_delta, 1e-12),
-        state.omega,
+        _qlog(_qmul(_qconj(state.newest_q), est_q))
+        / jnp.maximum(queue_delta, 1e-12),
+        state.ang_vel,
     )
 
     def upd(old, new):
         return jnp.where(matched, new, old)
 
+    # Without IMU, the tracker's next integration uses the UPDATED
+    # pose-derived angular velocity (pose_extrapolator.cc AddPose advances
+    # after UpdateVelocitiesFromPoses).
+    trk_om_stored = trk_om if cfg.use_imu else ang_new
     state = state.replace(
         older_t=upd(state.older_t, state.newest_t),
-        older_xy=upd(state.older_xy, state.newest_xy),
-        older_yaw=upd(state.older_yaw, state.newest_yaw),
+        older_xyz=upd(state.older_xyz, state.newest_xyz),
+        older_q=upd(state.older_q, state.newest_q),
         newest_t=upd(state.newest_t, t_scan),
-        newest_xy=upd(state.newest_xy, pose2d[:2]),
-        newest_yaw=upd(state.newest_yaw, yaw_tot),
+        newest_xyz=upd(state.newest_xyz, est_xyz),
+        newest_q=upd(state.newest_q, est_q),
         queue_len=upd(state.queue_len, jnp.minimum(state.queue_len + 1, 2)),
         vel=upd(state.vel, vel_new),
-        omega=upd(state.omega, omega_new),
-        tracker_yaw=upd(state.tracker_yaw, tracker_yaw_new),
-        last_extrap_t=jnp.where(active, t_last, state.last_extrap_t),
+        ang_vel=upd(state.ang_vel, ang_new),
+        tracker_ori=upd(state.tracker_ori, trk_ori),
+        tracker_grav=upd(state.tracker_grav, trk_grav),
+        tracker_omega=upd(state.tracker_omega, trk_om_stored),
+        tracker_last_acc_t=upd(state.tracker_last_acc_t, trk_la),
+        last_extrap_t=jnp.where(active, pt[-1], state.last_extrap_t),
     )
 
     # -- motion filter (on the SE(3) pose estimate) ----------------------------
     similar = (
         state.mf_valid
         & ((t_scan - state.mf_t) <= cfg.mf_max_time)
-        & (jnp.linalg.norm(pose2d[:2] - state.mf_xy) <= cfg.mf_max_distance)
-        & (jnp.abs(_wrap_angle(yaw_tot - state.mf_yaw)) <= cfg.mf_max_angle)
+        & (jnp.linalg.norm(est_xyz - state.mf_xyz) <= cfg.mf_max_distance)
+        & (
+            rigid3_quat.quat_angle(_qmul(_qconj(state.mf_q), est_q), xp=jnp)
+            <= cfg.mf_max_angle
+        )
     )
     insert = matched & ~similar
     state = state.replace(
         mf_valid=state.mf_valid | insert,
         mf_t=jnp.where(insert, t_scan, state.mf_t),
-        mf_xy=jnp.where(insert, pose2d[:2], state.mf_xy),
-        mf_yaw=jnp.where(insert, yaw_tot, state.mf_yaw),
+        mf_xyz=jnp.where(insert, est_xyz, state.mf_xyz),
+        mf_q=jnp.where(insert, est_q, state.mf_q),
     )
 
     # -- submap rotation (ActiveSubmaps2D::InsertRangeData) --------------------
@@ -542,7 +716,7 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     out = {
         "matched": matched,
         "pose2d": pose2d,
-        "g_yaw": g_yaw,
+        "g_quat": g_quat,
         "inserted": insert,
         "created": created,
         "popped": pop,
@@ -560,9 +734,10 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     return (state, fin), out
 
 
-# Per-scan scalar output layout in the packed [C, 16] array.
+# Per-scan scalar output layout in the packed [C, 18] array.
 SCALARS = (
-    "matched", "pose_x", "pose_y", "pose_yaw", "g_yaw", "inserted",
+    "matched", "pose_x", "pose_y", "pose_yaw",
+    "g_qw", "g_qx", "g_qy", "g_qz", "inserted",
     "created", "popped", "finished", "anchor_x", "anchor_y",
     "count0", "count1", "ga_origin_x", "ga_origin_y",
 )
@@ -576,6 +751,7 @@ def run_chunk(
     epoch_shift: jax.Array,  # f32; subtracted from all state times
     scan_input: jax.Array,  # f32 [C, N, 5]: x, y, z, point_time, valid
     scan_meta: jax.Array,  # f32 [C, 4]: t_scan, sensor origin xyz
+    imu_input: jax.Array,  # f32 [C, M, 8]: time, acc xyz, gyro xyz, valid
 ):
     """Process a chunk of C scans.
 
@@ -587,7 +763,8 @@ def run_chunk(
       out_points: [C, N, 7] (ga_hit xyz, ga_miss xyz, mask code) when
         cfg.has_misses, else [C, N, 4] (ga_hit xyz, mask code); mask code
         is 0 none / 1 return / 2 return+adaptive / 3 miss;
-      out_scalars: see SCALARS.
+      out_scalars: see SCALARS (the gravity alignment is a full
+      quaternion; planar no-IMU runs produce a pure yaw rotation).
     """
     state = state.replace(
         older_t=state.older_t - epoch_shift,
@@ -612,11 +789,19 @@ def run_chunk(
     t_scan = scan_meta[:, 0]
     sensor_origin = scan_meta[:, 1:4]
 
+    imu = (
+        imu_input[:, :, 0],
+        imu_input[:, :, 1:4],
+        imu_input[:, :, 4:7],
+        imu_input[:, :, 7] > 0.5,
+    )
+
     def body(c, x):
         return _scan_body(cfg, c, x)
 
     (state, fin), outs = jax.lax.scan(
-        body, (state, fin0), (points, pmask, ptimes, t_scan, sensor_origin)
+        body, (state, fin0),
+        (points, pmask, ptimes, t_scan, sensor_origin, imu),
     )
 
     mask_code = (
@@ -637,7 +822,8 @@ def run_chunk(
         [
             f("matched"),
             outs["pose2d"][:, 0], outs["pose2d"][:, 1], outs["pose2d"][:, 2],
-            f("g_yaw"),
+            outs["g_quat"][:, 0], outs["g_quat"][:, 1],
+            outs["g_quat"][:, 2], outs["g_quat"][:, 3],
             f("inserted"), f("created"), f("popped"), f("finished"),
             outs["new_anchor"][:, 0], outs["new_anchor"][:, 1],
             outs["counts"][:, 0].astype(jnp.float32),

@@ -146,3 +146,70 @@ class TestChunkedParity:
         # of <2 cm shift a few boundary cells).
         agree = (hk == ck).mean()
         assert agree > 0.97, agree
+
+
+class TestChunkedWithImu:
+    def test_imu_parity(self):
+        """With IMU (use_imu_data=True) the device ImuTracker chain matches
+        the host LocalTrajectoryBuilder2D on synthetic planar data."""
+        import tests.test_map_builder_3d as t3d
+
+        def opts():
+            return TrajectoryBuilder2DOptions(
+                use_imu_data=True,
+                max_range=10.0,
+                submaps=SubmapsOptions2D(
+                    num_range_data=20,
+                    grid_options_2d=GridOptions2D(
+                        resolution=0.05, grid_size=512
+                    ),
+                ),
+            )
+
+        direction = np.array([2.0, 1.0, 0.0])
+        direction /= np.linalg.norm(direction)
+        translation = direction * TRAVEL_DISTANCE
+        measurements = generate_fake_range_measurements(
+            translation=translation, duration=DURATION, time_step=TIME_STEP
+        )
+        imu = t3d.imu_stream(FAKE_START_TIME - 0.5, FAKE_START_TIME + DURATION + 0.1)
+        events = [("imu", d.time, d) for d in imu] + [
+            ("range", m.time, m) for m in measurements
+        ]
+        events.sort(key=lambda e: e[1])
+
+        host = LocalTrajectoryBuilder2D(opts(), {"range"})
+        host_results = []
+        for kind, _, payload in events:
+            if kind == "imu":
+                host.add_imu_data(payload)
+            else:
+                r = host.add_range_data("range", payload)
+                if r is not None:
+                    host_results.append(r)
+
+        chunked = ChunkedLocalTrajectoryBuilder2D(opts(), {"range"}, chunk_size=16)
+        chunked_results = []
+        for kind, _, payload in events:
+            if kind == "imu":
+                chunked.add_imu_data(payload)
+            else:
+                chunked_results.extend(chunked.add_range_data("range", payload))
+        chunked_results.extend(chunked.flush())
+
+        assert len(chunked_results) == len(host_results)
+        for h, c in zip(host_results, chunked_results):
+            assert h.time == c.time
+            err = np.linalg.norm(
+                rigid3.trans(h.local_pose) - rigid3.trans(c.local_pose)
+            )
+            assert err < 0.03, (h.time, err)
+        # Drift bound vs ground truth.
+        velocity = translation / DURATION
+        last = chunked_results[-1]
+        expected = rigid3.translation((last.time - FAKE_START_TIME) * velocity)
+        err = np.linalg.norm(rigid3.trans(last.local_pose) - rigid3.trans(expected))
+        assert err < 0.1 * TRAVEL_DISTANCE
+        host_ins = [r.insertion_result is not None for r in host_results]
+        chunk_ins = [r.insertion_result is not None for r in chunked_results]
+        assert chunk_ins == host_ins
