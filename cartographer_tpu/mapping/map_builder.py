@@ -219,9 +219,21 @@ class MapBuilder:
             range_ids = {
                 s for s in expected_sensor_ids if s.startswith("range")
             } or expected_sensor_ids
-            local_builder = LocalTrajectoryBuilder3D(
-                trajectory_options.trajectory_builder_3d, range_ids
-            )
+            opts3d = trajectory_options.trajectory_builder_3d
+            if trajectory_options.use_chunked_device_frontend:
+                from cartographer_tpu.mapping import chunked_frontend_3d
+
+                assert chunked_frontend_3d.supports(opts3d), (
+                    "use_chunked_device_frontend requires the IMU/"
+                    "constant-velocity no-intensity 3D configuration"
+                )
+                local_builder = chunked_frontend_3d.ChunkedLocalTrajectoryBuilder3D(
+                    opts3d,
+                    range_ids,
+                    chunk_size=trajectory_options.device_frontend_chunk_size,
+                )
+            else:
+                local_builder = LocalTrajectoryBuilder3D(opts3d, range_ids)
         if trajectory_options.pure_localization_trimmer is not None:
             self._pose_graph.add_trimmer(
                 PureLocalizationTrimmer(

@@ -38,102 +38,15 @@ import jax.numpy as jnp
 from flax import struct
 
 from cartographer_tpu.ops import raycast_2d
+from cartographer_tpu.ops.frontend_common import (
+    MIN_PROBABILITY,
+    adaptive_voxel_mask,
+    voxel_first_mask,
+    voxel_unique_count,
+)
+from cartographer_tpu.ops import frontend_common as fc
 from cartographer_tpu.ops.scan_matching import gauss_newton_2d
 from cartographer_tpu.transform import rigid3 as rigid3_quat
-
-MIN_PROBABILITY = 0.1
-
-
-# -- device voxel filters -----------------------------------------------------
-
-
-def _voxel_keys_i32(points, valid, length):
-    """Per-point packed voxel keys (two int32 lanes). Axis index fits in
-    int16 (|coord| <= ~160 m at the smallest adaptive length); invalid
-    points get the maximal key so they sort last."""
-    idx = jnp.round(points / length).astype(jnp.int32)  # [N, 3]
-    key_a = ((idx[:, 0] & 0xFFFF) << 16) | (idx[:, 1] & 0xFFFF)
-    key_b = idx[:, 2]
-    big = jnp.int32(0x7FFFFFFF)
-    return (
-        jnp.where(valid, key_a, big),
-        jnp.where(valid, key_b, big),
-    )
-
-
-def voxel_first_mask(points, valid, length):
-    """First-occurrence-per-voxel mask (scan order) — the semantics of
-    sensor/voxel_filter.voxel_filter_indices, on device with static
-    shapes. Returns bool [N]."""
-    key_a, key_b = _voxel_keys_i32(points, valid, length)
-    perm = jnp.lexsort((key_b, key_a))  # stable; primary key_a
-    sa = key_a[perm]
-    sb = key_b[perm]
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), bool),
-            (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1]),
-        ]
-    )
-    mask = jnp.zeros(points.shape[0], bool).at[perm].set(first)
-    return mask & valid
-
-
-def voxel_unique_count(points, valid, length):
-    """Number of occupied voxels among valid points."""
-    return jnp.sum(voxel_first_mask(points, valid, length))
-
-
-def adaptive_voxel_mask(points, valid, max_length, min_num_points):
-    """Device mirror of sensor/voxel_filter.adaptive_voxel_filter (minus
-    its max_range pre-filter, which the caller folds into `valid`):
-    halve the voxel edge until at least min_num_points survive, then
-    binary-search the edge to within 10% (voxel_filter.cc:50-74)."""
-    n0 = jnp.sum(valid)
-
-    def count_at(length):
-        return voxel_unique_count(points, valid, length)
-
-    cnt_max = count_at(max_length)
-    skip = cnt_max >= min_num_points
-
-    # Halving phase: find the largest `low = high/2` with enough points.
-    def halve_cond(carry):
-        high, low, found = carry
-        return (~found) & (high > 1e-2 * max_length)
-
-    def halve_body(carry):
-        high, _, _ = carry
-        low = high * 0.5
-        found = count_at(low) >= min_num_points
-        return (jnp.where(found, high, low), low, found)
-
-    high0 = jnp.float32(max_length)
-    high_f, low_f, low_found = jax.lax.while_loop(
-        halve_cond, halve_body, (high0, high0, skip)
-    )
-
-    # Bisection phase (only meaningful when the halving phase found a low).
-    run_bisect = low_found & ~skip
-
-    def bis_cond(carry):
-        low, high = carry
-        return run_bisect & ((high - low) / low > 1e-1)
-
-    def bis_body(carry):
-        low, high = carry
-        mid = 0.5 * (low + high)
-        ok = count_at(mid) >= min_num_points
-        return (jnp.where(ok, mid, low), jnp.where(ok, high, mid))
-
-    low_b, _ = jax.lax.while_loop(bis_cond, bis_body, (low_f, high_f))
-
-    final_length = jnp.where(
-        skip, max_length, jnp.where(low_found, low_b, low_f)
-    )
-    mask = voxel_first_mask(points, valid, final_length)
-    # Sparse clouds are returned unfiltered (voxel_filter.cc:42-44).
-    return jnp.where(n0 <= min_num_points, valid, mask)
 
 
 # -- frontend state -----------------------------------------------------------
@@ -282,128 +195,20 @@ class FrontendConfig2D:
     disable: str = ""
 
 
-def _wrap_angle(a):
-    return jnp.arctan2(jnp.sin(a), jnp.cos(a))
-
-
-def _rot2(yaw, xy):
-    c, s = jnp.cos(yaw), jnp.sin(yaw)
-    return jnp.stack(
-        [c * xy[..., 0] - s * xy[..., 1], s * xy[..., 0] + c * xy[..., 1]],
-        axis=-1,
-    )
-
-
-# Quaternion helpers on device (transform/rigid3.py with xp=jnp).
-def _qmul(a, b):
-    return rigid3_quat.quat_multiply(a, b, xp=jnp)
-
-
-def _qconj(q):
-    return rigid3_quat.quat_conjugate(q, xp=jnp)
-
-
-def _qnorm(q):
-    return rigid3_quat.quat_normalize(q, xp=jnp)
-
-
-def _qrot(q, v):
-    return rigid3_quat.quat_rotate(q, v, xp=jnp)
-
-
-def _qexp(aa):
-    return rigid3_quat.quat_from_angle_axis(aa, xp=jnp)
-
-
-def _qlog(q):
-    return rigid3_quat.quat_to_angle_axis(q, xp=jnp)
-
-
-def _yaw_of(q):
-    return jnp.arctan2(
-        2.0 * (q[..., 0] * q[..., 3] + q[..., 1] * q[..., 2]),
-        1.0 - 2.0 * (q[..., 2] ** 2 + q[..., 3] ** 2),
-    )
-
-
-def _yaw_quat(yaw):
-    half = 0.5 * yaw
-    z = jnp.zeros_like(half)
-    return jnp.stack([jnp.cos(half), z, z, jnp.sin(half)], axis=-1)
-
-
-def _tracker_advance(time, ori, grav, omega, to_t):
-    """ImuTracker::Advance (imu_tracker.cc:44-54)."""
-    dt = to_t - time
-    dq = _qexp(omega * dt)
-    ori2 = _qnorm(_qmul(ori, dq))
-    grav2 = _qrot(_qconj(dq), grav)
-    return to_t, ori2, grav2
-
-
-def _tracker_acc_obs(cfg, time, ori, grav, last_acc_t, acc):
-    """AddImuLinearAccelerationObservation (imu_tracker.cc:56-77)."""
-    dt = jnp.where(last_acc_t > -1e29, time - last_acc_t, jnp.float32(1e30))
-    alpha = 1.0 - jnp.exp(-dt / cfg.imu_gravity_time_constant)
-    grav2 = (1.0 - alpha) * grav + alpha * acc
-    ez = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-    rot = rigid3_quat.quat_from_two_vectors(grav2, _qrot(_qconj(ori), ez), xp=jnp)
-    ori2 = _qnorm(_qmul(ori, rot))
-    return ori2, grav2, time
-
-
-def _tracker_fold(cfg, state: "FrontendState2D", t_target, imu):
-    """Advance the ImuTracker from its add_pose state (time == newest_t) to
-    t_target, consuming the scan's IMU samples in order (the host's
-    _advance_imu_tracker / extrapolate_poses_batch breakpoint walk).
-
-    Returns (final tracker tuple, breakpoint arrays (times [M+1],
-    orientations [M+1, 4], angular velocities [M+1, 3])) — every query in
-    (bp_t[i], bp_t[i+1]] extrapolates from breakpoint i."""
-    t0 = state.newest_t
-    ori0, grav0 = state.tracker_ori, state.tracker_grav
-    om0, la0 = state.tracker_omega, state.tracker_last_acc_t
-
-    if not cfg.use_imu:
-        # Fake gravity + pose-derived angular velocity: one advance + one
-        # observation pair at t_target (pose_extrapolator.cc:201-210).
-        m = cfg.max_imu_per_scan
-        bp_t = jnp.full((m + 1,), t0, jnp.float32)
-        bp_ori = jnp.broadcast_to(ori0, (m + 1, 4))
-        bp_om = jnp.broadcast_to(state.ang_vel, (m + 1, 3))
-        t1, ori1, grav1 = _tracker_advance(t0, ori0, grav0, om0, t_target)
-        ez = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-        ori2, grav2, la1 = _tracker_acc_obs(cfg, t1, ori1, grav1, la0, ez)
-        return (t1, ori2, grav2, state.ang_vel, la1), (bp_t, bp_ori, bp_om)
-        # NOTE: the caller overwrites the stored omega with the updated
-        # pose-derived angular velocity after the velocity update.
-
-    imu_t, imu_acc, imu_gyro, imu_valid = imu
-
-    def step(c, x):
-        time, ori, grav, om, la = c
-        it, acc, gyro, valid = x
-        use = valid & (it >= time) & (it < t_target)
-        t_adv = jnp.maximum(it, time)
-        t1, ori1, grav1 = _tracker_advance(time, ori, grav, om, t_adv)
-        ori2, grav2, la1 = _tracker_acc_obs(cfg, t1, ori1, grav1, la, acc)
-        nxt = (
-            jnp.where(use, t1, time),
-            jnp.where(use, ori2, ori),
-            jnp.where(use, grav2, grav),
-            jnp.where(use, gyro, om),
-            jnp.where(use, la1, la),
-        )
-        return nxt, (nxt[0], nxt[1], nxt[3])
-
-    (tf, orif, gravf, omf, laf), (bt, bo, bw) = jax.lax.scan(
-        step, (t0, ori0, grav0, om0, la0), (imu_t, imu_acc, imu_gyro, imu_valid)
-    )
-    bp_t = jnp.concatenate([t0[None], bt])
-    bp_ori = jnp.concatenate([ori0[None], bo])
-    bp_om = jnp.concatenate([om0[None], bw])
-    t1, ori1, grav1 = _tracker_advance(tf, orif, gravf, omf, t_target)
-    return (t1, ori1, grav1, omf, laf), (bp_t, bp_ori, bp_om)
+# Shared helpers (ops/frontend_common.py) under their historical local names.
+_wrap_angle = fc.wrap_angle
+_rot2 = fc.rot2
+_qmul = fc.qmul
+_qconj = fc.qconj
+_qnorm = fc.qnorm
+_qrot = fc.qrot
+_qexp = fc.qexp
+_qlog = fc.qlog
+_yaw_of = fc.yaw_of
+_yaw_quat = fc.yaw_quat
+_tracker_advance = fc.tracker_advance
+_tracker_acc_obs = fc.tracker_acc_obs
+_tracker_fold = fc.tracker_fold
 
 
 def _scan_body(cfg: FrontendConfig2D, carry, x):
@@ -423,20 +228,7 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     g_quat = trk_ori  # estimate_gravity_orientation(t_scan)
 
     # -- per-point unwarp (ExtrapolatePosesBatch) -----------------------------
-    pt = jnp.maximum(ptimes, state.last_extrap_t)
-    pt = jax.lax.associative_scan(jnp.maximum, pt)
-    idx = jnp.clip(
-        jnp.sum(bp_t[None, :] <= pt[:, None], axis=1) - 1, 0, bp_t.shape[0] - 1
-    )
-    q_bp = bp_ori[idx]  # [N, 4]
-    w_bp = bp_om[idx]  # [N, 3]
-    dt_bp = (pt - bp_t[idx])[:, None]
-    q_t = _qnorm(_qmul(q_bp, _qexp(w_bp * dt_bp)))
-    # rotation_i = newest.q * (conj(main_tracker.ori) * tracker(t_i).ori)
-    q_rel = _qmul(_qconj(state.tracker_ori)[None, :], q_t)
-    rot_i = _qnorm(_qmul(state.newest_q[None, :], q_rel))  # [N, 4]
-    dtp = pt - state.newest_t
-    tr_i = state.newest_xyz[None, :] + state.vel[None, :] * dtp[:, None]
+    rot_i, tr_i, pt = fc.unwarp_points(state, bp_t, bp_ori, bp_om, ptimes)
 
     origins_w = _qrot(rot_i, sensor_origin[None, :]) + tr_i  # [N, 3]
     hits_w = _qrot(rot_i, points[:, :3]) + tr_i

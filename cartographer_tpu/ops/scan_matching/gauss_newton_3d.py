@@ -60,8 +60,14 @@ def interp_smoothstep_3d(prob: jax.Array, u, v, w):
     """Smoothstep tensor-product interpolation of prob [D, H, W] at
     fractional cell coords (u: x/col, v: y/row, w: z/depth); voxel centers at
     integers; out-of-bounds reads MIN_PROBABILITY. Matches
-    interpolated_grid.h's piecewise cubic (zero derivative at centers)."""
+    interpolated_grid.h's piecewise cubic (zero derivative at centers).
+
+    `prob` may also be an int8 log-odds volume (hybrid_grid.Grid3D.values):
+    the probability conversion then happens per gathered corner, which
+    avoids materializing a float32 copy of the whole volume (4x the HBM
+    traffic at 512^3) inside jitted pipelines."""
     d, h, ww = prob.shape
+    is_int8 = prob.dtype == jnp.int8
     iu = jnp.floor(u).astype(jnp.int32)
     iv = jnp.floor(v).astype(jnp.int32)
     iw = jnp.floor(w).astype(jnp.int32)
@@ -72,6 +78,15 @@ def interp_smoothstep_3d(prob: jax.Array, u, v, w):
         vals = prob[
             jnp.clip(zi, 0, d - 1), jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, ww - 1)
         ]
+        if is_int8:
+            from cartographer_tpu.mapping.hybrid_grid import LOG_ODDS_SCALE
+
+            l = vals.astype(jnp.float32) * LOG_ODDS_SCALE
+            vals = jnp.where(
+                vals != 0,
+                1.0 / (1.0 + jnp.exp(-l)),
+                pv.MIN_PROBABILITY,
+            )
         return jnp.where(oob, pv.MIN_PROBABILITY, vals)
 
     def smooth(t):

@@ -76,6 +76,82 @@ def main() -> None:
         }
     )
 
+    # -- 1b. 3D local SLAM throughput (chunked device frontend) ---------------
+    from cartographer_tpu.common.config import (
+        AdaptiveVoxelFilterOptions as _AVF,
+        MotionFilterOptions,
+        SubmapsOptions3D,
+        TrajectoryBuilder3DOptions,
+    )
+    from cartographer_tpu.mapping.chunked_frontend_3d import (
+        ChunkedLocalTrajectoryBuilder3D,
+    )
+    from cartographer_tpu.sensor.data import ImuData
+    from cartographer_tpu.testing.synthetic import FAKE_START_TIME
+
+    duration_3d = 30.0
+    measurements_3d = generate_fake_range_measurements(
+        translation=direction * 5.0, duration=duration_3d, time_step=0.1
+    )
+    builder3d = ChunkedLocalTrajectoryBuilder3D(
+        TrajectoryBuilder3DOptions(
+            min_range=0.1,
+            max_range=10.0,
+            motion_filter=MotionFilterOptions(
+                max_time_seconds=0.5,
+                max_distance_meters=0.2,
+                max_angle_radians=0.2,
+            ),
+            high_resolution_adaptive_voxel_filter=_AVF(
+                max_length=2.0, min_num_points=100, max_range=15.0
+            ),
+            low_resolution_adaptive_voxel_filter=_AVF(
+                max_length=4.0, min_num_points=150, max_range=15.0
+            ),
+            submaps=SubmapsOptions3D(
+                num_range_data=40,
+                high_resolution=0.10,
+                low_resolution=0.45,
+                high_resolution_grid_size=256,
+                low_resolution_grid_size=128,
+            ),
+        ),
+        {"range"},
+        chunk_size=16,
+    )
+    imu_times = np.arange(
+        FAKE_START_TIME - 0.5, FAKE_START_TIME + duration_3d + 0.2, 0.02
+    )
+    imu_3d = [
+        ImuData(
+            time=t,
+            linear_acceleration=np.array([0.0, 0.0, 9.8]),
+            angular_velocity=np.zeros(3),
+        )
+        for t in imu_times
+    ]
+    imu_i = 0
+    warm3d = 64
+    t0 = None
+    for k, m in enumerate(measurements_3d):
+        while imu_i < len(imu_3d) and imu_3d[imu_i].time <= m.time:
+            builder3d.add_imu_data(imu_3d[imu_i])
+            imu_i += 1
+        if k == warm3d:
+            t0 = time.perf_counter()
+        builder3d.add_range_data("range", m)
+    builder3d.flush()
+    dt = time.perf_counter() - t0
+    emit(
+        {
+            "metric": "local_slam_3d_full_pipeline_scans_per_sec_per_chip",
+            "value": round((len(measurements_3d) - warm3d) / dt, 2),
+            "unit": "scans/s",
+            "note": "device-resident 3D pipeline (IMU fusion, dual 256^3/"
+            "128^3 grids, LM match, bounded-free-space insert)",
+        }
+    )
+
     # -- 2. loop-closure full-submap matches/sec (BnB) ------------------------
     from cartographer_tpu.ops.scan_matching.fast_correlative_2d import (
         FastCorrelativeScanMatcher2D,
