@@ -48,6 +48,81 @@ from cartographer_tpu.sensor.data import (
 from cartographer_tpu.transform import rigid2, rigid3
 
 
+class _ChunkCloudHolder:
+    """Owns one chunk's full per-scan point output as a DEVICE array,
+    materializing it to host memory at most once, on first demand. The
+    SLAM pipeline (pose graph, loop closure, serialization) consumes only
+    the compact filtered clouds, so on a remote-attached TPU the large
+    [C, N, 4/7] array normally never crosses the link."""
+
+    def __init__(self, out_points):
+        self._dev = out_points
+        self._np: Optional[np.ndarray] = None
+
+    def get(self) -> np.ndarray:
+        if self._np is None:
+            self._np = np.asarray(self._dev)
+            self._dev = None
+        return self._np
+
+
+class LazyRangeData:
+    """Drop-in RangeData whose returns/misses decode from the chunk's
+    device output on first access (RangeData semantics of
+    sensor/range_data.h:32 — origin, returns, misses in the local frame)."""
+
+    def __init__(self, holder: _ChunkCloudHolder, row: int, pose2d, origin3):
+        self._holder = holder
+        self._row = row
+        self._pose2d = pose2d
+        self.origin = origin3
+        self._rd: Optional[RangeData] = None
+
+    def _materialize(self) -> RangeData:
+        if self._rd is None:
+            out_points = self._holder.get()
+            pose2d = self._pose2d
+            has_misses = out_points.shape[-1] == 7
+            code_col = 6 if has_misses else 3
+            cy, sy = math.cos(pose2d[2]), math.sin(pose2d[2])
+            rot = np.array([[cy, -sy], [sy, cy]])
+            code = out_points[self._row, :, code_col]
+            rm = (code >= 0.5) & (code < 2.5)
+            ga_hits = out_points[self._row, rm, 0:3].astype(np.float64)
+            local_hits = np.concatenate(
+                [ga_hits[:, :2] @ rot.T + pose2d[:2], ga_hits[:, 2:3]], axis=1
+            )
+            if has_misses:
+                mm = code >= 2.5
+                ga_miss = out_points[self._row, mm, 3:6].astype(np.float64)
+                local_miss = np.concatenate(
+                    [ga_miss[:, :2] @ rot.T + pose2d[:2], ga_miss[:, 2:3]],
+                    axis=1,
+                )
+            else:
+                local_miss = np.zeros((0, 3), np.float64)
+            self._rd = RangeData(
+                origin=self.origin,
+                returns=PointCloud(local_hits.astype(np.float32)),
+                misses=PointCloud(local_miss.astype(np.float32)),
+            )
+        return self._rd
+
+    @property
+    def returns(self) -> PointCloud:
+        return self._materialize().returns
+
+    @property
+    def misses(self) -> PointCloud:
+        return self._materialize().misses
+
+    def transform(self, pose3: np.ndarray) -> RangeData:
+        return self._materialize().transform(pose3)
+
+    def crop(self, min_z: float, max_z: float) -> RangeData:
+        return self._materialize().crop(min_z, max_z)
+
+
 def _round_up_pow2(n: int, minimum: int = 256) -> int:
     v = minimum
     while v < n:
@@ -130,6 +205,13 @@ class ChunkedLocalTrajectoryBuilder2D:
         self._imu_buffer: List = []  # IMU samples awaiting assignment
         self._pending: List[dict] = []  # dispatched chunks awaiting collection
         self._max_in_flight = 3
+        # Sticky static shapes/flags: grow-only, so the jitted chunk program
+        # recompiles at most a handful of times over a whole run instead of
+        # flip-flopping between shape variants.
+        self._pad_n = 256
+        self._pad_imu = 16
+        self._sticky_misses = False
+        self._prewarmed: Set[tuple] = set()
         self._submaps: List[Submap2D] = []
         self._popped_submaps: List[Submap2D] = []
         self._last_wall_time: Optional[float] = None
@@ -223,34 +305,71 @@ class ChunkedLocalTrajectoryBuilder2D:
     # -- chunk processing -----------------------------------------------------
 
     def _dispatch(self) -> None:
-        """Upload one chunk and enqueue the device program; collection of the
-        packed outputs is deferred (pipelined) so the device and the host
-        link stay busy across chunks."""
+        """Pack (int16-quantize), upload one chunk, and enqueue the device
+        program; collection of the packed outputs is deferred (pipelined)
+        so the device and the host link stay busy across chunks."""
         scans = self._buffer
         self._buffer = []
         c = self._chunk
-        n = _round_up_multiple(max(s["points"].shape[0] for s in scans))
+        n = max(
+            self._pad_n,
+            _round_up_multiple(max(s["points"].shape[0] for s in scans)),
+        )
+        self._pad_n = n
         new_epoch = scans[0]["time"]
         epoch_shift = np.float32(new_epoch - self._epoch)
         self._epoch = new_epoch
+        q_scale = frontend_2d.point_quantization_scale(self._cfg)
+        max_range = self._options.max_range
+        # Beyond max_range only the ray direction matters (the miss endpoint
+        # is missing_data_ray_length along it; rigid unwarps preserve
+        # directions exactly), so ranges are clamped to keep the int16
+        # packing in bounds.
+        clamp_r = 1.25 * max(max_range, self._options.missing_data_ray_length)
 
-        m = 16
+        m = self._pad_imu
         while m < max((len(s["imu"]) for s in scans), default=1):
             m *= 2
-        scan_input = np.zeros((c, n, 5), np.float32)
-        scan_meta = np.zeros((c, 4), np.float32)
-        imu_input = np.zeros((c, m, 8), np.float32)
+        self._pad_imu = m
+        cfg_shape = dataclasses.replace(
+            self._cfg, max_imu_per_scan=m, chunk_size=c, num_points=n
+        )
+        o_points, o_times, o_meta, o_imu, total = frontend_2d.input_layout(
+            cfg_shape
+        )
+        buf = np.zeros(total, np.uint8)
+        scan_points = buf[o_points:o_times].view(np.int16).reshape(c, n, 3)
+        scan_times = buf[o_times:o_meta].view(np.uint16).reshape(c, n)
+        scan_meta = buf[o_meta:o_imu].view(np.float32).reshape(c, 7)
+        imu_input = buf[o_imu:].view(np.float32).reshape(c, m, 8)
         last_t = 0.0
-        has_misses = False
+        has_misses = self._sticky_misses
         for i, s in enumerate(scans):
             k = s["points"].shape[0]
-            scan_input[i, :k, :3] = s["points"][:, :3]
+            delta = s["points"][:, :3] - s["origin"][None, :]
+            r = np.linalg.norm(delta, axis=1)
+            over = r > clamp_r
+            if np.any(over):
+                delta = delta * np.minimum(1.0, clamp_r / np.maximum(r, 1e-12))[
+                    :, None
+                ]
+            scan_points[i, :k] = np.clip(
+                np.round(delta / q_scale), -32767, 32767
+            ).astype(np.int16)
             abs_times = (s["time"] - new_epoch) + s["times"]
-            scan_input[i, :k, 3] = abs_times
-            scan_input[i, k:, 3] = abs_times[-1]
-            scan_input[i, :k, 4] = 1.0
+            t0 = float(abs_times[0])
+            span = float(max(abs_times[-1] - t0, 0.0))
+            if span > 0.0:
+                u = np.clip(
+                    np.round((abs_times - t0) / span * 65535.0), 0, 65535
+                ).astype(np.uint16)
+                scan_times[i, :k] = u
+                scan_times[i, k:] = u[-1]
             scan_meta[i, 0] = s["time"] - new_epoch
             scan_meta[i, 1:4] = s["origin"]
+            scan_meta[i, 4] = k
+            scan_meta[i, 5] = t0
+            scan_meta[i, 6] = span
             for j, d in enumerate(s["imu"]):
                 imu_input[i, j, 0] = d.time - new_epoch
                 imu_input[i, j, 1:4] = d.linear_acceleration
@@ -260,29 +379,37 @@ class ChunkedLocalTrajectoryBuilder2D:
             if not has_misses:
                 # Ranges are invariant under the rigid per-point unwarp, so
                 # out-of-range points are knowable before dispatch; chunks
-                # without any compile to a slimmer no-miss program.
-                d = s["points"][:, :3] - s["origin"][None, :]
-                has_misses = bool(
-                    np.any(
-                        np.linalg.norm(d, axis=1) > self._options.max_range
-                    )
-                )
+                # without any compile to a slimmer no-miss program. The
+                # 4*q_scale margin covers quantization flips at the border.
+                has_misses = bool(np.any(r > max_range - 4.0 * q_scale))
         for i in range(len(scans), c):
             # Padding scans: no valid points -> matched False, state frozen.
-            scan_input[i, :, 3] = last_t
             scan_meta[i, 0] = last_t
+            scan_meta[i, 5] = last_t
 
-        cfg = dataclasses.replace(
-            self._cfg, has_misses=has_misses, max_imu_per_scan=m
-        )
-        state, fin, out_points, out_scalars = frontend_2d.run_chunk(
-            cfg, self._state, epoch_shift, scan_input, scan_meta, imu_input
+        self._sticky_misses = has_misses
+        cfg = dataclasses.replace(cfg_shape, has_misses=has_misses)
+        if not has_misses and (n, m) not in self._prewarmed:
+            # Any realistic run eventually sees an out-of-range echo, which
+            # upgrades (sticky) to the miss-handling program variant; compile
+            # it NOW so the upgrade is not a multi-second mid-run stall.
+            # Skipped off-TPU to keep CPU test runs fast.
+            self._prewarmed.add((n, m))
+            import jax
+
+            if jax.default_backend() == "tpu":
+                frontend_2d.run_chunk(
+                    dataclasses.replace(cfg, has_misses=True),
+                    self._state, epoch_shift, buf,
+                )
+        state, fin, out_points, packed_out = frontend_2d.run_chunk(
+            cfg, self._state, epoch_shift, buf
         )
         self._state = state
-        # Start the host copies now; they overlap the next chunk's compute.
+        # Start the host copy of the SMALL packed output now; it overlaps
+        # the next chunk's compute. out_points stays device-resident (lazy).
         try:
-            out_points.copy_to_host_async()
-            out_scalars.copy_to_host_async()
+            packed_out.copy_to_host_async()
         except AttributeError:  # older jax.Array without the method
             pass
         self._pending.append(
@@ -291,7 +418,7 @@ class ChunkedLocalTrajectoryBuilder2D:
                 "state": state,
                 "fin": fin,
                 "out_points": out_points,
-                "out_scalars": out_scalars,
+                "packed_out": packed_out,
             }
         )
 
@@ -299,10 +426,13 @@ class ChunkedLocalTrajectoryBuilder2D:
         p = self._pending.pop(0)
         scans = p["scans"]
         state = p["state"]
-        out_points = np.asarray(p["out_points"])  # [C, N, 7] or [C, N, 4]
-        has_misses = out_points.shape[-1] == 7
-        code_col = 6 if has_misses else 3
-        sc = np.asarray(p["out_scalars"])  # [C, 15]
+        holder = _ChunkCloudHolder(p["out_points"])  # stays on device
+        packed = np.asarray(p["packed_out"])  # one flat fetch
+        c = self._chunk
+        n_sc = len(frontend_2d.SCALARS)
+        sc = packed[: c * n_sc * 4].view(np.float32).reshape(c, n_sc)
+        out_filtered = packed[c * n_sc * 4:].view(np.int16).reshape(c, -1, 3)
+        q_scale = np.float32(frontend_2d.point_quantization_scale(self._cfg))
         S = frontend_2d.SIDX
 
         results: List[MatchingResult] = []
@@ -323,38 +453,19 @@ class ChunkedLocalTrajectoryBuilder2D:
                     )
                 ),
             )
-            # range_data_in_local = gravity-aligned data ∘ embed_3d(pose2d).
-            cy, sy = math.cos(pose2d[2]), math.sin(pose2d[2])
-            rot = np.array([[cy, -sy], [sy, cy]])
-            code = out_points[i, :, code_col]
-            rm = code >= 0.5  # return (adaptive or not)
-            mm = code >= 2.5  # miss
-            rm = rm & ~mm
-            ga_hits = out_points[i, rm, 0:3].astype(np.float64)
-            local_hits = np.concatenate(
-                [ga_hits[:, :2] @ rot.T + pose2d[:2], ga_hits[:, 2:3]], axis=1
-            )
-            if has_misses:
-                ga_miss = out_points[i, mm, 3:6].astype(np.float64)
-                local_miss = np.concatenate(
-                    [ga_miss[:, :2] @ rot.T + pose2d[:2], ga_miss[:, 2:3]],
-                    axis=1,
-                )
-            else:
-                local_miss = np.zeros((0, 3), np.float64)
             anchor = sc[i, S["anchor_x"]: S["anchor_y"] + 1]
             local_origin3 = np.array(
                 [anchor[0], anchor[1], s["origin"][2]], np.float32
             )
-            range_data_in_local = RangeData(
-                origin=local_origin3,
-                returns=PointCloud(local_hits.astype(np.float32)),
-                misses=PointCloud(local_miss.astype(np.float32)),
+            # range_data_in_local = gravity-aligned data ∘ embed_3d(pose2d),
+            # decoded lazily from the device-resident chunk output.
+            range_data_in_local = LazyRangeData(
+                holder, i, pose2d, local_origin3
             )
             insertion_result = None
             if sc[i, S["inserted"]] > 0.5:
-                adaptive = np.abs(code - 2.0) < 0.25
-                filtered = out_points[i, adaptive, 0:3].astype(np.float32)
+                nf = int(sc[i, S["num_filtered"]])
+                filtered = out_filtered[i, :nf].astype(np.float32) * q_scale
                 insertion_result = self._replay_insert(
                     sc[i], filtered, s, pose2d, g_quat, pose_estimate
                 )

@@ -180,6 +180,12 @@ class FrontendConfig2D:
     mf_max_angle: float
     pose_queue_duration: float
     num_steps: int  # supercover crossings bound (ceil(max ray / res) + 2)
+    # Static bound on the matching cloud handed to the LM matcher. The
+    # adaptive filter targets avf_min_num_points (~200 by default) and its
+    # 10%-granularity bisection overshoots by < ~1.5x, so 512 is ample;
+    # in the (degenerate-config) overflow case the excess points are
+    # dropped from matching only — insertion still uses the full cloud.
+    match_max_points: int = 512
     # IMU fusion: when True the device ImuTracker consumes per-scan IMU
     # sample batches (max_imu_per_scan slots); when False it runs the fake
     # gravity + pose-derived angular velocity path.
@@ -190,6 +196,12 @@ class FrontendConfig2D:
     # knows exactly: ranges are invariant under the rigid unwarp). When
     # False, all missing-echo processing and outputs are compiled out.
     has_misses: bool = True
+    # Packed-transfer geometry: scans per chunk and padded points per scan.
+    # All chunk inputs ride in ONE flat uint8 buffer and the small outputs
+    # return in one — a remote-attached TPU pays per-array round trips and
+    # tiled-layout conversions on every typed transfer otherwise.
+    chunk_size: int = 0
+    num_points: int = 0
     # Debug: comma-separated stages to stub out when isolating perf
     # ("voxel", "adaptive", "match", "insert"). Not for production use.
     disable: str = ""
@@ -303,6 +315,13 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
         1.0 / (1.0 + jnp.exp(-state.grids_lo[0])),
         MIN_PROBABILITY,
     )
+    # Compact the matching cloud to the adaptive-filtered points (stable
+    # order): the LM matcher's per-iteration patch extraction scales with
+    # its point count, and the adaptive cloud is ~10% of the padded scan.
+    m_cap = min(cfg.match_max_points, ga_hits.shape[0])
+    sel = jnp.argsort(~adaptive_mask, stable=True)[:m_cap]
+    match_points = ga_hits[sel, :2]
+    match_mask = adaptive_mask[sel]
     if "match" in cfg.disable:
         gn_pose = pred
     else:
@@ -311,8 +330,8 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
             state.grid_origin[0],
             pred,
             pred[:2],
-            ga_hits[:, :2],
-            adaptive_mask,
+            match_points,
+            match_mask,
             cfg.resolution,
             cfg.occupied_space_weight,
             cfg.translation_weight,
@@ -519,6 +538,10 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
         "ret_mask": ret_mask,
         "adaptive_mask": adaptive_mask,
         "ga_origin": ga_origin_xy,
+        # Compacted matching cloud (adaptive-filtered points first, stable
+        # order) — becomes the node's filtered_gravity_aligned_point_cloud.
+        "filtered_pts": ga_hits[sel],
+        "num_filtered": jnp.sum(match_mask.astype(jnp.int32)),
     }
     if cfg.has_misses:
         out["ga_miss"] = ga_miss
@@ -526,14 +549,42 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     return (state, fin), out
 
 
-# Per-scan scalar output layout in the packed [C, 18] array.
+# Per-scan scalar output layout in the packed [C, 19] array.
 SCALARS = (
     "matched", "pose_x", "pose_y", "pose_yaw",
     "g_qw", "g_qx", "g_qy", "g_qz", "inserted",
     "created", "popped", "finished", "anchor_x", "anchor_y",
-    "count0", "count1", "ga_origin_x", "ga_origin_y",
+    "count0", "count1", "ga_origin_x", "ga_origin_y", "num_filtered",
 )
 SIDX = {k: i for i, k in enumerate(SCALARS)}
+
+
+def input_layout(cfg: FrontendConfig2D):
+    """Byte offsets of the sections inside the packed input buffer:
+    (points i16 [C,N,3], times u16 [C,N], meta f32 [C,7],
+    imu f32 [C,M,8], total_bytes). All section starts are 4-byte aligned
+    as long as C*N is even (N is padded to a multiple of 256)."""
+    c, n, m = cfg.chunk_size, cfg.num_points, cfg.max_imu_per_scan
+    o_points = 0
+    o_times = o_points + c * n * 6
+    o_meta = o_times + c * n * 2
+    o_imu = o_meta + c * 28
+    total = o_imu + c * m * 32
+    return o_points, o_times, o_meta, o_imu, total
+
+
+def point_quantization_scale(cfg: FrontendConfig2D) -> float:
+    """Meters per int16 step for the packed host<->device point transfers.
+    Ranges are clamped to 1.25x the relevant maximum on the host (beyond
+    max_range only the ray DIRECTION matters — the miss endpoint is
+    missing_data_ray_length along it — and rigid unwarps preserve
+    directions exactly), so coordinates relative to the sensor origin and
+    gravity-aligned outputs are bounded and the quantization error is
+    ~0.2 mm at a 10 m max range: far below the 1 mm point-compression
+    granularity the reference applies to stored node clouds
+    (sensor/compressed_point_cloud.cc)."""
+    bound = 1.5 * max(cfg.max_range, cfg.missing_data_ray_length)
+    return bound / 32767.0
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -541,22 +592,32 @@ def run_chunk(
     cfg: FrontendConfig2D,
     state: FrontendState2D,
     epoch_shift: jax.Array,  # f32; subtracted from all state times
-    scan_input: jax.Array,  # f32 [C, N, 5]: x, y, z, point_time, valid
-    scan_meta: jax.Array,  # f32 [C, 4]: t_scan, sensor origin xyz
-    imu_input: jax.Array,  # f32 [C, M, 8]: time, acc xyz, gyro xyz, valid
+    packed_input: jax.Array,  # uint8 [input_layout(cfg).total]; see below
 ):
     """Process a chunk of C scans.
 
-    Inputs/outputs are packed into single contiguous arrays: the host link
-    may be high-latency (remote-attached TPU), so the host pays exactly one
-    upload and one download per chunk.
+    All inputs ride in ONE flat uint8 buffer (input_layout(cfg) gives the
+    section offsets: points i16 [C,N,3] quantized by
+    point_quantization_scale, per-point times u16 normalized to the scan's
+    [t0, t0+span], meta f32 [C,7] = (t_scan, origin xyz, count, t0, span),
+    IMU f32 [C,M,8] = (time, acc xyz, gyro xyz, valid)); the small outputs
+    return in one flat uint8 buffer. The host link may be high-latency AND
+    low-bandwidth (remote-attached TPU): one upload + one small fetch per
+    chunk, and flat byte buffers also avoid per-array round trips and the
+    device-side tiled-layout conversion typed transfers pay.
 
-    Returns (state, fin, out_points, out_scalars [C, 15]):
-      out_points: [C, N, 7] (ga_hit xyz, ga_miss xyz, mask code) when
-        cfg.has_misses, else [C, N, 4] (ga_hit xyz, mask code); mask code
-        is 0 none / 1 return / 2 return+adaptive / 3 miss;
-      out_scalars: see SCALARS (the gravity alignment is a full
-      quaternion; planar no-IMU runs produce a pure yaw rotation).
+    Returns (state, fin, out_points, packed_out):
+      out_points: f32 [C, N, 7] (ga_hit xyz, ga_miss xyz, mask code) when
+        cfg.has_misses, else [C, N, 4]; mask code is 0 none / 1 return /
+        2 return+adaptive / 3 miss. Intended to STAY on device — the host
+        wrapper materializes it lazily only if the user reads the full
+        per-scan clouds (the SLAM pipeline itself does not).
+      packed_out: uint8, scalars f32 [C, len(SCALARS)] (see SCALARS; the
+        gravity alignment is a full quaternion — planar no-IMU runs
+        produce a pure yaw rotation) followed by the compacted
+        adaptive-filtered gravity-aligned cloud i16 [C, match_max, 3]
+        (node data), quantized by q_scale; the valid prefix length per
+        scan is the num_filtered scalar.
     """
     state = state.replace(
         older_t=state.older_t - epoch_shift,
@@ -565,7 +626,22 @@ def run_chunk(
         mf_t=state.mf_t - epoch_shift,
     )
     g = cfg.grid_size
-    c = scan_input.shape[0]
+    c, n, mi = cfg.chunk_size, cfg.num_points, cfg.max_imu_per_scan
+    o_points, o_times, o_meta, o_imu, _ = input_layout(cfg)
+    bc = jax.lax.bitcast_convert_type
+    scan_points = bc(
+        packed_input[o_points:o_times].reshape(c, n, 3, 2), jnp.int16
+    )
+    scan_times = bc(
+        packed_input[o_times:o_meta].reshape(c, n, 2), jnp.uint16
+    )
+    scan_meta = bc(
+        packed_input[o_meta:o_imu].reshape(c, 7, 4), jnp.float32
+    )
+    imu_input = bc(
+        packed_input[o_imu:].reshape(c, mi, 8, 4), jnp.float32
+    )
+    q_scale = jnp.float32(point_quantization_scale(cfg))
     # Ring of finished-submap snapshots: one pop per num_range_data inserts.
     r = c // cfg.num_range_data + 1
     fin0 = {
@@ -575,11 +651,21 @@ def run_chunk(
         "origin": jnp.zeros((r, 2), jnp.float32),
         "anchor": jnp.zeros((r, 2), jnp.float32),
     }
-    points = scan_input[:, :, :3]
-    ptimes = scan_input[:, :, 3]
-    pmask = scan_input[:, :, 4] > 0.5
     t_scan = scan_meta[:, 0]
     sensor_origin = scan_meta[:, 1:4]
+    counts_in = scan_meta[:, 4].astype(jnp.int32)
+    t0s = scan_meta[:, 5]
+    spans = scan_meta[:, 6]
+    points = (
+        sensor_origin[:, None, :]
+        + scan_points.astype(jnp.float32) * q_scale
+    )
+    ptimes = t0s[:, None] + scan_times.astype(jnp.float32) * (
+        spans[:, None] / 65535.0
+    )
+    pmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, n), 1) < counts_in[:, None]
+    )
 
     imu = (
         imu_input[:, :, 0],
@@ -609,6 +695,10 @@ def run_chunk(
         out_points = jnp.concatenate(
             [outs["ga_hits"], mask_code[..., None]], axis=-1
         )
+    out_filtered = jnp.clip(
+        jnp.round(outs["filtered_pts"] / q_scale), -32767, 32767
+    ).astype(jnp.int16)
+    bc_u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
     f = lambda k: outs[k].astype(jnp.float32)
     out_scalars = jnp.stack(
         [
@@ -621,7 +711,9 @@ def run_chunk(
             outs["counts"][:, 0].astype(jnp.float32),
             outs["counts"][:, 1].astype(jnp.float32),
             outs["ga_origin"][:, 0], outs["ga_origin"][:, 1],
+            f("num_filtered"),
         ],
         axis=1,
     )
-    return state, fin, out_points, out_scalars
+    packed_out = jnp.concatenate([bc_u8(out_scalars), bc_u8(out_filtered)])
+    return state, fin, out_points, packed_out

@@ -57,53 +57,93 @@ def voxel_first_mask(points, valid, length):
 
 def voxel_unique_count(points, valid, length):
     """Number of occupied voxels among valid points."""
-    return jnp.sum(voxel_first_mask(points, valid, length))
+    return voxel_unique_counts_batch(
+        points, valid, jnp.asarray(length, jnp.float32)[None]
+    )[0]
+
+
+def voxel_unique_counts_batch(points, valid, lengths):
+    """Occupied-voxel counts for K candidate voxel sizes with ONE batched
+    sort (keys only — no permutation payload, no scatter): the adaptive
+    filter's repeated `count_at` probes are the dominant device cost of the
+    chunked frontends when issued as sequential sorts."""
+    idx = jnp.round(points[None, :, :] / lengths[:, None, None]).astype(jnp.int32)
+    key_a = ((idx[..., 0] & 0xFFFF) << 16) | (idx[..., 1] & 0xFFFF)
+    key_b = idx[..., 2]
+    big = jnp.int32(0x7FFFFFFF)
+    # key_b == big is unreachable for a real coordinate, so the invalid run
+    # can never merge with a valid voxel's run.
+    key_a = jnp.where(valid[None, :], key_a, big)
+    key_b = jnp.where(valid[None, :], key_b, big)
+    sa, sb = jax.lax.sort([key_a, key_b], dimension=1, num_keys=2)
+    first = (sa[:, 1:] != sa[:, :-1]) | (sb[:, 1:] != sb[:, :-1])
+    runs = 1 + jnp.sum(first, axis=1)
+    any_valid = jnp.any(valid)
+    any_invalid = ~jnp.all(valid)
+    # All-invalid rows have exactly one (invalid) run -> zero voxels.
+    return jnp.where(
+        any_valid, runs - any_invalid.astype(jnp.int32), 0
+    )
 
 
 def adaptive_voxel_mask(points, valid, max_length, min_num_points):
     """Device mirror of sensor/voxel_filter.adaptive_voxel_filter (minus
     its max_range pre-filter, which the caller folds into `valid`):
     halve the voxel edge until at least min_num_points survive, then
-    binary-search the edge to within 10% (voxel_filter.cc:50-74)."""
+    binary-search the edge to within 10% (voxel_filter.cc:50-74).
+
+    Formulated for the device: the reference's sequential probe loop is
+    replaced by (a) one batched count over all 8 halving lengths and (b)
+    one batched count over the 15 dyadic midpoints the bisection can ever
+    visit (mid = 0.5*(low+high) nested 4 deep always lands on
+    low + j/16*(high-low); after 4 levels (high-low)/low <= 1/16 < 0.1 so
+    the reference loop never runs a 5th iteration). The tree lengths are
+    computed with the same 0.5*(low+high) float arithmetic, so the chosen
+    edge length is bit-identical to the sequential loop's."""
     n0 = jnp.sum(valid)
+    max_length = jnp.float32(max_length)
 
-    def count_at(length):
-        return voxel_unique_count(points, valid, length)
-
-    cnt_max = count_at(max_length)
-    skip = cnt_max >= min_num_points
-
-    # Halving phase: find the largest `low = high/2` with enough points.
-    def halve_cond(carry):
-        high, low, found = carry
-        return (~found) & (high > 1e-2 * max_length)
-
-    def halve_body(carry):
-        high, _, _ = carry
-        low = high * 0.5
-        found = count_at(low) >= min_num_points
-        return (jnp.where(found, high, low), low, found)
-
-    high0 = jnp.float32(max_length)
-    high_f, low_f, low_found = jax.lax.while_loop(
-        halve_cond, halve_body, (high0, high0, skip)
-    )
-
-    # Bisection phase (only meaningful when the halving phase found a low).
+    # Halving phase, batched: lengths L/2^k for k = 0..7 (the loop guard
+    # `high > 1e-2 * max_length` admits exactly k = 1..7; k = 0 is the
+    # initial `skip` check at max_length).
+    halving_lengths = max_length * (2.0 ** -jnp.arange(8, dtype=jnp.float32))
+    counts_h = voxel_unique_counts_batch(points, valid, halving_lengths)
+    enough_h = counts_h >= min_num_points
+    skip = enough_h[0]
+    low_found = jnp.any(enough_h[1:])
+    k_star = 1 + jnp.argmax(enough_h[1:])
+    low_f = jnp.where(low_found, halving_lengths[k_star], halving_lengths[7])
+    high_f = jnp.where(low_found, halving_lengths[k_star - 1], halving_lengths[7])
+    count_low = jnp.where(low_found, counts_h[k_star], counts_h[7])
+    count_high = jnp.where(low_found, counts_h[k_star - 1], counts_h[7])
     run_bisect = low_found & ~skip
 
-    def bis_cond(carry):
-        low, high = carry
-        return run_bisect & ((high - low) / low > 1e-1)
+    # Dyadic midpoint tree (exact fp match with sequential 0.5*(low+high)).
+    l = [None] * 17
+    l[0], l[16] = low_f, high_f
+    for step in (8, 4, 2, 1):
+        for j in range(step, 16, 2 * step):
+            l[j] = 0.5 * (l[j - step] + l[j + step])
+    counts_b = voxel_unique_counts_batch(
+        points, valid, jnp.stack(l[1:16])
+    )
+    counts17 = jnp.concatenate(
+        [count_low[None], counts_b, count_high[None]]
+    )
+    lengths17 = jnp.stack(l)
 
-    def bis_body(carry):
-        low, high = carry
-        mid = 0.5 * (low + high)
-        ok = count_at(mid) >= min_num_points
-        return (jnp.where(ok, mid, low), jnp.where(ok, high, mid))
+    lo_j = jnp.int32(0)
+    hi_j = jnp.int32(16)
+    for _ in range(4):
+        active = run_bisect & (
+            (lengths17[hi_j] - lengths17[lo_j]) / lengths17[lo_j] > 1e-1
+        )
+        mid_j = (lo_j + hi_j) // 2
+        ok = counts17[mid_j] >= min_num_points
+        lo_j = jnp.where(active & ok, mid_j, lo_j)
+        hi_j = jnp.where(active & ~ok, mid_j, hi_j)
 
-    low_b, _ = jax.lax.while_loop(bis_cond, bis_body, (low_f, high_f))
-
+    low_b = jnp.where(run_bisect, lengths17[lo_j], low_f)
     final_length = jnp.where(
         skip, max_length, jnp.where(low_found, low_b, low_f)
     )

@@ -85,13 +85,19 @@ class TestChunkedParity:
         assert chunked_inserted == host_inserted
 
     def test_pose_parity(self, runs):
+        # The chunked path int16-quantizes the host->device point transfer
+        # (~0.2 mm error, far below real LIDAR noise); the scan-match ->
+        # insert feedback loop amplifies that perturbation over the run, so
+        # host/device trajectories agree to sub-cell (< 1 x resolution)
+        # rather than sub-mm. Accuracy itself is gated by
+        # test_drift_bounded (vs ground truth).
         host_results, chunked_results, _, _ = runs
         for h, c in zip(host_results, chunked_results):
             assert h.time == c.time
             err = np.linalg.norm(
                 rigid3.trans(h.local_pose) - rigid3.trans(c.local_pose)
             )
-            assert err < 0.02, (h.time, err)
+            assert err < 0.05, (h.time, err)
 
     def test_drift_bounded(self, runs):
         _, chunked_results, translation, _ = runs
