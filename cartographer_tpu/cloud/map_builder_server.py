@@ -50,8 +50,18 @@ class MapBuilderServer:
         address: str = "localhost:0",
         uplink_address: Optional[str] = None,
         uplink_batch_size: int = 10,
+        monitoring_port: Optional[int] = None,
     ):
         self._map_builder = MapBuilder(map_builder_options)
+        # Prometheus scrape endpoint (map_builder_server.cc monitoring port;
+        # metrics collection is switched on so the gauges are live).
+        self._exporter = None
+        if monitoring_port is not None:
+            from cartographer_tpu import metrics
+            from cartographer_tpu.metrics.prometheus import PrometheusExporter
+
+            metrics.enable_collection()
+            self._exporter = PrometheusExporter(monitoring_port)
         self._incoming_data_queue = BlockingQueue()
         self._local_slam_subscriptions: List[Callable] = []
         self._slam_thread: Optional[threading.Thread] = None
@@ -184,6 +194,8 @@ class MapBuilderServer:
         self._server.stop(grace=1.0)
         if self._slam_thread is not None:
             self._slam_thread.join(timeout=10.0)
+        if self._exporter is not None:
+            self._exporter.close()
 
     # -- SLAM thread (ProcessSensorDataQueue) -------------------------------
 

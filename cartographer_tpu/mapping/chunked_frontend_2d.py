@@ -209,7 +209,9 @@ class ChunkedLocalTrajectoryBuilder2D:
         # recompiles at most a handful of times over a whole run instead of
         # flip-flopping between shape variants.
         self._pad_n = 256
-        self._pad_imu = 16
+        # IMU padding starts SMALL: the device tracker fold is a sequential
+        # per-slot scan, so oversized padding directly costs device time.
+        self._pad_imu = 4
         self._sticky_misses = False
         self._prewarmed: Set[tuple] = set()
         self._submaps: List[Submap2D] = []
@@ -327,10 +329,12 @@ class ChunkedLocalTrajectoryBuilder2D:
         # packing in bounds.
         clamp_r = 1.25 * max(max_range, self._options.missing_data_ray_length)
 
+        # IMU slots are PER-CHUNK (not sticky): the first chunk's backlog
+        # of pre-start samples would otherwise inflate the sequential
+        # tracker fold for the whole run; only ~2 program variants arise.
         m = self._pad_imu
         while m < max((len(s["imu"]) for s in scans), default=1):
             m *= 2
-        self._pad_imu = m
         cfg_shape = dataclasses.replace(
             self._cfg, max_imu_per_scan=m, chunk_size=c, num_points=n
         )

@@ -128,6 +128,14 @@ class ChunkedLocalTrajectoryBuilder3D:
         self._imu_buffer: List = []
         self._pending: List[dict] = []
         self._max_in_flight = 2  # 3D volumes are large; keep HBM headroom
+        # Sticky static shapes/flags: grow-only so the jitted chunk program
+        # recompiles at most a handful of times per run. IMU padding starts
+        # SMALL (4): the device tracker fold is a sequential per-slot scan,
+        # so oversized padding directly costs device time.
+        self._pad_n = 256
+        self._pad_imu = 4
+        self._sticky_misses = False
+        self._prewarmed: Set[tuple] = set()
         self._submaps: List[Submap3D] = []
         self._popped_submaps: List[Submap3D] = []
         self._last_wall_time: Optional[float] = None
@@ -224,28 +232,65 @@ class ChunkedLocalTrajectoryBuilder3D:
         scans = self._buffer
         self._buffer = []
         c = self._chunk
-        n = _round_up_multiple(max(s["points"].shape[0] for s in scans))
+        n = max(
+            self._pad_n,
+            _round_up_multiple(max(s["points"].shape[0] for s in scans)),
+        )
+        self._pad_n = n
         new_epoch = scans[0]["time"]
         epoch_shift = np.float32(new_epoch - self._epoch)
         self._epoch = new_epoch
+        q_scale = frontend_3d.point_quantization_scale(self._cfg)
+        max_range = self._options.max_range
+        clamp_r = 1.25 * max_range
 
-        m = 16
+        # IMU slots are PER-CHUNK (not sticky): the first chunk's backlog
+        # of pre-start samples would otherwise inflate the sequential
+        # tracker fold for the whole run; only ~2 program variants arise.
+        m = self._pad_imu
         while m < max((len(s["imu"]) for s in scans), default=1):
             m *= 2
-        scan_input = np.zeros((c, n, 5), np.float32)
-        scan_meta = np.zeros((c, 4), np.float32)
-        imu_input = np.zeros((c, m, 8), np.float32)
+        cfg_shape = dataclasses.replace(
+            self._cfg, max_imu_per_scan=m, chunk_size=c, num_points=n
+        )
+        o_points, o_times, o_meta, o_imu, total = frontend_3d.input_layout(
+            cfg_shape
+        )
+        buf = np.zeros(total, np.uint8)
+        scan_points = buf[o_points:o_times].view(np.int16).reshape(c, n, 3)
+        scan_times = buf[o_times:o_meta].view(np.uint16).reshape(c, n)
+        scan_meta = buf[o_meta:o_imu].view(np.float32).reshape(c, 7)
+        imu_input = buf[o_imu:].view(np.float32).reshape(c, m, 8)
         last_t = 0.0
-        has_misses = False
+        has_misses = self._sticky_misses
         for i, s in enumerate(scans):
             k = s["points"].shape[0]
-            scan_input[i, :k, :3] = s["points"][:, :3]
+            delta = s["points"][:, :3] - s["origin"][None, :]
+            r = np.linalg.norm(delta, axis=1)
+            if np.any(r > clamp_r):
+                # Beyond max_range only the ray direction matters (misses
+                # are cropped AT max_range; rigid unwarps preserve
+                # directions), so clamp to keep the int16 packing in bounds.
+                delta = delta * np.minimum(
+                    1.0, clamp_r / np.maximum(r, 1e-12)
+                )[:, None]
+            scan_points[i, :k] = np.clip(
+                np.round(delta / q_scale), -32767, 32767
+            ).astype(np.int16)
             abs_times = (s["time"] - new_epoch) + s["times"]
-            scan_input[i, :k, 3] = abs_times
-            scan_input[i, k:, 3] = abs_times[-1]
-            scan_input[i, :k, 4] = 1.0
+            t0 = float(abs_times[0])
+            span = float(max(abs_times[-1] - t0, 0.0))
+            if span > 0.0:
+                u = np.clip(
+                    np.round((abs_times - t0) / span * 65535.0), 0, 65535
+                ).astype(np.uint16)
+                scan_times[i, :k] = u
+                scan_times[i, k:] = u[-1]
             scan_meta[i, 0] = s["time"] - new_epoch
             scan_meta[i, 1:4] = s["origin"]
+            scan_meta[i, 4] = k
+            scan_meta[i, 5] = t0
+            scan_meta[i, 6] = span
             for j, d in enumerate(s["imu"]):
                 imu_input[i, j, 0] = d.time - new_epoch
                 imu_input[i, j, 1:4] = d.linear_acceleration
@@ -253,26 +298,30 @@ class ChunkedLocalTrajectoryBuilder3D:
                 imu_input[i, j, 7] = 1.0
             last_t = scan_meta[i, 0]
             if not has_misses:
-                d = s["points"][:, :3] - s["origin"][None, :]
-                has_misses = bool(
-                    np.any(
-                        np.linalg.norm(d, axis=1) > self._options.max_range
-                    )
-                )
+                has_misses = bool(np.any(r > max_range - 4.0 * q_scale))
         for i in range(len(scans), c):
-            scan_input[i, :, 3] = last_t
             scan_meta[i, 0] = last_t
+            scan_meta[i, 5] = last_t
 
-        cfg = dataclasses.replace(
-            self._cfg, has_misses=has_misses, max_imu_per_scan=m
-        )
-        state, fin, out_points, out_scalars = frontend_3d.run_chunk(
-            cfg, self._state, epoch_shift, scan_input, scan_meta, imu_input
+        self._sticky_misses = has_misses
+        cfg = dataclasses.replace(cfg_shape, has_misses=has_misses)
+        if not has_misses and (n, m) not in self._prewarmed:
+            # Pre-compile the miss-handling variant so the (inevitable)
+            # sticky upgrade is not a mid-run stall. Skipped off-TPU.
+            self._prewarmed.add((n, m))
+            import jax
+
+            if jax.default_backend() == "tpu":
+                frontend_3d.run_chunk(
+                    dataclasses.replace(cfg, has_misses=True),
+                    self._state, epoch_shift, buf,
+                )
+        state, fin, packed_out = frontend_3d.run_chunk(
+            cfg, self._state, epoch_shift, buf
         )
         self._state = state
         try:
-            out_points.copy_to_host_async()
-            out_scalars.copy_to_host_async()
+            packed_out.copy_to_host_async()
         except AttributeError:
             pass
         self._pending.append(
@@ -280,8 +329,8 @@ class ChunkedLocalTrajectoryBuilder3D:
                 "scans": scans,
                 "state": state,
                 "fin": fin,
-                "out_points": out_points,
-                "out_scalars": out_scalars,
+                "cfg": cfg,
+                "packed_out": packed_out,
             }
         )
 
@@ -289,10 +338,18 @@ class ChunkedLocalTrajectoryBuilder3D:
         p = self._pending.pop(0)
         scans = p["scans"]
         state = p["state"]
-        out_points = np.asarray(p["out_points"])  # [C, N, 7] or [C, N, 4]
-        has_misses = out_points.shape[-1] == 7
-        code_col = 6 if has_misses else 3
-        sc = np.asarray(p["out_scalars"])  # [C, 18]
+        cfg = p["cfg"]
+        packed = np.asarray(p["packed_out"])  # one flat fetch
+        c, n = cfg.chunk_size, cfg.num_points
+        has_misses = cfg.has_misses
+        o_sc, o_hits, o_code, o_miss, _ = frontend_3d.output_layout(cfg)
+        n_sc = len(frontend_3d.SCALARS)
+        sc = packed[o_sc:o_hits].view(np.float32).reshape(c, n_sc)
+        hits_q = packed[o_hits:o_code].view(np.int16).reshape(c, n, 3)
+        codes = packed[o_code:o_miss].reshape(c, n)
+        if has_misses:
+            miss_q = packed[o_miss:].view(np.int16).reshape(c, n, 3)
+        q_scale = float(frontend_3d.point_quantization_scale(cfg))
         S = frontend_3d.SIDX
         opts = self._options
 
@@ -308,16 +365,16 @@ class ChunkedLocalTrajectoryBuilder3D:
                 sc[i, S["g_qw"]: S["g_qz"] + 1].astype(np.float64)
             )
             pose_estimate = rigid3.make(est_t, est_q)
-            code = out_points[i, :, code_col].astype(np.int32)
+            code = codes[i].astype(np.int32)
             ret = (code & 1) > 0
-            hits_track = out_points[i, :, 0:3].astype(np.float64)
+            hits_track = hits_q[i].astype(np.float64) * q_scale
             ret_track = hits_track[ret]
             hits_local = (
                 rigid3.quat_rotate(est_q[None, :], ret_track) + est_t[None, :]
             )
             if has_misses:
                 mm = (code & 8) > 0
-                miss_track = out_points[i, mm, 3:6].astype(np.float64)
+                miss_track = miss_q[i, mm].astype(np.float64) * q_scale
                 miss_local = (
                     rigid3.quat_rotate(est_q[None, :], miss_track)
                     + est_t[None, :]

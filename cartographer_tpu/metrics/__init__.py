@@ -99,12 +99,21 @@ class FamilyFactory:
     def __init__(self, real: bool = False):
         self._real = real
         self._registry: Dict[str, object] = {}
+        self._meta: Dict[str, tuple] = {}
 
     def counter(self, name: str, description: str = "") -> Counter:
-        return self._get(name, lambda: _RealCounter() if self._real else Counter())
+        return self._get(
+            name,
+            lambda: _RealCounter() if self._real else Counter(),
+            "counter", description,
+        )
 
     def gauge(self, name: str, description: str = "") -> Gauge:
-        return self._get(name, lambda: _RealGauge() if self._real else Gauge())
+        return self._get(
+            name,
+            lambda: _RealGauge() if self._real else Gauge(),
+            "gauge", description,
+        )
 
     def histogram(
         self, name: str, description: str = "", boundaries: Optional[Sequence[float]] = None
@@ -114,12 +123,20 @@ class FamilyFactory:
             lambda: _RealHistogram(boundaries or score_histogram_boundaries(0, 1))
             if self._real
             else HistogramMetric(),
+            "histogram", description,
         )
 
-    def _get(self, name, ctor):
+    def _get(self, name, ctor, kind: str = "", description: str = ""):
         if name not in self._registry:
             self._registry[name] = ctor()
+            self._meta[name] = (kind, description)
         return self._registry[name]
+
+    def registry(self) -> Dict[str, object]:
+        return dict(self._registry)
+
+    def meta(self, name: str):
+        return self._meta.get(name, ("", ""))
 
 
 _factory = FamilyFactory(real=False)

@@ -183,6 +183,16 @@ class FrontendConfig3D:
     # Whether any scan in the chunk has points beyond max_range (ranges are
     # invariant under the rigid unwarp, so the host knows before dispatch).
     has_misses: bool = True
+    # Static bound on each matching cloud (high/low) handed to the LM
+    # matcher; the adaptive filters target ~100-200 points, so the caps are
+    # ample — overflow drops the excess from MATCHING only.
+    match_max_points: int = 512
+    # Packed-transfer geometry (see input_layout/output_layout).
+    chunk_size: int = 0
+    num_points: int = 0
+    # Debug: comma-separated stages to stub out when isolating perf
+    # ("voxel", "adaptive", "match", "insert"). Not for production use.
+    disable: str = ""
 
 
 def _scan_body(cfg: FrontendConfig3D, carry, x):
@@ -217,9 +227,16 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
         )[:, None] * delta
 
     # -- voxel filter in the LOCAL frame --------------------------------------
-    ret_mask = fc.voxel_first_mask(hits_w, as_return, cfg.voxel_filter_size)
-    if cfg.has_misses:
-        miss_mask = fc.voxel_first_mask(miss_w, as_miss, cfg.voxel_filter_size)
+    if "voxel" in cfg.disable:
+        ret_mask = as_return
+        if cfg.has_misses:
+            miss_mask = as_miss
+    else:
+        ret_mask = fc.voxel_first_mask(hits_w, as_return, cfg.voxel_filter_size)
+        if cfg.has_misses:
+            miss_mask = fc.voxel_first_mask(
+                miss_w, as_miss, cfg.voxel_filter_size
+            )
 
     # -- pose prediction (extrapolate_pose(t_scan)) ----------------------------
     dt_s = t_scan - state.newest_t
@@ -231,18 +248,22 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
     # -- tracking frame + adaptive filters -------------------------------------
     hits_track = fc.qrot(fc.qconj(pred_q)[None, :], hits_w - pred_t[None, :])
     rr = jnp.linalg.norm(hits_track, axis=1)
-    high_mask = fc.adaptive_voxel_mask(
-        hits_track,
-        ret_mask & (rr <= cfg.hi_avf_max_range),
-        cfg.hi_avf_max_length,
-        cfg.hi_avf_min_num_points,
-    )
-    low_mask = fc.adaptive_voxel_mask(
-        hits_track,
-        ret_mask & (rr <= cfg.lo_avf_max_range),
-        cfg.lo_avf_max_length,
-        cfg.lo_avf_min_num_points,
-    )
+    if "adaptive" in cfg.disable:
+        high_mask = ret_mask & (rr <= cfg.hi_avf_max_range)
+        low_mask = ret_mask & (rr <= cfg.lo_avf_max_range)
+    else:
+        high_mask = fc.adaptive_voxel_mask(
+            hits_track,
+            ret_mask & (rr <= cfg.hi_avf_max_range),
+            cfg.hi_avf_max_length,
+            cfg.hi_avf_min_num_points,
+        )
+        low_mask = fc.adaptive_voxel_mask(
+            hits_track,
+            ret_mask & (rr <= cfg.lo_avf_max_range),
+            cfg.lo_avf_max_length,
+            cfg.lo_avf_min_num_points,
+        )
     matched = (
         active & jnp.any(ret_mask) & jnp.any(high_mask) & jnp.any(low_mask)
     )
@@ -254,28 +275,41 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
     init_t = fc.qrot(fc.qconj(aq0), pred_t - at0)
     high_origin = jnp.full((3,), -half_high, jnp.float32)
     low_origin = jnp.full((3,), -half_low, jnp.float32)
-    packed = gauss_newton_3d._match_3d_impl(
-        state.high_values[0],
-        high_origin,
-        state.low_values[0],
-        low_origin,
-        init_t,
-        init_q,
-        init_t,
-        hits_track,
-        high_mask,
-        hits_track,
-        low_mask,
-        cfg.high_resolution,
-        cfg.low_resolution,
-        cfg.occupied_space_weight_0,
-        cfg.occupied_space_weight_1,
-        cfg.translation_weight,
-        cfg.rotation_weight,
-        cfg.gn_iterations,
-        cfg.only_optimize_yaw,
-    )
-    gn_t, gn_q = packed[:3], packed[3:7]
+    # Compact each matching cloud to its adaptive-filtered points (stable
+    # order): the LM matcher's per-iteration voxel gathers scale with the
+    # point count, and the adaptive clouds are ~10% of the padded scan.
+    m_cap = min(cfg.match_max_points, hits_track.shape[0])
+    sel_hi = jnp.argsort(~high_mask, stable=True)[:m_cap]
+    sel_lo = jnp.argsort(~low_mask, stable=True)[:m_cap]
+    hi_pts = hits_track[sel_hi]
+    hi_m = high_mask[sel_hi]
+    lo_pts = hits_track[sel_lo]
+    lo_m = low_mask[sel_lo]
+    if "match" in cfg.disable:
+        gn_t, gn_q = init_t, init_q
+    else:
+        packed = gauss_newton_3d._match_3d_impl(
+            state.high_values[0],
+            high_origin,
+            state.low_values[0],
+            low_origin,
+            init_t,
+            init_q,
+            init_t,
+            hi_pts,
+            hi_m,
+            lo_pts,
+            lo_m,
+            cfg.high_resolution,
+            cfg.low_resolution,
+            cfg.occupied_space_weight_0,
+            cfg.occupied_space_weight_1,
+            cfg.translation_weight,
+            cfg.rotation_weight,
+            cfg.gn_iterations,
+            cfg.only_optimize_yaw,
+        )
+        gn_t, gn_q = packed[:3], packed[3:7]
     use_gn = state.slot_valid[0] & matched
     sub_t = jnp.where(use_gn, gn_t, init_t)
     sub_q = jnp.where(use_gn, gn_q, init_q)
@@ -351,19 +385,23 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
     pop = need_new & state.slot_valid[1]
     created = need_first | need_new
 
+    # The ring write is UNconditional: every scan writes the current slot-0
+    # volume at position cnt, and cnt only advances on pop — so the last
+    # write at each position is exactly the popped (finished) grid, and
+    # positions >= final count are never read. This avoids reading and
+    # select-merging the 16 MB ring slot every scan.
     cnt = fin["count"]
     fin = {
         "count": cnt + pop.astype(jnp.int32),
-        "high": fin["high"].at[cnt].set(
-            jnp.where(pop, state.high_values[0], fin["high"][cnt])
-        ),
-        "low": fin["low"].at[cnt].set(
-            jnp.where(pop, state.low_values[0], fin["low"][cnt])
-        ),
+        "high": fin["high"].at[cnt].set(state.high_values[0]),
+        "low": fin["low"].at[cnt].set(state.low_values[0]),
     }
 
     zero_high = jnp.zeros_like(state.high_values[0])
     zero_low = jnp.zeros_like(state.low_values[0])
+    # need_first implies slot 0 was never written (still the zero volume
+    # from init), so no explicit zeroing of the volumes is needed — one
+    # fused select per volume covers the rotation.
     high_values = jnp.where(
         pop, jnp.stack([state.high_values[1], zero_high]), state.high_values
     )
@@ -379,10 +417,6 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
     counts = jnp.where(
         pop, jnp.stack([state.counts[1], jnp.int32(0)]), state.counts
     )
-    high_values = jnp.where(
-        need_first, high_values.at[0].set(zero_high), high_values
-    )
-    low_values = jnp.where(need_first, low_values.at[0].set(zero_low), low_values)
     anchor_t = jnp.where(need_first, anchor_t.at[0].set(est_xyz), anchor_t)
     anchor_q = jnp.where(need_first, anchor_q.at[0].set(lfga), anchor_q)
     counts = jnp.where(need_first, counts.at[0].set(0), counts)
@@ -423,22 +457,23 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
         )
 
     slot_insert = slot_valid & insert
-    high_values = jax.vmap(
-        functools.partial(
-            insert_slot,
-            resolution=cfg.high_resolution,
-            half=half_high,
-            valid=ret_mask & near,
-        )
-    )(high_values, anchor_t, anchor_q, slot_insert)
-    low_values = jax.vmap(
-        functools.partial(
-            insert_slot,
-            resolution=cfg.low_resolution,
-            half=half_low,
-            valid=ret_mask,
-        )
-    )(low_values, anchor_t, anchor_q, slot_insert)
+    if "insert" not in cfg.disable:
+        high_values = jax.vmap(
+            functools.partial(
+                insert_slot,
+                resolution=cfg.high_resolution,
+                half=half_high,
+                valid=ret_mask & near,
+            )
+        )(high_values, anchor_t, anchor_q, slot_insert)
+        low_values = jax.vmap(
+            functools.partial(
+                insert_slot,
+                resolution=cfg.low_resolution,
+                half=half_low,
+                valid=ret_mask,
+            )
+        )(low_values, anchor_t, anchor_q, slot_insert)
     counts = counts + slot_insert.astype(jnp.int32)
     finished = slot_valid[0] & insert & (counts[0] == 2 * cfg.num_range_data)
 
@@ -484,23 +519,57 @@ SCALARS = (
 SIDX = {k: i for i, k in enumerate(SCALARS)}
 
 
+def input_layout(cfg: FrontendConfig3D):
+    """Byte offsets of the sections inside the packed input buffer:
+    (points i16 [C,N,3], times u16 [C,N], meta f32 [C,7],
+    imu f32 [C,M,8], total_bytes)."""
+    c, n, m = cfg.chunk_size, cfg.num_points, cfg.max_imu_per_scan
+    o_points = 0
+    o_times = o_points + c * n * 6
+    o_meta = o_times + c * n * 2
+    o_imu = o_meta + c * 28
+    total = o_imu + c * m * 32
+    return o_points, o_times, o_meta, o_imu, total
+
+
+def output_layout(cfg: FrontendConfig3D):
+    """Byte offsets in the packed output buffer: scalars f32
+    [C, len(SCALARS)], hits i16 [C,N,3] (tracking frame, quantized),
+    code u8 [C,N] (bitmask: 1 voxel-filtered return, +2 high-res adaptive,
+    +4 low-res adaptive, +8 miss), then — only when cfg.has_misses —
+    misses i16 [C,N,3]; finally total_bytes."""
+    c, n = cfg.chunk_size, cfg.num_points
+    o_scalars = 0
+    o_hits = o_scalars + c * len(SCALARS) * 4
+    o_code = o_hits + c * n * 6
+    o_miss = o_code + c * n
+    total = o_miss + (c * n * 6 if cfg.has_misses else 0)
+    return o_scalars, o_hits, o_code, o_miss, total
+
+
+def point_quantization_scale(cfg: FrontendConfig3D) -> float:
+    """Meters per int16 step for the packed host<->device transfers (3D
+    misses are cropped AT max_range, so 1.5x max_range bounds both the
+    upload deltas — host clamps to 1.25x — and the tracking-frame
+    outputs). ~0.2 mm error at 10 m range, ~1.4 mm at 60 m: below the 1 mm
+    node-cloud compression granularity the reference uses at short range
+    and far below sensor noise at long range."""
+    return 1.5 * cfg.max_range / 32767.0
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def run_chunk(
     cfg: FrontendConfig3D,
     state: FrontendState3D,
     epoch_shift: jax.Array,  # f32; subtracted from all state times
-    scan_input: jax.Array,  # f32 [C, N, 5]: x, y, z, point_time, valid
-    scan_meta: jax.Array,  # f32 [C, 4]: t_scan, sensor origin xyz
-    imu_input: jax.Array,  # f32 [C, M, 8]: time, acc xyz, gyro xyz, valid
+    packed_input: jax.Array,  # uint8 [input_layout(cfg).total]
 ):
-    """Process a chunk of C scans; one upload + one packed download.
+    """Process a chunk of C scans; one flat uint8 upload + one flat uint8
+    download (input_layout/output_layout). Same packed-transfer rationale
+    as ops/frontend_2d.run_chunk: a remote-attached TPU pays per-array
+    round trips and tiled-layout conversions on typed transfers.
 
-    Returns (state, fin, out_points, out_scalars):
-      out_points: [C, N, 7] (tracking-frame hit xyz, tracking-frame miss
-        xyz, mask code) when cfg.has_misses, else [C, N, 4]; code is a
-        bitmask: 1 return (voxel-filtered), +2 high-res adaptive cloud,
-        +4 low-res adaptive cloud, +8 miss.
-      out_scalars: [C, 18], see SCALARS.
+    Returns (state, fin, packed_out).
     """
     state = state.replace(
         older_t=state.older_t - epoch_shift,
@@ -508,7 +577,17 @@ def run_chunk(
         last_extrap_t=state.last_extrap_t - epoch_shift,
         mf_t=state.mf_t - epoch_shift,
     )
-    c = scan_input.shape[0]
+    c, n, mi = cfg.chunk_size, cfg.num_points, cfg.max_imu_per_scan
+    o_points, o_times, o_meta, o_imu, _ = input_layout(cfg)
+    bc = jax.lax.bitcast_convert_type
+    scan_points = bc(
+        packed_input[o_points:o_times].reshape(c, n, 3, 2), jnp.int16
+    )
+    scan_times = bc(packed_input[o_times:o_meta].reshape(c, n, 2), jnp.uint16)
+    scan_meta = bc(packed_input[o_meta:o_imu].reshape(c, 7, 4), jnp.float32)
+    imu_input = bc(packed_input[o_imu:].reshape(c, mi, 8, 4), jnp.float32)
+    q_scale = jnp.float32(point_quantization_scale(cfg))
+
     r = c // cfg.num_range_data + 1
     gh, gl = cfg.high_grid_size, cfg.low_grid_size
     fin0 = {
@@ -516,11 +595,20 @@ def run_chunk(
         "high": jnp.zeros((r, gh, gh, gh), jnp.int8),
         "low": jnp.zeros((r, gl, gl, gl), jnp.int8),
     }
-    points = scan_input[:, :, :3]
-    ptimes = scan_input[:, :, 3]
-    pmask = scan_input[:, :, 4] > 0.5
     t_scan = scan_meta[:, 0]
     sensor_origin = scan_meta[:, 1:4]
+    counts_in = scan_meta[:, 4].astype(jnp.int32)
+    t0s = scan_meta[:, 5]
+    spans = scan_meta[:, 6]
+    points = (
+        sensor_origin[:, None, :] + scan_points.astype(jnp.float32) * q_scale
+    )
+    ptimes = t0s[:, None] + scan_times.astype(jnp.float32) * (
+        spans[:, None] / 65535.0
+    )
+    pmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, n), 1) < counts_in[:, None]
+    )
     imu = (
         imu_input[:, :, 0],
         imu_input[:, :, 1:4],
@@ -536,19 +624,16 @@ def run_chunk(
     )
 
     code = (
-        outs["ret_mask"].astype(jnp.float32)
-        + 2.0 * outs["high_mask"].astype(jnp.float32)
-        + 4.0 * outs["low_mask"].astype(jnp.float32)
+        outs["ret_mask"].astype(jnp.uint8)
+        + 2 * outs["high_mask"].astype(jnp.uint8)
+        + 4 * outs["low_mask"].astype(jnp.uint8)
     )
     if cfg.has_misses:
-        code = code + 8.0 * outs["miss_mask"].astype(jnp.float32)
-        out_points = jnp.concatenate(
-            [outs["hits_track"], outs["miss_track"], code[..., None]], axis=-1
-        )
-    else:
-        out_points = jnp.concatenate(
-            [outs["hits_track"], code[..., None]], axis=-1
-        )
+        code = code + 8 * outs["miss_mask"].astype(jnp.uint8)
+
+    def q16(a):
+        return jnp.clip(jnp.round(a / q_scale), -32767, 32767).astype(jnp.int16)
+
     f = lambda k: outs[k].astype(jnp.float32)
     out_scalars = jnp.stack(
         [
@@ -564,4 +649,9 @@ def run_chunk(
         ],
         axis=1,
     )
-    return state, fin, out_points, out_scalars
+    bc_u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+    parts = [bc_u8(out_scalars), bc_u8(q16(outs["hits_track"])), code.reshape(-1)]
+    if cfg.has_misses:
+        parts.append(bc_u8(q16(outs["miss_track"])))
+    packed_out = jnp.concatenate(parts)
+    return state, fin, packed_out

@@ -56,6 +56,74 @@ def _quat_rotate(q, v):
     return v + qw * t + jnp.cross(qv, t)
 
 
+def _corners_pack(prob, origin, res, points, t, q):
+    """Gather the 8 interpolation corners (as probabilities, OOB-filled)
+    plus the integer voxel indices at pose (t, q). The corners are
+    piecewise constant in the pose — carrying them across LM iterations
+    makes the grid read cost ONE gather set per iteration (extraction at
+    the candidate pose) instead of one per residual/Jacobian/cost
+    evaluation; the Jacobian through the frozen corners equals jacfwd of
+    the full residual at the extraction pose."""
+    d, h, ww = prob.shape
+    is_int8 = prob.dtype == jnp.int8
+    world = _quat_rotate(q[None, :], points) + t[None, :]
+    u = (world[:, 0] - origin[0]) / res
+    v = (world[:, 1] - origin[1]) / res
+    w = (world[:, 2] - origin[2]) / res
+    iu = jnp.floor(u).astype(jnp.int32)
+    iv = jnp.floor(v).astype(jnp.int32)
+    iw = jnp.floor(w).astype(jnp.int32)
+
+    def corner(dz, dy, dx):
+        zi, yi, xi = iw + dz, iv + dy, iu + dx
+        oob = (xi < 0) | (xi >= ww) | (yi < 0) | (yi >= h) | (zi < 0) | (zi >= d)
+        vals = prob[
+            jnp.clip(zi, 0, d - 1), jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, ww - 1)
+        ]
+        if is_int8:
+            from cartographer_tpu.mapping.hybrid_grid import LOG_ODDS_SCALE
+
+            l = vals.astype(jnp.float32) * LOG_ODDS_SCALE
+            vals = jnp.where(
+                vals != 0,
+                1.0 / (1.0 + jnp.exp(-l)),
+                pv.MIN_PROBABILITY,
+            )
+        return jnp.where(oob, pv.MIN_PROBABILITY, vals)
+
+    corners = jnp.stack(
+        [
+            corner(0, 0, 0), corner(0, 0, 1), corner(0, 1, 0), corner(0, 1, 1),
+            corner(1, 0, 0), corner(1, 0, 1), corner(1, 1, 0), corner(1, 1, 1),
+        ]
+    )  # [8, N]
+    return (iu, iv, iw, jax.lax.stop_gradient(corners))
+
+
+def _corners_eval(pack, origin, res, points, t, q):
+    """Smoothstep trilinear interpolation from carried corners;
+    differentiable in (t, q) through the fractional coordinates only."""
+    iu, iv, iw, c = pack
+    world = _quat_rotate(q[None, :], points) + t[None, :]
+    u = (world[:, 0] - origin[0]) / res
+    v = (world[:, 1] - origin[1]) / res
+    w = (world[:, 2] - origin[2]) / res
+
+    def smooth(t_):
+        return t_ * t_ * (3.0 - 2.0 * t_)
+
+    tx = smooth(u - iu.astype(jnp.float32))
+    ty = smooth(v - iv.astype(jnp.float32))
+    tz = smooth(w - iw.astype(jnp.float32))
+    c00 = c[0] + (c[1] - c[0]) * tx
+    c01 = c[2] + (c[3] - c[2]) * tx
+    c10 = c[4] + (c[5] - c[4]) * tx
+    c11 = c[6] + (c[7] - c[6]) * tx
+    c0 = c00 + (c01 - c00) * ty
+    c1 = c10 + (c11 - c10) * ty
+    return c0 + (c1 - c0) * tz
+
+
 def interp_smoothstep_3d(prob: jax.Array, u, v, w):
     """Smoothstep tensor-product interpolation of prob [D, H, W] at
     fractional cell coords (u: x/col, v: y/row, w: z/depth); voxel centers at
@@ -144,12 +212,15 @@ def match_3d_intensity(
     interpolated average-intensity grid and the measured intensity, for
     points below the intensity threshold)."""
 
-    def intensity_residual(t, q):
-        world = _quat_rotate(q[None, :], high_points) + t[None, :]
-        u = (world[:, 0] - high_origin[0]) / high_resolution
-        v = (world[:, 1] - high_origin[1]) / high_resolution
-        w = (world[:, 2] - high_origin[2]) / high_resolution
-        interp = interp_smoothstep_3d(intensity_avg, u, v, w)
+    def intensity_extract(t, q):
+        return _corners_pack(
+            intensity_avg, high_origin, high_resolution, high_points, t, q
+        )
+
+    def intensity_residual(t, q, pack):
+        interp = _corners_eval(
+            pack, high_origin, high_resolution, high_points, t, q
+        )
         n_used = jnp.maximum(
             jnp.sum(high_mask & (high_intensities <= intensity_threshold)), 1
         ).astype(jnp.float32)
@@ -178,7 +249,7 @@ def match_3d_intensity(
         occupied_space_weight_0, occupied_space_weight_1,
         translation_weight, rotation_weight,
         max_iterations, only_optimize_yaw,
-        extra_residual=intensity_residual,
+        extra_block=(intensity_extract, intensity_residual),
     )
 
 
@@ -215,7 +286,7 @@ def match_3d(
         occupied_space_weight_0, occupied_space_weight_1,
         translation_weight, rotation_weight,
         max_iterations, only_optimize_yaw,
-        extra_residual=None,
+        extra_block=None,
     )
 
 
@@ -239,38 +310,51 @@ def _match_3d_impl(
     rotation_weight,
     max_iterations,
     only_optimize_yaw,
-    extra_residual=None,
+    extra_block=None,
 ):
+    """LM loop with carried interpolation corners (see _corners_pack) and
+    Ceres-style early exit (function_tolerance 1e-6 / collapsed trust
+    region), so the grid read costs ONE gather set per iteration.
+    extra_block = (extract(t, q) -> pack, residual(t, q, pack) -> [R])."""
     n0 = jnp.maximum(jnp.sum(high_mask), 1).astype(jnp.float32)
     n1 = jnp.maximum(jnp.sum(low_mask), 1).astype(jnp.float32)
     w0 = occupied_space_weight_0 / jnp.sqrt(n0)
     w1 = occupied_space_weight_1 / jnp.sqrt(n1)
 
-    def occupied_residual(t, q, prob, origin, points, mask, res, weight):
-        # Voxel centers at origin + idx * res (reference GetCellIndex uses
-        # RoundToInt), so the fractional cell coordinate is (x - origin)/res.
-        world = _quat_rotate(q[None, :], points) + t[None, :]
-        u = (world[:, 0] - origin[0]) / res
-        v = (world[:, 1] - origin[1]) / res
-        w = (world[:, 2] - origin[2]) / res
-        p = interp_smoothstep_3d(prob, u, v, w)
-        return jnp.where(mask, weight * (1.0 - p), 0.0)
-
-    def residuals(x):
+    def decode(x):
         t = x[:3]
         r = x[3:6]
         if only_optimize_yaw:
             r = r * jnp.asarray([0.0, 0.0, 1.0])
         q = _quat_multiply(initial_quat, _quat_exp(r))
-        q = q / jnp.linalg.norm(q)
-        occ0 = occupied_residual(
-            t, q, high_prob, high_origin, high_points, high_mask,
-            high_resolution, w0,
+        return t, q / jnp.linalg.norm(q), r
+
+    def extract_all(x):
+        t, q, _ = decode(x)
+        packs = [
+            _corners_pack(
+                high_prob, high_origin, high_resolution, high_points, t, q
+            ),
+            _corners_pack(
+                low_prob, low_origin, low_resolution, low_points, t, q
+            ),
+        ]
+        if extra_block is not None:
+            packs.append(extra_block[0](t, q))
+        return tuple(packs)
+
+    def residuals_given(x, packs):
+        t, q, r = decode(x)
+        # Voxel centers at origin + idx * res (reference GetCellIndex uses
+        # RoundToInt), so the fractional cell coordinate is (x - origin)/res.
+        p0 = _corners_eval(
+            packs[0], high_origin, high_resolution, high_points, t, q
         )
-        occ1 = occupied_residual(
-            t, q, low_prob, low_origin, low_points, low_mask,
-            low_resolution, w1,
+        p1 = _corners_eval(
+            packs[1], low_origin, low_resolution, low_points, t, q
         )
+        occ0 = jnp.where(high_mask, w0 * (1.0 - p0), 0.0)
+        occ1 = jnp.where(low_mask, w1 * (1.0 - p1), 0.0)
         extra = jnp.concatenate(
             [
                 translation_weight * (t - target_translation),
@@ -278,40 +362,49 @@ def _match_3d_impl(
             ]
         )
         parts = [occ0, occ1, extra]
-        if extra_residual is not None:
-            parts.append(extra_residual(t, q))
+        if extra_block is not None:
+            parts.append(extra_block[1](t, q, packs[2]))
         return jnp.concatenate(parts)
 
-    def cost_of(x):
-        rr = residuals(x)
+    def cost_of(x, packs):
+        rr = residuals_given(x, packs)
         return 0.5 * jnp.sum(rr * rr)
 
-    def step(carry, _):
-        x, lam, cost = carry
-        r = residuals(x)
-        jac = jax.jacfwd(residuals)(x)
+    def cond(carry):
+        x, packs, lam, cost, it, done = carry
+        return (it < max_iterations) & ~done
+
+    def step(carry):
+        x, packs, lam, cost, it, done = carry
+        r = residuals_given(x, packs)
+        jac = jax.jacfwd(residuals_given)(x, packs)
         jtj = jac.T @ jac
         jtr = jac.T @ r
         damped = jtj + lam * jnp.diag(jnp.diag(jtj) + 1e-9)
         delta = -solve_spd_small(damped, jtr)
         new_x = x + delta
-        new_cost = cost_of(new_x)
+        new_packs = extract_all(new_x)
+        new_cost = cost_of(new_x, new_packs)
         accept = new_cost < cost
+        converged = (accept & (cost - new_cost <= 1e-6 * cost)) | (
+            ~accept & (lam > 1e3)
+        )
         x = jnp.where(accept, new_x, x)
+        packs = jax.tree.map(
+            lambda new, old: jnp.where(accept, new, old), new_packs, packs
+        )
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0)
-        return (x, lam, cost), None
+        return (x, packs, lam, cost, it + 1, converged)
 
     x0 = jnp.concatenate([initial_translation, jnp.zeros(3, jnp.float32)])
-    (x, _, cost), _ = jax.lax.scan(
-        step, (x0, jnp.float32(1e-4), cost_of(x0)), None, length=max_iterations
+    packs0 = extract_all(x0)
+    init = (
+        x0, packs0, jnp.float32(1e-4), cost_of(x0, packs0),
+        jnp.int32(0), jnp.asarray(False),
     )
-    t = x[:3]
-    r = x[3:6]
-    if only_optimize_yaw:
-        r = r * jnp.asarray([0.0, 0.0, 1.0])
-    q = _quat_multiply(initial_quat, _quat_exp(r))
-    q = q / jnp.linalg.norm(q)
+    x, _, _, cost, _, _ = jax.lax.while_loop(cond, step, init)
+    t, q, _ = decode(x)
     # One packed result vector: the host pays a single device->host round
     # trip per scan (the link to a remote-attached TPU is latency-bound).
     return jnp.concatenate([t, q, cost[None]])
