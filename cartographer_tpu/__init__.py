@@ -13,3 +13,28 @@ handles sensor collation, configuration and pose-graph bookkeeping.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX at a persistent compilation cache unless the user already
+    configured one. TPU programs here are large (whole-pipeline chunk
+    programs) and the accelerator may sit behind a remote compile service,
+    so cold compiles cost 10-300 s per program; the cache makes every
+    process after the first start instantly."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.abspath(cache_dir)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()

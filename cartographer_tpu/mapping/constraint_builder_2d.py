@@ -73,6 +73,9 @@ class ConstraintBuilder2D:
         self._score_histogram = Histogram()
         self._num_finished_nodes = 0
         self._submap_local_poses: Dict[SubmapId, np.ndarray] = {}
+        # Device-resident node clouds: a node is searched against many
+        # submaps (and by MatchFullSubmap), so its cloud is uploaded once.
+        self._node_clouds: Dict[NodeId, tuple] = {}
 
     def _sampler(self, submap_id: SubmapId) -> FixedRatioSampler:
         if submap_id not in self._samplers:
@@ -143,10 +146,14 @@ class ConstraintBuilder2D:
             metrics.constraints_searched.increment()
             matcher = self._matcher(search.submap_id)
             cloud = search.constant_data.filtered_gravity_aligned_point_cloud
+            staged = self._node_clouds.get(search.node_id)
+            if staged is None or staged[0].shape[0] < cloud.shape[0]:
+                staged = FastCorrelativeScanMatcher2D.stage_points(cloud)
+                self._node_clouds[search.node_id] = staged
             if search.initial_relative_pose is None:
                 packed, ctx = matcher.match_device(
                     None, cloud, self._options.global_localization_min_score,
-                    full_submap=True,
+                    full_submap=True, device_points=staged,
                 )
             else:
                 initial_pose = rigid2.compose(
@@ -154,7 +161,8 @@ class ConstraintBuilder2D:
                     search.initial_relative_pose,
                 )
                 packed, ctx = matcher.match_device(
-                    initial_pose, cloud, self._options.min_score
+                    initial_pose, cloud, self._options.min_score,
+                    device_points=staged,
                 )
             dispatched.append((search, ctx, packed))
         all_bnb = np.asarray(jnp.stack([p for _, _, p in dispatched]))

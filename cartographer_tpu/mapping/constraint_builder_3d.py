@@ -53,6 +53,9 @@ class ConstraintBuilder3D:
         self._score_histogram = Histogram()
         self._rotational_score_histogram = Histogram()
         self._low_resolution_score_histogram = Histogram()
+        # Device-resident node clouds (uploaded once per node, reused
+        # across every submap it is searched against).
+        self._node_clouds: Dict[NodeId, tuple] = {}
 
     def _sampler(self, submap_id: SubmapId) -> FixedRatioSampler:
         if submap_id not in self._samplers:
@@ -131,6 +134,13 @@ class ConstraintBuilder3D:
             metrics.constraints_searched.increment()
             matcher = self._matcher(search.submap_id)
             cd = search.constant_data
+            staged = self._node_clouds.get(search.node_id)
+            if staged is None:
+                staged = FastCorrelativeScanMatcher3D.stage_points(
+                    cd.high_resolution_point_cloud,
+                    cd.low_resolution_point_cloud,
+                )
+                self._node_clouds[search.node_id] = staged
             if search.global_node_pose is None:
                 initial = rigid3.make(
                     np.zeros(3), rigid3.quat_conjugate(cd.gravity_alignment)
@@ -143,6 +153,7 @@ class ConstraintBuilder3D:
                     cd.low_resolution_point_cloud,
                     self._options.global_localization_min_score,
                     full_submap=True,
+                    device_points=staged,
                 )
             else:
                 d = matcher.match_device(
@@ -152,6 +163,7 @@ class ConstraintBuilder3D:
                     cd.high_resolution_point_cloud,
                     cd.low_resolution_point_cloud,
                     self._options.min_score,
+                    device_points=staged,
                 )
             if d is not None:  # None: yaw pruning rejected every candidate
                 dispatched.append((search, d[1], d[0]))

@@ -120,9 +120,12 @@ def _score_cands(pool, ix, iy, pmask, a, x, y, valid):
 )
 def bnb_search(
     pyramid: jax.Array,  # [depth, H, W]
-    ix: jax.Array,  # [A, N] int32 discretized scan per angle
-    iy: jax.Array,  # [A, N]
+    points: jax.Array,  # [N, 2] raw scan points (gravity-aligned frame)
     pmask: jax.Array,  # [N]
+    angles: jax.Array,  # [A] candidate rotations (padded; extra rows unused)
+    initial_pose: jax.Array,  # f32 [3] (x, y, initial rotation)
+    origin: jax.Array,  # f32 [2] grid origin
+    resolution: jax.Array,  # f32
     a0: jax.Array,  # [K0] initial candidate angle indices
     x0: jax.Array,  # [K0] initial x offsets (cells)
     y0: jax.Array,  # [K0]
@@ -133,12 +136,25 @@ def bnb_search(
     beam: int = 8192,
     leaf_probe: int = 256,
 ):
-    """The whole level-synchronous branch-and-bound on device: score ->
+    """The whole level-synchronous branch-and-bound on device: rotate +
+    discretize every candidate angle (GenerateRotatedScans/DiscretizeScans
+    — done here so the host uploads the RAW cloud, ~100x smaller, and the
+    angle axis can be padded for compile-cache stability), then score ->
     leaf-probe (true lower bounds) -> prune -> beam top-k -> expand, for
     every level, with a single (score, angle, x, y) result — one host
     round trip per search instead of one per level. Exact while the beam
     cap does not bind (pooled bounds are admissible; leaf probing only
     tightens the incumbent)."""
+    # DiscretizeScans on device: world point = rot(initial_rotation +
+    # angle) @ p + initial_translation.
+    full_angles = initial_pose[2] + angles  # [A]
+    ca, sa = jnp.cos(full_angles)[:, None], jnp.sin(full_angles)[:, None]
+    px, py = points[None, :, 0], points[None, :, 1]
+    wx = ca * px - sa * py + initial_pose[0]
+    wy = sa * px + ca * py + initial_pose[1]
+    ix = jnp.floor((wx - origin[0]) / resolution).astype(jnp.int32)
+    iy = jnp.floor((wy - origin[1]) / resolution).astype(jnp.int32)
+
     best_score = jnp.float32(min_score)
     best = jnp.array([-1, 0, 0], jnp.int32)
     a, x, y, valid = a0, x0, y0, m0
@@ -241,11 +257,14 @@ class FastCorrelativeScanMatcher2D:
         point_cloud: np.ndarray,
         min_score: float,
         full_submap: bool = False,
+        device_points=None,
     ):
         """Dispatch the search; returns (packed device array [4], decode
         context). The host pays no round trip until the packed result is
         fetched — callers batching many searches stack the packed vectors
-        and fetch once (constraint_builder_2d.run_pending)."""
+        and fetch once (constraint_builder_2d.run_pending). Pass
+        `device_points` (from stage_points) to reuse a node cloud already
+        resident on device."""
         opts = self._options
         if full_submap:
             center = self._origin + 0.5 * self._resolution * np.array(
@@ -254,10 +273,12 @@ class FastCorrelativeScanMatcher2D:
             return self._dispatch_window(
                 rigid2.make(center, 0.0), point_cloud, min_score,
                 1e6 * self._resolution, math.pi,
+                device_points=device_points,
             )
         return self._dispatch_window(
             initial_pose_estimate, point_cloud, min_score,
             opts.linear_search_window, opts.angular_search_window,
+            device_points=device_points,
         )
 
     @staticmethod
@@ -297,35 +318,32 @@ class FastCorrelativeScanMatcher2D:
         min_score: float,
         linear_search_window: float,
         angular_search_window: float,
+        device_points=None,
     ):
+        """Rotation/discretization happen ON DEVICE (bnb_search): the host
+        uploads only the raw cloud (or reuses `device_points`, a cached
+        [Npad, 2] f32 device array with its mask), and the angle axis is
+        padded to a power of two so the search program compiles once per
+        (A_pad, N_pad, depth) instead of once per data-dependent angle
+        count."""
         initial_rotation = float(initial_pose_estimate[2])
-        rot = rigid2.make(np.zeros(2), initial_rotation)
-        rotated = rigid2.apply(rot, np.asarray(point_cloud[:, :2], np.float64))
+        # Rotation preserves norms: the angular step needs only |p|.
+        pts = np.asarray(point_cloud[:, :2], np.float32)
         max_scan_range = float(
-            np.max(np.linalg.norm(rotated, axis=1), initial=3.0 * self._resolution)
+            np.max(np.linalg.norm(pts, axis=1), initial=3.0 * self._resolution)
         )
         step = compute_angular_step(self._resolution, max_scan_range)
         num_angular = int(math.ceil(angular_search_window / step))
         num_scans = 2 * num_angular + 1
         angles = (np.arange(num_scans) - num_angular) * step
+        angles_p, _ = _pad_pow2(angles.astype(np.float32), 32)
 
-        # Discretize every rotated scan once (DiscretizeScans).
-        cos_a = np.cos(angles)[:, None]
-        sin_a = np.sin(angles)[:, None]
-        px, py = rotated[:, 0][None, :], rotated[:, 1][None, :]
-        wx = cos_a * px - sin_a * py + initial_pose_estimate[0]
-        wy = sin_a * px + cos_a * py + initial_pose_estimate[1]
-        ix = np.floor((wx - self._origin[0]) / self._resolution).astype(np.int32)
-        iy = np.floor((wy - self._origin[1]) / self._resolution).astype(np.int32)
-        points_p, point_mask = _pad_pow2(np.ones(rotated.shape[0], bool), 64)
-        n_pad = len(point_mask)
-        ix_p = np.zeros((num_scans, n_pad), np.int32)
-        iy_p = np.zeros((num_scans, n_pad), np.int32)
-        ix_p[:, : ix.shape[1]] = ix
-        iy_p[:, : iy.shape[1]] = iy
-        # Out-of-grid padding points read MIN_PROBABILITY; mask them instead.
-        point_mask = np.zeros(n_pad, bool)
-        point_mask[: ix.shape[1]] = True
+        if device_points is None:
+            points_p, point_mask = _pad_pow2(pts, 64)
+            points_d = jnp.asarray(points_p)
+            pmask_d = jnp.asarray(point_mask)
+        else:
+            points_d, pmask_d = device_points
 
         num_linear = int(math.ceil(linear_search_window / self._resolution))
         # Clamp the window to offsets that can overlap the grid at all.
@@ -343,9 +361,12 @@ class FastCorrelativeScanMatcher2D:
         # The entire search runs on device — one dispatch, one fetch.
         score, best = bnb_search(
             self._pyramid,
-            jnp.asarray(ix_p),
-            jnp.asarray(iy_p),
-            jnp.asarray(point_mask),
+            points_d,
+            pmask_d,
+            jnp.asarray(angles_p),
+            jnp.asarray(initial_pose_estimate, dtype=jnp.float32),
+            jnp.asarray(self._origin, dtype=jnp.float32),
+            jnp.float32(self._resolution),
             jnp.asarray(cand_a),
             jnp.asarray(cand_x),
             jnp.asarray(cand_y),
@@ -360,3 +381,13 @@ class FastCorrelativeScanMatcher2D:
         )
         ctx = (angles, initial_pose_estimate, initial_rotation, self._resolution)
         return packed_d, ctx
+
+    @staticmethod
+    def stage_points(point_cloud: np.ndarray):
+        """Upload a node's cloud once for reuse across many searches
+        (device-resident node clouds). Returns (points [Npad,2] f32 device,
+        mask [Npad] bool device)."""
+        points_p, point_mask = _pad_pow2(
+            np.asarray(point_cloud[:, :2], np.float32), 64
+        )
+        return jnp.asarray(points_p), jnp.asarray(point_mask)

@@ -168,11 +168,18 @@ def _low_res_scores_device(
 )
 def bnb_search_3d(
     pyramid,  # tuple of [Dl, Hl, Wl] octave levels
-    cells: jax.Array,  # i32 [A, N, 3]
+    points: jax.Array,  # f32 [N, 3] raw high-res cloud (node frame)
     pmask: jax.Array,  # [N]
+    q0: jax.Array,  # f32 [4] initial rotation (node->submap)
+    t0: jax.Array,  # f32 [3] initial translation
+    angles: jax.Array,  # f32 [A] surviving candidate yaws (padded)
+    origin: jax.Array,  # f32 [3] high-res grid origin
+    resolution: jax.Array,  # f32
     low_prob: jax.Array,  # low-res probability volume
-    low_base: jax.Array,  # f32 [A, Nl, 3] fractional low-res cells
+    low_points: jax.Array,  # f32 [Nl, 3] raw low-res cloud
     low_mask: jax.Array,  # [Nl]
+    low_origin: jax.Array,  # f32 [3]
+    low_resolution: jax.Array,  # f32
     a0, x0, y0, z0, m0,  # [K0] initial candidates
     nl_xy: jax.Array,  # i32 window bounds for children
     nl_z: jax.Array,
@@ -184,8 +191,30 @@ def bnb_search_3d(
     leaf_probe: int = 128,
 ):
     """Device-resident 3D branch-and-bound with yaw-pruned candidates and
-    low-resolution leaf veto; one host round trip per search. Returns
-    (score, low_score, [a, x, y, z])."""
+    low-resolution leaf veto; one host round trip per search. Rotation +
+    discretization of the per-yaw clouds happen HERE (the host uploads only
+    the raw clouds, which callers can cache on device, and the yaw axis is
+    padded so the program compiles once per shape family instead of once
+    per surviving-yaw count). Returns (score, low_score, [a, x, y, z])."""
+    half_a = 0.5 * angles
+    zeros_a = jnp.zeros_like(angles)
+    qa = jnp.stack(
+        [jnp.cos(half_a), zeros_a, zeros_a, jnp.sin(half_a)], axis=-1
+    )  # [A, 4]
+    q = rigid3.quat_multiply(qa, q0[None, :], xp=jnp)  # [A, 4]
+    world = (
+        rigid3.quat_rotate(q[:, None, :], points[None, :, :], xp=jnp)
+        + t0[None, None, :]
+    )  # [A, N, 3]
+    cells = jnp.floor(
+        (world - origin[None, None, :]) / resolution + 0.5
+    ).astype(jnp.int32)
+    low_world = (
+        rigid3.quat_rotate(q[:, None, :], low_points[None, :, :], xp=jnp)
+        + t0[None, None, :]
+    )
+    low_base = (low_world - low_origin[None, None, :]) / low_resolution
+
     best_score = jnp.float32(min_score)
     best_low = jnp.float32(0.0)
     best = jnp.array([-1, 0, 0, 0], jnp.int32)
@@ -275,7 +304,30 @@ class FastCorrelativeScanMatcher3D:
             high_resolution_grid.probability(), self._depth
         )
         self._low_grid = low_resolution_grid
+        # Materialize the low-res probability volume once (it is read by
+        # every search against this submap).
+        self._low_prob = low_resolution_grid.probability()
         self._submap_histogram = submap_histogram
+
+    @staticmethod
+    def stage_points(point_cloud: np.ndarray, low_resolution_point_cloud):
+        """Upload a node's high/low clouds once for reuse across many
+        searches (device-resident node clouds). Returns
+        (points, pmask, low_points, low_mask) device arrays."""
+        def pad(cloud):
+            pts = np.asarray(cloud[:, :3], np.float32)
+            n_pad = 64
+            while n_pad < pts.shape[0]:
+                n_pad *= 2
+            out = np.zeros((n_pad, 3), np.float32)
+            out[: pts.shape[0]] = pts
+            mask = np.zeros(n_pad, bool)
+            mask[: pts.shape[0]] = True
+            return jnp.asarray(out), jnp.asarray(mask)
+
+        p, m = pad(point_cloud)
+        lp, lm = pad(low_resolution_point_cloud)
+        return p, m, lp, lm
 
     def match(
         self,
@@ -310,11 +362,13 @@ class FastCorrelativeScanMatcher3D:
         low_resolution_point_cloud: np.ndarray,
         min_score: float,
         full_submap: bool = False,
+        device_points=None,
     ):
         """Dispatch the search (no host round trip); returns
         (packed device array [6], decode ctx) or None when the rotational
         histogram prunes every candidate yaw. Callers batching searches
-        stack the packed vectors and fetch once."""
+        stack the packed vectors and fetch once. Pass `device_points`
+        (from stage_points) to reuse node clouds already on device."""
         opts = self._options
         if full_submap:
             linear_xy = 0.5 * self._shape[2] * self._resolution
@@ -344,30 +398,12 @@ class FastCorrelativeScanMatcher3D:
             return None
         angles_kept = angles[keep_angles]
         rot_scores_kept = rot_scores[keep_angles]
+        # Pad the surviving-yaw axis to a power of two for compile-cache
+        # stability (padded rows are never indexed by candidates).
+        angles_p, _ = _pad_pow2(angles_kept.astype(np.float32), 16)
 
-        # Discretize the rotated+posed cloud per surviving yaw.
         q0 = rigid3.quat(initial_pose)
         t0 = initial_pose[:3]
-        cells = []
-        for a in angles_kept:
-            half = 0.5 * a
-            qa = np.array([np.cos(half), 0.0, 0.0, np.sin(half)])
-            q = rigid3.quat_multiply(qa, q0)
-            world = rigid3.quat_rotate(q[None, :], point_cloud[:, :3].astype(np.float64)) + t0
-            cells.append(
-                np.floor(
-                    (world - self._origin) / self._resolution + 0.5
-                ).astype(np.int32)
-            )
-        cells = np.stack(cells)  # [A, N, 3] (x, y, z)
-        n = cells.shape[1]
-        n_pad = 64
-        while n_pad < n:
-            n_pad *= 2
-        cells_p = np.zeros((len(angles_kept), n_pad, 3), np.int32)
-        cells_p[:, :n] = cells
-        point_mask = np.zeros(n_pad, bool)
-        point_mask[:n] = True
         nl_xy = int(math.ceil(linear_xy / self._resolution))
         nl_z = int(math.ceil(linear_z / self._resolution))
         nl_xy = min(nl_xy, max(self._shape) + 1)
@@ -392,36 +428,30 @@ class FastCorrelativeScanMatcher3D:
         y0, _ = _pad_pow2(y_grid.ravel(), 1024)
         z0, _ = _pad_pow2(z_grid.ravel(), 1024)
 
-        # Low-resolution veto cloud: fractional low-res cells per kept yaw
-        # at offset 0 (the device shifts by candidate offsets).
         lorigin = np.asarray(self._low_grid.origin)
         lres = self._low_grid.resolution
-        low_cloud = low_resolution_point_cloud[:, :3].astype(np.float64)
-        low_bases = []
-        for a in angles_kept:
-            half = 0.5 * a
-            qa = np.array([np.cos(half), 0.0, 0.0, np.sin(half)])
-            q = rigid3.quat_multiply(qa, q0)
-            world = rigid3.quat_rotate(q[None, :], low_cloud) + t0
-            low_bases.append(((world - lorigin) / lres).astype(np.float32))
-        low_bases = np.stack(low_bases)  # [A, Nl, 3]
-        nl = low_bases.shape[1]
-        nl_pad = 64
-        while nl_pad < nl:
-            nl_pad *= 2
-        low_base_p = np.zeros((len(angles_kept), nl_pad, 3), np.float32)
-        low_base_p[:, :nl] = low_bases
-        low_mask = np.zeros(nl_pad, bool)
-        low_mask[:nl] = True
+        if device_points is None:
+            device_points = self.stage_points(
+                point_cloud, low_resolution_point_cloud
+            )
+        points_d, pmask_d, low_points_d, low_mask_d = device_points
 
-        # The entire search runs on device — one dispatch, one fetch.
+        # The entire search (incl. per-yaw rotation + discretization of the
+        # clouds) runs on device — one dispatch, one fetch.
         score_d, low_d, best_d = bnb_search_3d(
             self._pyramid,
-            jnp.asarray(cells_p),
-            jnp.asarray(point_mask),
-            self._low_grid.probability(),
-            jnp.asarray(low_base_p),
-            jnp.asarray(low_mask),
+            points_d,
+            pmask_d,
+            jnp.asarray(q0, dtype=jnp.float32),
+            jnp.asarray(t0, dtype=jnp.float32),
+            jnp.asarray(angles_p),
+            jnp.asarray(self._origin, dtype=jnp.float32),
+            jnp.float32(self._resolution),
+            self._low_prob,
+            low_points_d,
+            low_mask_d,
+            jnp.asarray(lorigin, dtype=jnp.float32),
+            jnp.float32(lres),
             jnp.asarray(a0),
             jnp.asarray(x0),
             jnp.asarray(y0),
