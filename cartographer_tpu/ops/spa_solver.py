@@ -203,8 +203,58 @@ def solve(
             out.append(params[3] * free_f)
         return tuple(out)
 
-    def outer_step(carry, _):
-        params, lam, cost = carry
+    def diag_precondition(params, lam):
+        """Exact diag(J^T J) via one Hutchinson-free trick: for residual
+        r(x) with Jacobian J, diag(J^T J)_k = sum_rows J_rk^2. Computed by
+        squaring the per-row parameter-block Jacobians (vmapped jacfwd of
+        the row residual over its two incident poses) and scatter-adding
+        into the pose tables — O(rows) work, same as one CG step."""
+
+        def row_sq(start_end_fn, idx_a, idx_b, table_a, table_b, z, w3, mask):
+            def row(a, b, zz):
+                return start_end_fn(a, b, zz)
+
+            ja, jb = jax.vmap(jax.jacfwd(row, argnums=(0, 1)))(
+                table_a[idx_a], table_b[idx_b], z
+            )  # [R, 3, 3] each
+            scale = (w3 * mask[:, None])[:, :, None]  # [R, 3, 1]
+            sq_a = jnp.sum((ja * scale) ** 2, axis=1)  # [R, 3]
+            sq_b = jnp.sum((jb * scale) ** 2, axis=1)
+            return sq_a, sq_b
+
+        sp, npo = params[0], params[1]
+        w_c = jnp.stack(
+            [p.c_weight[:, 0], p.c_weight[:, 0], p.c_weight[:, 1]], axis=-1
+        )
+        w_n = jnp.stack(
+            [p.n_weight[:, 0], p.n_weight[:, 0], p.n_weight[:, 1]], axis=-1
+        )
+        # Huber factors vary the scale; the preconditioner does not need
+        # them exactly (any SPD approximation works), so they are omitted.
+        c_sa, c_sb = row_sq(_spa_error, p.c_submap, p.c_node, sp, npo,
+                            p.c_z, w_c, p.c_mask)
+        n_sa, n_sb = row_sq(_spa_error, p.n_a, p.n_b, npo, npo,
+                            p.n_z, w_n, p.n_mask)
+        d_s = jnp.zeros_like(sp).at[p.c_submap].add(c_sa)
+        d_n = (
+            jnp.zeros_like(npo)
+            .at[p.c_node].add(c_sb)
+            .at[p.n_a].add(n_sa)
+            .at[p.n_b].add(n_sb)
+        )
+        diags = [d_s, d_n]
+        if has_extras:
+            diags.append(jnp.zeros_like(extras.l_poses))
+            diags.append(jnp.zeros_like(extras.f_pose))
+        # Damped diagonal on the free subspace, identity on the fixed one.
+        frees = [free_s, free_n] + ([free_l, free_f] if has_extras else [])
+        return tuple(
+            jnp.where(fr > 0, d + lam, 1.0)
+            for d, fr in zip(diags, frees)
+        )
+
+    def outer_step(carry):
+        params, lam, cost, it, done = carry
 
         def res_flat(pr):
             return jnp.concatenate([r.reshape(-1) for r in weighted_res(pr)])
@@ -223,30 +273,46 @@ def solve(
                 a + lam * b + (raw - b) for a, b, raw in zip(jtv, pv_, v)
             )
 
+        pre = diag_precondition(params, lam)
+
+        def apply_pre(v):
+            return tuple(a / d for a, d in zip(v, pre))
+
         neg_grad = tuple(-g for g in grad)
         dx, _ = jax.scipy.sparse.linalg.cg(
-            hvp, neg_grad, maxiter=cg_iterations, tol=1e-6
+            hvp, neg_grad, maxiter=cg_iterations, tol=1e-6, M=apply_pre
         )
         dx = project(dx)
         new_params = tuple(a + b for a, b in zip(params, dx))
         new_cost = cost_of(new_params)
         accept = new_cost < cost
+        # Ceres-style termination: relative cost decrease below the
+        # function tolerance, or the trust region collapsed.
+        converged = (accept & (cost - new_cost <= 1e-7 * cost)) | (
+            ~accept & (lam > 1e4)
+        )
         params = tuple(
             jnp.where(accept, b, a) for a, b in zip(params, new_params)
         )
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8), lam * 5.0)
-        return (params, lam, cost), None
+        return (params, lam, cost, it + 1, converged)
+
+    def outer_cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iterations) & ~done
 
     init_params = [p.submap_poses, p.node_poses]
     if has_extras:
         init_params += [extras.l_poses, extras.f_pose]
     init_params = tuple(init_params)
-    (params, _, cost), _ = jax.lax.scan(
+    params, _, cost, _, _ = jax.lax.while_loop(
+        outer_cond,
         outer_step,
-        (init_params, jnp.float32(1e-4), cost_of(init_params)),
-        None,
-        length=max_iterations,
+        (
+            init_params, jnp.float32(1e-4), cost_of(init_params),
+            jnp.int32(0), jnp.asarray(False),
+        ),
     )
     # Normalize angles on the way out.
     out = tuple(

@@ -371,8 +371,8 @@ def solve_3d(
             ]
         return tuple(out)
 
-    def outer_step(carry, _):
-        params, lam, cost = carry
+    def outer_step(carry):
+        params, lam, cost, it, done = carry
 
         r0 = res_flat(params)
         _, vjp_fn = jax.vjp(res_flat, params)
@@ -396,12 +396,21 @@ def solve_3d(
         new_params = jax.tree_util.tree_map(lambda a, b: a + b, params, dx)
         new_cost = cost_of(new_params)
         accept = new_cost < cost
+        # Ceres-style termination: relative decrease below the function
+        # tolerance, or the trust region collapsed.
+        converged = (accept & (cost - new_cost <= 1e-7 * cost)) | (
+            ~accept & (lam > 1e4)
+        )
         params = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), params, new_params
         )
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8), lam * 5.0)
-        return (params, lam, cost), None
+        return (params, lam, cost, it + 1, converged)
+
+    def outer_cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iterations) & ~done
 
     init_params = [
         jnp.zeros((S, 3), jnp.float32),
@@ -421,11 +430,13 @@ def solve_3d(
             jnp.zeros((F, 1), jnp.float32),
         ]
     init_params = tuple(init_params)
-    (params, _, cost), _ = jax.lax.scan(
+    params, _, cost, _, _ = jax.lax.while_loop(
+        outer_cond,
         outer_step,
-        (init_params, jnp.float32(1e-4), cost_of(init_params)),
-        None,
-        length=max_iterations,
+        (
+            init_params, jnp.float32(1e-4), cost_of(init_params),
+            jnp.int32(0), jnp.asarray(False),
+        ),
     )
     poses = poses_of(params)
     st, sq, nt, nq, grav, calib = poses[:6]
