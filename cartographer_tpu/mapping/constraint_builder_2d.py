@@ -140,8 +140,12 @@ class ConstraintBuilder2D:
             return results
         import jax.numpy as jnp
 
-        # Phase 1: dispatch every BnB search, one fetch for all.
-        dispatched = []
+        # Phase 1: ALL BnB searches as ONE vmapped device program + fetch.
+        from cartographer_tpu.ops.scan_matching.fast_correlative_2d import (
+            batch_match_device,
+        )
+
+        batch = []
         for search in pending:
             metrics.constraints_searched.increment()
             matcher = self._matcher(search.submap_id)
@@ -151,25 +155,27 @@ class ConstraintBuilder2D:
                 staged = FastCorrelativeScanMatcher2D.stage_points(cloud)
                 self._node_clouds[search.node_id] = staged
             if search.initial_relative_pose is None:
-                packed, ctx = matcher.match_device(
-                    None, cloud, self._options.global_localization_min_score,
-                    full_submap=True, device_points=staged,
-                )
+                initial_pose = None
+                min_score = self._options.global_localization_min_score
             else:
                 initial_pose = rigid2.compose(
                     self._submap_local_pose(search.submap_id),
                     search.initial_relative_pose,
                 )
-                packed, ctx = matcher.match_device(
-                    initial_pose, cloud, self._options.min_score,
-                    device_points=staged,
+                min_score = self._options.min_score
+            batch.append(
+                dict(
+                    matcher=matcher, initial_pose=initial_pose,
+                    point_cloud=cloud, device_points=staged,
+                    min_score=min_score,
                 )
-            dispatched.append((search, ctx, packed))
-        all_bnb = np.asarray(jnp.stack([p for _, _, p in dispatched]))
+            )
+        packed_batch, ctxs = batch_match_device(batch)
+        all_bnb = np.asarray(packed_batch)
 
         # Phase 2: decode, dispatch every refinement, one fetch for all.
         refine = []
-        for (search, ctx, _), packed in zip(dispatched, all_bnb):
+        for search, ctx, packed in zip(pending, ctxs, all_bnb):
             matcher = self._matcher(search.submap_id)
             result = matcher.decode(packed, ctx)
             if result is None:

@@ -210,6 +210,171 @@ class MatchResult:
     pose: np.ndarray  # SE(2) (3,)
 
 
+# One program for a whole BATCH of independent searches (vmap over the
+# search axis): the constraint builder drains all pending (node, submap)
+# pairs as ONE dispatch + ONE 4-float-per-search fetch — the TPU analog of
+# the reference's thread-pool fan-out (constraint_builder_2d.cc:102-136).
+bnb_search_batch = jax.jit(
+    jax.vmap(
+        bnb_search.__wrapped__,
+        in_axes=(0,) * 13 + (None, None, None),
+    ),
+    static_argnums=(13, 14, 15),
+)
+
+
+_MAX_SEARCH_BATCH = 32  # stacked pyramids cost ~7 MB HBM per search
+
+
+def batch_match_device(searches):
+    """Run K independent searches as one vmapped program (chunks of
+    _MAX_SEARCH_BATCH to bound the stacked-pyramid memory).
+
+    `searches`: list of dicts with keys matcher, initial_pose (None =>
+    full submap), device_points ((points, mask) or None), point_cloud,
+    min_score. All matchers must share depth/beam and grid shape (true for
+    one trajectory configuration). Returns (packed [K, 4] numpy array,
+    ctxs list) — decode row k with searches[k]["matcher"].decode."""
+    packs, ctxs = [], []
+    for i in range(0, len(searches), _MAX_SEARCH_BATCH):
+        chunk = searches[i: i + _MAX_SEARCH_BATCH]
+        p, c = _batch_match_device(chunk)  # dispatches async
+        packs.append((p, len(c)))
+        ctxs.extend(c)
+    packed = np.concatenate([np.asarray(p)[:n] for p, n in packs])
+    return packed, ctxs
+
+
+def _batch_match_device(searches):
+    k = len(searches)
+    preps = []
+    n_pad = 64
+    a_pad = 32
+    for s in searches:
+        m = s["matcher"]
+        opts = m._options
+        if s["initial_pose"] is None:
+            center = m._origin + 0.5 * m._resolution * np.array(
+                [m._shape[1], m._shape[0]]
+            )
+            initial = rigid2.make(center, 0.0)
+            linear, angular = 1e6 * m._resolution, math.pi
+        else:
+            initial = np.asarray(s["initial_pose"], np.float64)
+            linear = opts.linear_search_window
+            angular = opts.angular_search_window
+        pts = np.asarray(s["point_cloud"][:, :2], np.float32)
+        max_range = float(
+            np.max(np.linalg.norm(pts, axis=1), initial=3.0 * m._resolution)
+        )
+        step = compute_angular_step(m._resolution, max_range)
+        num_angular = int(math.ceil(angular / step))
+        angles = (np.arange(2 * num_angular + 1) - num_angular) * step
+        num_linear = int(math.ceil(linear / m._resolution))
+        num_linear = min(num_linear, max(m._shape) + 1)
+        top = 1 << (m._depth - 1)
+        offs = np.arange(-num_linear, num_linear + 1, top, dtype=np.int32)
+        a_g, x_g, y_g = np.meshgrid(
+            np.arange(len(angles), dtype=np.int32), offs, offs, indexing="ij"
+        )
+        preps.append(
+            dict(
+                m=m, initial=initial, angles=angles.astype(np.float32),
+                num_linear=num_linear,
+                cand=(a_g.ravel(), x_g.ravel(), y_g.ravel()),
+                min_score=s["min_score"],
+                pts=pts, device_points=s.get("device_points"),
+            )
+        )
+        while a_pad < len(angles):
+            a_pad *= 2
+        n_here = (
+            preps[-1]["device_points"][0].shape[0]
+            if preps[-1]["device_points"] is not None
+            else len(pts)
+        )
+        while n_pad < n_here:
+            n_pad *= 2
+    k0_pad = 1024
+    for pr in preps:
+        while k0_pad < len(pr["cand"][0]):
+            k0_pad *= 2
+    # Pad the batch axis too (compile-cache stability across drains);
+    # padding rows have an all-False candidate mask and decode to None.
+    k = 4
+    while k < len(preps):
+        k *= 2
+
+    pyr = jnp.stack(
+        [pr["m"]._pyramid for pr in preps]
+        + [preps[0]["m"]._pyramid] * (k - len(preps))
+    )
+    points = np.zeros((k, n_pad, 2), np.float32)
+    pmask = np.zeros((k, n_pad), bool)
+    dev_rows = []
+    for i, pr in enumerate(preps):
+        dp = pr["device_points"]
+        if dp is not None:
+            dev_rows.append((i, dp))
+        else:
+            pts = pr["pts"]
+            points[i, : len(pts)] = pts[:, :2]
+            pmask[i, : len(pts)] = True
+    points_d = jnp.asarray(points)
+    pmask_d = jnp.asarray(pmask)
+    # Splice pre-staged device-resident node clouds in with on-device row
+    # updates (no host round trips).
+    for i, (dp_pts, dp_mask) in dev_rows:
+        n_dev = dp_pts.shape[0]
+        points_d = points_d.at[i, :n_dev, :].set(dp_pts)
+        pmask_d = pmask_d.at[i, :n_dev].set(dp_mask)
+
+    angles = np.zeros((k, a_pad), np.float32)
+    initial_poses = np.zeros((k, 3), np.float32)
+    origins = np.zeros((k, 2), np.float32)
+    # Benign values on batch-padding rows (their candidate masks are all
+    # False, but the rotate/discretize preamble still evaluates).
+    resolutions = np.ones((k,), np.float32)
+    a0 = np.zeros((k, k0_pad), np.int32)
+    x0 = np.zeros((k, k0_pad), np.int32)
+    y0 = np.zeros((k, k0_pad), np.int32)
+    m0 = np.zeros((k, k0_pad), bool)
+    nl = np.zeros((k,), np.int32)
+    ms = np.full((k,), 1e9, np.float32)
+    ctxs = []
+    for i, pr in enumerate(preps):
+        angles[i, : len(pr["angles"])] = pr["angles"]
+        initial_poses[i] = pr["initial"]
+        origins[i] = pr["m"]._origin
+        resolutions[i] = pr["m"]._resolution
+        ca, cx, cy = pr["cand"]
+        a0[i, : len(ca)] = ca
+        x0[i, : len(cx)] = cx
+        y0[i, : len(cy)] = cy
+        m0[i, : len(ca)] = True
+        nl[i] = pr["num_linear"]
+        ms[i] = pr["min_score"]
+        ctxs.append(
+            (pr["angles"], pr["initial"], float(pr["initial"][2]),
+             pr["m"]._resolution)
+        )
+
+    depth = preps[0]["m"]._depth
+    beam = preps[0]["m"]._options.beam_width
+    score, best = bnb_search_batch(
+        pyr, points_d, pmask_d, jnp.asarray(angles),
+        jnp.asarray(initial_poses), jnp.asarray(origins),
+        jnp.asarray(resolutions),
+        jnp.asarray(a0), jnp.asarray(x0), jnp.asarray(y0), jnp.asarray(m0),
+        jnp.asarray(nl), jnp.asarray(ms),
+        depth, beam, _LEAF_PROBE,
+    )
+    packed = jnp.concatenate(
+        [score[:, None].astype(jnp.float32), best.astype(jnp.float32)], axis=1
+    )
+    return packed, ctxs
+
+
 class FastCorrelativeScanMatcher2D:
     def __init__(self, grid: Grid2D, options: FastCorrelativeScanMatcherOptions2D):
         self._options = options
