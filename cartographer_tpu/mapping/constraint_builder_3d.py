@@ -129,7 +129,12 @@ class ConstraintBuilder3D:
             return results
         import jax.numpy as jnp
 
-        dispatched = []
+        from cartographer_tpu.ops.scan_matching.fast_correlative_3d import (
+            batch_match_device_3d,
+        )
+
+        preps = []
+        kept_searches = []
         for search in pending:
             metrics.constraints_searched.increment()
             matcher = self._matcher(search.submap_id)
@@ -145,7 +150,7 @@ class ConstraintBuilder3D:
                 initial = rigid3.make(
                     np.zeros(3), rigid3.quat_conjugate(cd.gravity_alignment)
                 )
-                d = matcher.match_device(
+                prep = matcher._prepare(
                     initial,
                     cd.rotational_scan_matcher_histogram,
                     search.gravity_yaw,
@@ -156,7 +161,7 @@ class ConstraintBuilder3D:
                     device_points=staged,
                 )
             else:
-                d = matcher.match_device(
+                prep = matcher._prepare(
                     search.global_node_pose,
                     cd.rotational_scan_matcher_histogram,
                     search.gravity_yaw,
@@ -165,15 +170,20 @@ class ConstraintBuilder3D:
                     self._options.min_score,
                     device_points=staged,
                 )
-            if d is not None:  # None: yaw pruning rejected every candidate
-                dispatched.append((search, d[1], d[0]))
-        if not dispatched:
+            if prep is not None:  # None: yaw pruning rejected every candidate
+                preps.append(prep)
+                kept_searches.append(search)
+        if not preps:
             metrics.constraints_found.increment(0)
             return results
-        all_bnb = np.asarray(jnp.stack([p for _, _, p in dispatched]))
+        # ALL surviving searches as vmapped device programs + one fetch.
+        all_bnb, ctxs = batch_match_device_3d(preps)
+        dispatched = [
+            (s, c) for s, c in zip(kept_searches, ctxs)
+        ]
 
         refine = []
-        for (search, ctx, _), packed in zip(dispatched, all_bnb):
+        for (search, ctx), packed in zip(dispatched, all_bnb):
             matcher = self._matcher(search.submap_id)
             result = matcher.decode(packed, ctx)
             if result is None:

@@ -279,6 +279,144 @@ def bnb_search_3d(
     return best_score, best_low, best
 
 
+# Vmapped batch variant: one program for a whole drain of independent
+# searches (see fast_correlative_2d.bnb_search_batch).
+bnb_search_3d_batch = jax.jit(
+    jax.vmap(
+        bnb_search_3d.__wrapped__,
+        in_axes=(0,) * 23 + (None, None, None),
+    ),
+    static_argnums=(23, 24, 25),
+)
+
+# 3D pyramids are f32 volumes (~75 MB per submap at 256^3 + octaves), so
+# keep stacked batches small.
+_MAX_SEARCH_BATCH_3D = 8
+
+
+def batch_match_device_3d(preps):
+    """Run the prepared searches (FastCorrelativeScanMatcher3D._prepare
+    results, all from matchers sharing depth/beam/grid shapes) as vmapped
+    programs in chunks. Returns (packed [K, 6] numpy, ctxs list) aligned
+    with `preps`."""
+    packs, ctxs = [], []
+    for i in range(0, len(preps), _MAX_SEARCH_BATCH_3D):
+        p, c = _batch_3d(preps[i: i + _MAX_SEARCH_BATCH_3D])
+        packs.append((p, len(c)))
+        ctxs.extend(c)
+    packed = np.concatenate([np.asarray(p)[:n] for p, n in packs])
+    return packed, ctxs
+
+
+def _batch_3d(preps):
+    k = 2
+    while k < len(preps):
+        k *= 2
+    a_pad = 16
+    n_pad = 64
+    nl_pad = 64
+    k0_pad = 1024
+    for pr in preps:
+        while a_pad < len(pr["angles_p"]):
+            a_pad *= 2
+        while n_pad < pr["device_points"][0].shape[0]:
+            n_pad *= 2
+        while nl_pad < pr["device_points"][2].shape[0]:
+            nl_pad *= 2
+        while k0_pad < len(pr["cand"][0]):
+            k0_pad *= 2
+
+    def stack_pyramids():
+        rows = [pr["matcher"]._pyramid for pr in preps]
+        rows += [preps[0]["matcher"]._pyramid] * (k - len(preps))
+        return tuple(
+            jnp.stack([r[lvl] for r in rows])
+            for lvl in range(len(rows[0]))
+        )
+
+    pyr = stack_pyramids()
+    low_prob = jnp.stack(
+        [pr["matcher"]._low_prob for pr in preps]
+        + [preps[0]["matcher"]._low_prob] * (k - len(preps))
+    )
+
+    def pad_row(dst, i, arr):
+        dst[i, : len(arr)] = arr
+
+    angles = np.zeros((k, a_pad), np.float32)
+    q0 = np.zeros((k, 4), np.float32)
+    q0[:, 0] = 1.0
+    t0 = np.zeros((k, 3), np.float32)
+    origins = np.zeros((k, 3), np.float32)
+    res = np.ones((k,), np.float32)
+    lorigins = np.zeros((k, 3), np.float32)
+    lres = np.ones((k,), np.float32)
+    a0 = np.zeros((k, k0_pad), np.int32)
+    x0 = np.zeros((k, k0_pad), np.int32)
+    y0 = np.zeros((k, k0_pad), np.int32)
+    z0 = np.zeros((k, k0_pad), np.int32)
+    m0 = np.zeros((k, k0_pad), bool)
+    nl_xy = np.zeros((k,), np.int32)
+    nl_z = np.zeros((k,), np.int32)
+    ms = np.full((k,), 1e9, np.float32)
+    mls = np.zeros((k,), np.float32)
+    ratio = np.ones((k,), np.float32)
+    ctxs = []
+    for i, pr in enumerate(preps):
+        m = pr["matcher"]
+        pad_row(angles, i, pr["angles_p"])
+        q0[i] = pr["q0"]
+        t0[i] = pr["t0"]
+        origins[i] = np.asarray(m._origin, np.float32)
+        res[i] = m._resolution
+        lorigins[i] = pr["lorigin"]
+        lres[i] = pr["lres"]
+        ca, cx, cy, cz, cm = pr["cand"]
+        pad_row(a0, i, ca)
+        pad_row(x0, i, cx)
+        pad_row(y0, i, cy)
+        pad_row(z0, i, cz)
+        m0[i, : len(cm)] = cm
+        nl_xy[i] = pr["nl_xy"]
+        nl_z[i] = pr["nl_z"]
+        ms[i] = pr["min_score"]
+        mls[i] = m._options.min_low_resolution_score
+        ratio[i] = m._resolution / pr["lres"]
+        ctxs.append(pr["ctx"])
+
+    points_d = jnp.zeros((k, n_pad, 3), jnp.float32)
+    pmask_d = jnp.zeros((k, n_pad), bool)
+    lpoints_d = jnp.zeros((k, nl_pad, 3), jnp.float32)
+    lmask_d = jnp.zeros((k, nl_pad), bool)
+    for i, pr in enumerate(preps):
+        p_, pm_, lp_, lm_ = pr["device_points"]
+        points_d = points_d.at[i, : p_.shape[0], :].set(p_)
+        pmask_d = pmask_d.at[i, : pm_.shape[0]].set(pm_)
+        lpoints_d = lpoints_d.at[i, : lp_.shape[0], :].set(lp_)
+        lmask_d = lmask_d.at[i, : lm_.shape[0]].set(lm_)
+
+    m0_first = preps[0]["matcher"]
+    score, low, best = bnb_search_3d_batch(
+        pyr, points_d, pmask_d, jnp.asarray(q0), jnp.asarray(t0),
+        jnp.asarray(angles), jnp.asarray(origins), jnp.asarray(res),
+        low_prob, lpoints_d, lmask_d, jnp.asarray(lorigins),
+        jnp.asarray(lres),
+        jnp.asarray(a0), jnp.asarray(x0), jnp.asarray(y0), jnp.asarray(z0),
+        jnp.asarray(m0), jnp.asarray(nl_xy), jnp.asarray(nl_z),
+        jnp.asarray(ms), jnp.asarray(mls), jnp.asarray(ratio),
+        m0_first._depth, m0_first._options.beam_width, _LEAF_PROBE,
+    )
+    packed = jnp.concatenate(
+        [
+            score[:, None].astype(jnp.float32),
+            low[:, None].astype(jnp.float32),
+            best.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    return packed, ctxs
+
+
 @dataclasses.dataclass
 class MatchResult3D:
     score: float
@@ -353,7 +491,7 @@ class FastCorrelativeScanMatcher3D:
         packed_d, ctx = dispatched
         return self.decode(np.asarray(packed_d), ctx)
 
-    def match_device(
+    def _prepare(
         self,
         global_node_pose_in_submap: np.ndarray,
         node_histogram: np.ndarray,
@@ -364,11 +502,9 @@ class FastCorrelativeScanMatcher3D:
         full_submap: bool = False,
         device_points=None,
     ):
-        """Dispatch the search (no host round trip); returns
-        (packed device array [6], decode ctx) or None when the rotational
-        histogram prunes every candidate yaw. Callers batching searches
-        stack the packed vectors and fetch once. Pass `device_points`
-        (from stage_points) to reuse node clouds already on device."""
+        """Host-side search preparation (window, yaw pruning, candidate
+        lattice); returns a dict of per-search arrays or None when the
+        rotational histogram prunes every candidate yaw."""
         opts = self._options
         if full_submap:
             linear_xy = 0.5 * self._shape[2] * self._resolution
@@ -434,7 +570,48 @@ class FastCorrelativeScanMatcher3D:
             device_points = self.stage_points(
                 point_cloud, low_resolution_point_cloud
             )
-        points_d, pmask_d, low_points_d, low_mask_d = device_points
+        return dict(
+            matcher=self,
+            angles_kept=angles_kept,
+            angles_p=angles_p,
+            q0=np.asarray(q0, np.float32),
+            t0=np.asarray(t0, np.float32),
+            lorigin=np.asarray(lorigin, np.float32),
+            lres=lres,
+            cand=(a0, x0, y0, z0, m0),
+            nl_xy=nl_xy,
+            nl_z=nl_z,
+            min_score=min_score,
+            device_points=device_points,
+            ctx=(angles_kept, rot_scores_kept, initial_pose),
+        )
+
+    def match_device(
+        self,
+        global_node_pose_in_submap: np.ndarray,
+        node_histogram: np.ndarray,
+        node_gravity_yaw: float,
+        point_cloud: np.ndarray,
+        low_resolution_point_cloud: np.ndarray,
+        min_score: float,
+        full_submap: bool = False,
+        device_points=None,
+    ):
+        """Dispatch the search (no host round trip); returns
+        (packed device array [6], decode ctx) or None when the rotational
+        histogram prunes every candidate yaw. Callers batching searches
+        stack the packed vectors and fetch once. Pass `device_points`
+        (from stage_points) to reuse node clouds already on device."""
+        prep = self._prepare(
+            global_node_pose_in_submap, node_histogram, node_gravity_yaw,
+            point_cloud, low_resolution_point_cloud, min_score, full_submap,
+            device_points,
+        )
+        if prep is None:
+            return None
+        opts = self._options
+        points_d, pmask_d, low_points_d, low_mask_d = prep["device_points"]
+        a0, x0, y0, z0, m0 = prep["cand"]
 
         # The entire search (incl. per-yaw rotation + discretization of the
         # clouds) runs on device — one dispatch, one fetch.
@@ -442,26 +619,26 @@ class FastCorrelativeScanMatcher3D:
             self._pyramid,
             points_d,
             pmask_d,
-            jnp.asarray(q0, dtype=jnp.float32),
-            jnp.asarray(t0, dtype=jnp.float32),
-            jnp.asarray(angles_p),
+            jnp.asarray(prep["q0"]),
+            jnp.asarray(prep["t0"]),
+            jnp.asarray(prep["angles_p"]),
             jnp.asarray(self._origin, dtype=jnp.float32),
             jnp.float32(self._resolution),
             self._low_prob,
             low_points_d,
             low_mask_d,
-            jnp.asarray(lorigin, dtype=jnp.float32),
-            jnp.float32(lres),
+            jnp.asarray(prep["lorigin"]),
+            jnp.float32(prep["lres"]),
             jnp.asarray(a0),
             jnp.asarray(x0),
             jnp.asarray(y0),
             jnp.asarray(z0),
             jnp.asarray(m0),
-            jnp.int32(nl_xy),
-            jnp.int32(nl_z),
+            jnp.int32(prep["nl_xy"]),
+            jnp.int32(prep["nl_z"]),
             jnp.float32(min_score),
             jnp.float32(opts.min_low_resolution_score),
-            jnp.float32(self._resolution / lres),
+            jnp.float32(self._resolution / prep["lres"]),
             self._depth,
             beam=opts.beam_width,
         )
@@ -472,7 +649,7 @@ class FastCorrelativeScanMatcher3D:
                 best_d.astype(jnp.float32),
             ]
         )
-        return packed_d, (angles_kept, rot_scores_kept, initial_pose)
+        return packed_d, prep["ctx"]
 
     def decode(self, packed: np.ndarray, ctx) -> Optional[MatchResult3D]:
         angles_kept, rot_scores_kept, initial_pose = ctx
