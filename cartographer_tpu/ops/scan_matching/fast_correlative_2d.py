@@ -47,20 +47,35 @@ _MAX_CANDIDATES = 1 << 16  # per-level beam cap (see module docstring)
 _LEAF_PROBE = 256  # candidates probed at full resolution per level
 
 
+# Pyramid cells are uint8 like the reference's PrecomputationGrid2D
+# (fast_correlative_scan_matcher_2d.cc:41-90): value = (p - 0.1)/0.8 * 255,
+# scores convert back to mean probability (ToScore) — same 1/255
+# quantization as the reference, and 4x less HBM than float32 levels.
+_U8_SCALE = 255.0 / (pv.MAX_PROBABILITY - pv.MIN_PROBABILITY)
+
+
+def _quantize_u8(prob: jax.Array) -> jax.Array:
+    return jnp.clip(
+        jnp.round((prob - pv.MIN_PROBABILITY) * _U8_SCALE), 0, 255
+    ).astype(jnp.uint8)
+
+
+def _u8_to_prob(vals: jax.Array) -> jax.Array:
+    return vals.astype(jnp.float32) * (1.0 / _U8_SCALE) + pv.MIN_PROBABILITY
+
+
 @functools.partial(jax.jit, static_argnames=("depth",))
 def compute_pyramid(prob: jax.Array, depth: int) -> jax.Array:
-    """[depth, H, W]: level l pools over 2^l x 2^l windows starting at cell."""
-    levels = [prob]
-    current = prob
+    """uint8 [depth, H, W]: level l pools over 2^l x 2^l windows starting at
+    the cell (max of quantized == quantized max, so admissibility holds at
+    the quantized precision)."""
+    levels = [_quantize_u8(prob)]
+    current = levels[0]
     for l in range(1, depth):
         w = 1 << (l - 1)
-        pad_x = jnp.pad(
-            current, ((0, 0), (0, w)), constant_values=pv.MIN_PROBABILITY
-        )[:, w:]
+        pad_x = jnp.pad(current, ((0, 0), (0, w)), constant_values=0)[:, w:]
         row = jnp.maximum(current, pad_x)
-        pad_y = jnp.pad(row, ((0, w), (0, 0)), constant_values=pv.MIN_PROBABILITY)[
-            w:, :
-        ]
+        pad_y = jnp.pad(row, ((0, w), (0, 0)), constant_values=0)[w:, :]
         current = jnp.maximum(row, pad_y)
         levels.append(current)
     return jnp.stack(levels)
@@ -68,7 +83,7 @@ def compute_pyramid(prob: jax.Array, depth: int) -> jax.Array:
 
 @jax.jit
 def _score_level(
-    pool: jax.Array,  # [H, W] pooled probabilities at one level
+    pool: jax.Array,  # [H, W] pooled uint8 cells at one level
     ix: jax.Array,  # [A, N] int32 discretized scan x per angle
     iy: jax.Array,  # [A, N]
     point_mask: jax.Array,  # [N]
@@ -82,7 +97,7 @@ def _score_level(
     ciy = iy[angle_idx] + yoff[:, None]
     # Negative indices wrap in JAX gathers; mask them out explicitly.
     oob = (cix < 0) | (cix >= w) | (ciy < 0) | (ciy >= h)
-    vals = pool[jnp.clip(ciy, 0, h - 1), jnp.clip(cix, 0, w - 1)]
+    vals = _u8_to_prob(pool[jnp.clip(ciy, 0, h - 1), jnp.clip(cix, 0, w - 1)])
     vals = jnp.where(oob, pv.MIN_PROBABILITY, vals)
     count = jnp.maximum(jnp.sum(point_mask), 1)
     scores = jnp.sum(vals * point_mask[None, :], axis=-1) / count
@@ -103,12 +118,12 @@ def _pad_pow2(arr: np.ndarray, minimum: int = 256, fill=0):
 
 def _score_cands(pool, ix, iy, pmask, a, x, y, valid):
     """Masked batched candidate scores at one pyramid level (inline version
-    of _score_level for use inside the fused search)."""
+    of _score_level for use inside the fused search; uint8 pool)."""
     h, w = pool.shape
     cix = ix[a] + x[:, None]
     ciy = iy[a] + y[:, None]
     oob = (cix < 0) | (cix >= w) | (ciy < 0) | (ciy >= h)
-    vals = pool[jnp.clip(ciy, 0, h - 1), jnp.clip(cix, 0, w - 1)]
+    vals = _u8_to_prob(pool[jnp.clip(ciy, 0, h - 1), jnp.clip(cix, 0, w - 1)])
     vals = jnp.where(oob, pv.MIN_PROBABILITY, vals)
     count = jnp.maximum(jnp.sum(pmask), 1)
     scores = jnp.sum(vals * pmask[None, :], axis=-1) / count

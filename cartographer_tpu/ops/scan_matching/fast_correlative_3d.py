@@ -41,14 +41,32 @@ _MAX_CANDIDATES = 1 << 14
 _LEAF_PROBE = 128
 
 
-def _pool_octave(prob: jax.Array) -> jax.Array:
-    """Halve each axis, max over 2x2x2 (pad odd dims with MIN_PROBABILITY)."""
-    d, h, w = prob.shape
+# Pyramid and veto cells are uint8 like the reference's
+# PrecomputationGrid3D (precomputation_grid_3d.cc:54-85): value =
+# (p - 0.1)/0.8 * 255, scores convert back to mean probability — the same
+# 1/255 quantization as the reference, and 4x less HBM than float32
+# volumes (a 256^3 pyramid stack drops ~75 MB -> ~19 MB per submap).
+_U8_SCALE = 255.0 / (pv.MAX_PROBABILITY - pv.MIN_PROBABILITY)
+
+
+def _quantize_u8(prob: jax.Array) -> jax.Array:
+    return jnp.clip(
+        jnp.round((prob - pv.MIN_PROBABILITY) * _U8_SCALE), 0, 255
+    ).astype(jnp.uint8)
+
+
+def _u8_to_prob(vals: jax.Array) -> jax.Array:
+    return vals.astype(jnp.float32) * (1.0 / _U8_SCALE) + pv.MIN_PROBABILITY
+
+
+def _pool_octave(vals: jax.Array) -> jax.Array:
+    """Halve each axis, max over 2x2x2 (pad odd dims with 0 = MIN_PROB)."""
+    d, h, w = vals.shape
     pd, ph, pw = (d + 1) // 2 * 2, (h + 1) // 2 * 2, (w + 1) // 2 * 2
     x = jnp.pad(
-        prob,
+        vals,
         ((0, pd - d), (0, ph - h), (0, pw - w)),
-        constant_values=pv.MIN_PROBABILITY,
+        constant_values=0,
     )
     x = x.reshape(pd // 2, 2, ph // 2, 2, pw // 2, 2)
     return x.max(axis=(1, 3, 5))
@@ -56,8 +74,8 @@ def _pool_octave(prob: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("depth",))
 def compute_octave_pyramid(prob: jax.Array, depth: int):
-    """Returns a tuple of arrays, level l of shape ~size/2^l per axis."""
-    levels = [prob]
+    """Returns a tuple of uint8 arrays, level l of shape ~size/2^l/axis."""
+    levels = [_quantize_u8(prob)]
     for _ in range(1, depth):
         levels.append(_pool_octave(levels[-1]))
     return tuple(levels)
@@ -83,9 +101,9 @@ def _score_level_3d(
 
     def at(zi, yi, xi):
         oob = (xi < 0) | (xi >= w) | (yi < 0) | (yi >= h) | (zi < 0) | (zi >= d)
-        vals = pool[
+        vals = _u8_to_prob(pool[
             jnp.clip(zi, 0, d - 1), jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)
-        ]
+        ])
         return jnp.where(oob, pv.MIN_PROBABILITY, vals)
 
     if level == 0:
@@ -125,9 +143,9 @@ def _score_cands_3d(pool, cells, pmask, a, x, y, z, valid, level):
 
     def at(zi, yi, xi):
         oob = (xi < 0) | (xi >= w) | (yi < 0) | (yi >= h) | (zi < 0) | (zi >= d)
-        vals = pool[
+        vals = _u8_to_prob(pool[
             jnp.clip(zi, 0, d - 1), jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)
-        ]
+        ])
         return jnp.where(oob, pv.MIN_PROBABILITY, vals)
 
     vals = at(cz, cy, cx)
@@ -154,9 +172,9 @@ def _low_res_scores_device(
     ci = jnp.floor(base + off[:, None, :] + 0.5).astype(jnp.int32)
     cx, cy, cz = ci[..., 0], ci[..., 1], ci[..., 2]
     oob = (cx < 0) | (cx >= w) | (cy < 0) | (cy >= h) | (cz < 0) | (cz >= d)
-    vals = low_prob[
+    vals = _u8_to_prob(low_prob[
         jnp.clip(cz, 0, d - 1), jnp.clip(cy, 0, h - 1), jnp.clip(cx, 0, w - 1)
-    ]
+    ])
     vals = jnp.where(oob, pv.MIN_PROBABILITY, vals)
     count = jnp.maximum(jnp.sum(low_mask), 1)
     scores = jnp.sum(vals * low_mask[None, :], axis=-1) / count
@@ -444,7 +462,7 @@ class FastCorrelativeScanMatcher3D:
         self._low_grid = low_resolution_grid
         # Materialize the low-res probability volume once (it is read by
         # every search against this submap).
-        self._low_prob = low_resolution_grid.probability()
+        self._low_prob = _quantize_u8(low_resolution_grid.probability())
         self._submap_histogram = submap_histogram
 
     @staticmethod

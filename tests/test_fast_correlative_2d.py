@@ -10,8 +10,18 @@ from cartographer_tpu.common.config import FastCorrelativeScanMatcherOptions2D
 from cartographer_tpu.mapping import probability_values as pv
 from cartographer_tpu.ops.scan_matching.fast_correlative_2d import (
     FastCorrelativeScanMatcher2D,
+    _u8_to_prob,
     compute_pyramid,
 )
+
+
+def quantize_probs(prob):
+    """The matcher's uint8 cell quantization (PrecomputationGrid2D
+    semantics) applied host-side for expected values."""
+    scale = 255.0 / (pv.MAX_PROBABILITY - pv.MIN_PROBABILITY)
+    return np.clip(
+        np.round((prob - pv.MIN_PROBABILITY) * scale), 0, 255
+    ).astype(np.uint8)
 from cartographer_tpu.mapping.submap_2d import ActiveSubmaps2D
 from cartographer_tpu.transform import rigid2
 from tests.test_grid_2d import make_range_data, small_options
@@ -21,16 +31,17 @@ class TestPyramid:
     def test_pooling_matches_naive(self):
         rng = np.random.default_rng(0)
         prob = rng.uniform(0.1, 0.9, size=(32, 32)).astype(np.float32)
-        pyr = np.asarray(compute_pyramid(jnp.asarray(prob), 4))
+        pyr = np.asarray(compute_pyramid(jnp.asarray(prob), 4))  # uint8
+        q = quantize_probs(prob)
         for level in range(4):
             w = 1 << level
-            padded = np.full((32 + w, 32 + w), pv.MIN_PROBABILITY, np.float32)
-            padded[:32, :32] = prob
-            expected = np.zeros((32, 32), np.float32)
+            padded = np.zeros((32 + w, 32 + w), np.uint8)
+            padded[:32, :32] = q
+            expected = np.zeros((32, 32), np.uint8)
             for y in range(32):
                 for x in range(32):
                     expected[y, x] = padded[y : y + w, x : x + w].max()
-            np.testing.assert_allclose(pyr[level], expected, atol=1e-6)
+            np.testing.assert_array_equal(pyr[level], expected)
 
     def test_admissible_bound(self):
         # Pooled value at (x, y) >= any cell in the w x w window: the BnB
@@ -44,7 +55,11 @@ class TestPyramid:
                 y, x = rng.integers(0, 64, 2)
                 dy, dx = rng.integers(0, w, 2)
                 if y + dy < 64 and x + dx < 64:
-                    assert pyr[level][y, x] >= prob[y + dy, x + dx] - 1e-6
+                    # Admissibility holds at the quantized precision.
+                    assert (
+                        pyr[level][y, x]
+                        >= quantize_probs(prob)[y + dy, x + dx]
+                    )
 
 
 def build_grid_and_scan():
@@ -70,7 +85,20 @@ def exhaustive_best(matcher, grid, points, initial, window_cells, angular_window
     step = compute_angular_step(grid.resolution, max_range)
     num_angular = int(np.ceil(angular_window / step))
     angles = (np.arange(2 * num_angular + 1) - num_angular) * step
-    prob = np.asarray(grid.probability())
+    # Score in the matcher's uint8-quantized probability domain so the
+    # comparison with the BnB result is exact (same discretization).
+    scale = 255.0 / (pv.MAX_PROBABILITY - pv.MIN_PROBABILITY)
+    prob = (
+        np.clip(
+            np.round(
+                (np.asarray(grid.probability()) - pv.MIN_PROBABILITY) * scale
+            ),
+            0,
+            255,
+        ).astype(np.float32)
+        / scale
+        + pv.MIN_PROBABILITY
+    )
     origin = np.asarray(grid.origin)
     h, w = prob.shape
     best = (-1.0, None)
