@@ -64,18 +64,28 @@ def main() -> None:
     builder = ChunkedLocalTrajectoryBuilder2D(
         make_options(), {"range"}, chunk_size=chunk
     )
+    # Time-bounded phases: the host link to a remote-attached TPU can
+    # degrade by orders of magnitude under load. The bench then reports the
+    # (low) achieved rate, flagged as degraded, instead of hanging past the
+    # driver's patience. Only complete chunks count toward the rate.
     warmup = 16 * chunk
+    warmup_budget_s = 480.0
+    budget_s = 120.0
     n = 0
+    warm_done = 0
+    t_start = time.perf_counter()
     for m in measurements[:warmup]:
         n += len(builder.add_range_data("range", m))
-    # Time-bounded measurement window (only complete chunks counted): the
-    # host link to a remote-attached TPU can degrade by orders of magnitude
-    # under load; the bench then reports the (low) achieved rate instead of
-    # hanging past the driver's patience.
-    budget_s = 120.0
+        warm_done += 1
+        if (
+            warm_done % chunk == 0
+            and time.perf_counter() - t_start > warmup_budget_s
+        ):
+            break
+    degraded = warm_done < warmup
     t0 = time.perf_counter()
     count = 0
-    for m in measurements[warmup:]:
+    for m in measurements[warm_done:]:
         n += len(builder.add_range_data("range", m))
         count += 1
         if count % chunk == 0 and time.perf_counter() - t0 > budget_s:
@@ -85,16 +95,18 @@ def main() -> None:
     scans_per_sec = count / dt
     assert n > min(count, warmup) // 2, "pipeline produced too few results"
 
-    print(
-        json.dumps(
-            {
-                "metric": "local_slam_2d_full_pipeline_scans_per_sec_per_chip",
-                "value": round(scans_per_sec, 2),
-                "unit": "scans/s",
-                "vs_baseline": round(scans_per_sec / REFERENCE_CPU_SCANS_PER_SEC, 3),
-            }
+    record = {
+        "metric": "local_slam_2d_full_pipeline_scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / REFERENCE_CPU_SCANS_PER_SEC, 3),
+    }
+    if degraded:
+        record["note"] = (
+            "host link degraded during run (warmup truncated); value "
+            "understates steady-state throughput"
         )
-    )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
