@@ -15,6 +15,11 @@ from cartographer_tpu.ops.scan_matching.fast_correlative_2d import (
 )
 
 
+from cartographer_tpu.mapping.submap_2d import ActiveSubmaps2D
+from cartographer_tpu.transform import rigid2
+from tests.test_grid_2d import make_range_data, small_options
+
+
 def quantize_probs(prob):
     """The matcher's uint8 cell quantization (PrecomputationGrid2D
     semantics) applied host-side for expected values."""
@@ -22,9 +27,6 @@ def quantize_probs(prob):
     return np.clip(
         np.round((prob - pv.MIN_PROBABILITY) * scale), 0, 255
     ).astype(np.uint8)
-from cartographer_tpu.mapping.submap_2d import ActiveSubmaps2D
-from cartographer_tpu.transform import rigid2
-from tests.test_grid_2d import make_range_data, small_options
 
 
 class TestPyramid:
@@ -176,3 +178,58 @@ class TestFastCorrelative:
         assert result is not None
         np.testing.assert_allclose(result.pose[:2], [0.0, 0.0], atol=0.08)
         assert abs(rigid2.normalize_angle(result.pose[2])) < np.radians(2.0)
+
+
+class TestBatchedSearch:
+    def test_batch_matches_single(self):
+        """batch_match_device (one vmapped program per drain) returns
+        exactly what per-search match_device does, including full-submap
+        windows, staged device clouds, and batch padding rows."""
+        from cartographer_tpu.ops.scan_matching.fast_correlative_2d import (
+            batch_match_device,
+        )
+
+        grid, points = build_grid_and_scan()
+        options = FastCorrelativeScanMatcherOptions2D(
+            linear_search_window=0.6,
+            angular_search_window=np.radians(10.0),
+            branch_and_bound_depth=4,
+        )
+        matcher = FastCorrelativeScanMatcher2D(grid, options)
+        rng = np.random.default_rng(7)
+        searches = []
+        singles = []
+        for i in range(5):
+            if i == 3:
+                initial = None  # full submap
+                min_score = 0.2
+            else:
+                initial = rigid2.make(rng.normal(0, 0.1, 2), rng.normal(0, 0.05))
+                min_score = 0.1
+            staged = (
+                FastCorrelativeScanMatcher2D.stage_points(points)
+                if i % 2 == 0
+                else None
+            )
+            searches.append(
+                dict(
+                    matcher=matcher, initial_pose=initial, point_cloud=points,
+                    device_points=staged, min_score=min_score,
+                )
+            )
+            packed, ctx = matcher.match_device(
+                initial, points, min_score,
+                full_submap=initial is None, device_points=staged,
+            )
+            singles.append(matcher.decode(np.asarray(packed), ctx))
+
+        packed_all, ctxs = batch_match_device(searches)
+        assert packed_all.shape[0] == len(searches)
+        for row, ctx, single in zip(packed_all, ctxs, singles):
+            batched = matcher.decode(row, ctx)
+            assert (batched is None) == (single is None)
+            if single is not None:
+                assert batched.score == pytest.approx(single.score, abs=1e-6)
+                np.testing.assert_allclose(
+                    batched.pose, single.pose, atol=1e-6
+                )
