@@ -272,8 +272,12 @@ def tracker_fold(cfg, state, t_target, imu):
         )
         return nxt, (nxt[0], nxt[1], nxt[3])
 
+    # Fully unrolled: the body is ~60 tiny scalar quaternion ops and the
+    # slot count is small (<= 32), so loop bookkeeping would dominate.
     (tf, orif, gravf, omf, laf), (bt, bo, bw) = jax.lax.scan(
-        step, (t0, ori0, grav0, om0, la0), (imu_t, imu_acc, imu_gyro, imu_valid)
+        step, (t0, ori0, grav0, om0, la0),
+        (imu_t, imu_acc, imu_gyro, imu_valid),
+        unroll=True,
     )
     bp_t = jnp.concatenate([t0[None], bt])
     bp_ori = jnp.concatenate([ori0[None], bo])
