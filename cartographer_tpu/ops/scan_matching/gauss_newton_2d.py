@@ -335,18 +335,14 @@ def match(
 ):
     """Returns (pose [3], final cost). LM with diagonal damping.
 
-    The bicubic grid read is piecewise constant in the pose, so the LM
-    loop carries an 8x8 WINDOW per point (rows/cols floor(uv)-3 ..
-    floor(uv)+4 at the extraction pose): every iteration whose pose stays
-    within +-2 cells of the extraction pose evaluates residual, Jacobian
-    AND candidate cost from the carried windows with zero grid reads; the
-    expensive extraction (one-hot MXU matmuls over the whole grid) only
-    reruns when some point drifts out of its window — rare during
-    refinement, where steps are sub-cell."""
+    The 4x4 bicubic patches are piecewise constant in the pose (the grid
+    read costs one gather per point), so the LM loop carries the patches
+    extracted at the accepted pose: exactly ONE extraction per iteration
+    (candidate evaluation) instead of three (residual + Jacobian +
+    candidate) — the Jacobian reuses the carried patch, which is what
+    jacfwd through the stop_gradient computes anyway."""
     num_points = jnp.maximum(jnp.sum(point_mask), 1)
     osw = occupied_space_weight / jnp.sqrt(num_points.astype(jnp.float32))
-    W = 8
-    LO = -3  # window rows biv = iv_extract + LO
 
     def uv_of(pose):
         c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
@@ -356,41 +352,23 @@ def match(
         v = (wy - origin[1]) / resolution - 0.5
         return u, v
 
-    def extract_window(pose):
+    def extract_at(pose):
         u, v = uv_of(pose)
         iu = jnp.floor(u).astype(jnp.int32)
         iv = jnp.floor(v).astype(jnp.int32)
-        win = jax.lax.stop_gradient(
-            _extract_patches_onehot(cost_grid, iv, iu, size=W, lo=LO)
-        )
-        return win, iu + LO, iv + LO  # window bases (biu, biv)
+        patch = jax.lax.stop_gradient(_extract_patches_onehot(cost_grid, iv, iu))
+        return patch, iu, iv
 
-    iota_w = jnp.arange(W, dtype=jnp.int32)
-
-    def res_given_window(pose, win, biu, biv):
-        """Residuals from the carried windows — differentiable in pose
-        through the fractional coordinates only (identical to jacfwd of
-        the full residual while the 4x4 bicubic support stays inside the
-        window)."""
+    def res_given_patch(pose, patch, iu, iv):
+        """Residuals with the grid read frozen at (patch, iu, iv) —
+        differentiable in pose through the fractional coordinates only,
+        identical to jacfwd of the full residual at the extraction pose."""
         u, v = uv_of(pose)
-        iu = jnp.floor(u).astype(jnp.int32)
-        iv = jnp.floor(v).astype(jnp.int32)
         tu = u - iu.astype(jnp.float32)
         tv = v - iv.astype(jnp.float32)
-        wu = _cubic_weights(tu)  # [N, 4]
+        wu = _cubic_weights(tu)
         wv = _cubic_weights(tv)
-        du = (iu - 1) - biu  # local col of the bicubic support start
-        dv = (iv - 1) - biv
-        # Spread the 4 bicubic weights into 8-wide window weights.
-        sel_u = (
-            iota_w[None, None, :] == (du[:, None] + jnp.arange(4)[None, :])[..., None]
-        )  # [N, 4, W]
-        sel_v = (
-            iota_w[None, None, :] == (dv[:, None] + jnp.arange(4)[None, :])[..., None]
-        )
-        wu8 = jnp.sum(wu[:, :, None] * sel_u, axis=1)  # [N, W]
-        wv8 = jnp.sum(wv[:, :, None] * sel_v, axis=1)
-        occ = jnp.einsum("ni,nij,nj->n", wv8, win, wu8) * osw
+        occ = jnp.einsum("...i,...ij,...j->...", wv, patch, wu) * osw
         occ = jnp.where(point_mask, occ, 0.0)
         extra = jnp.stack(
             [
@@ -401,38 +379,24 @@ def match(
         )
         return jnp.concatenate([occ, extra])
 
-    def window_ok(pose, biu, biv):
-        u, v = uv_of(pose)
-        iu = jnp.floor(u).astype(jnp.int32)
-        iv = jnp.floor(v).astype(jnp.int32)
-        inside = (
-            (iu - 1 >= biu) & (iu + 2 <= biu + W - 1)
-            & (iv - 1 >= biv) & (iv + 2 <= biv + W - 1)
-        )
-        return jnp.all(inside | ~point_mask)
-
     def cost_of(r):
         return 0.5 * jnp.sum(r * r)
 
     def cond(carry):
-        pose, win, biu, biv, lam, cost, it, done = carry
+        pose, patch, iu, iv, lam, cost, it, done = carry
         return (it < max_iterations) & ~done
 
     def step(carry):
-        pose, win, biu, biv, lam, cost, it, done = carry
-        r = res_given_window(pose, win, biu, biv)
-        jac = jax.jacfwd(res_given_window)(pose, win, biu, biv)  # [R, 3]
+        pose, patch, iu, iv, lam, cost, it, done = carry
+        r = res_given_patch(pose, patch, iu, iv)
+        jac = jax.jacfwd(res_given_patch)(pose, patch, iu, iv)  # [R, 3]
         jtj = jac.T @ jac
         jtr = jac.T @ r
         damped = jtj + lam * jnp.diag(jnp.diag(jtj))
         delta = -solve_spd_small(damped, jtr)
         new_pose = pose + delta
-        win2, biu2, biv2 = jax.lax.cond(
-            window_ok(new_pose, biu, biv),
-            lambda: (win, biu, biv),
-            lambda: extract_window(new_pose),
-        )
-        new_cost = cost_of(res_given_window(new_pose, win2, biu2, biv2))
+        new_patch, new_iu, new_iv = extract_at(new_pose)
+        new_cost = cost_of(res_given_patch(new_pose, new_patch, new_iu, new_iv))
         accept = new_cost < cost
         # Ceres-style convergence: relative cost decrease below the
         # function tolerance, or the trust region collapsed (lambda huge).
@@ -440,22 +404,22 @@ def match(
             ~accept & (lam > 1e3)
         )
         pose = jnp.where(accept, new_pose, pose)
-        win = jnp.where(accept, win2, win)
-        biu = jnp.where(accept, biu2, biu)
-        biv = jnp.where(accept, biv2, biv)
+        patch = jnp.where(accept, new_patch, patch)
+        iu = jnp.where(accept, new_iu, iu)
+        iv = jnp.where(accept, new_iv, iv)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0)
-        return (pose, win, biu, biv, lam, cost, it + 1, converged)
+        return (pose, patch, iu, iv, lam, cost, it + 1, converged)
 
     pose0 = initial_pose.astype(jnp.float32)
-    win0, biu0, biv0 = extract_window(pose0)
+    patch0, iu0, iv0 = extract_at(pose0)
     init = (
         pose0,
-        win0,
-        biu0,
-        biv0,
+        patch0,
+        iu0,
+        iv0,
         jnp.float32(1e-4),
-        cost_of(res_given_window(pose0, win0, biu0, biv0)),
+        cost_of(res_given_patch(pose0, patch0, iu0, iv0)),
         jnp.int32(0),
         jnp.asarray(False),
     )

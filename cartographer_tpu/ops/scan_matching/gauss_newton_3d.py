@@ -374,28 +374,6 @@ def _match_3d_impl(
         x, packs, lam, cost, it, done = carry
         return (it < max_iterations) & ~done
 
-    def packs_ok(x, packs):
-        """True when every point's trilinear support at pose x still sits
-        on the carried corner voxels (same integer indices)."""
-        t, q, _ = decode(x)
-
-        def one(pack, origin, res, points, mask):
-            iu, iv, iw, _ = pack
-            world = _quat_rotate(q[None, :], points) + t[None, :]
-            niu = jnp.floor((world[:, 0] - origin[0]) / res).astype(jnp.int32)
-            niv = jnp.floor((world[:, 1] - origin[1]) / res).astype(jnp.int32)
-            niw = jnp.floor((world[:, 2] - origin[2]) / res).astype(jnp.int32)
-            same = (niu == iu) & (niv == iv) & (niw == iw)
-            return jnp.all(same | ~mask)
-
-        ok = one(packs[0], high_origin, high_resolution, high_points, high_mask)
-        ok &= one(packs[1], low_origin, low_resolution, low_points, low_mask)
-        if extra_block is not None:
-            ok &= one(
-                packs[2], high_origin, high_resolution, high_points, high_mask
-            )
-        return ok
-
     def step(carry):
         x, packs, lam, cost, it, done = carry
         r = residuals_given(x, packs)
@@ -405,13 +383,10 @@ def _match_3d_impl(
         damped = jtj + lam * jnp.diag(jnp.diag(jtj) + 1e-9)
         delta = -solve_spd_small(damped, jtr)
         new_x = x + delta
-        # Re-gather corners only when some point crossed a voxel boundary
-        # (sub-voxel LM steps keep the carried corners exact).
-        new_packs = jax.lax.cond(
-            packs_ok(new_x, packs),
-            lambda: packs,
-            lambda: extract_all(new_x),
-        )
+        # One gather set per iteration (at the candidate pose). A
+        # drift-gated lax.cond reuse was measured SLOWER on TPU — the
+        # branch does not stay conditional after lowering.
+        new_packs = extract_all(new_x)
         new_cost = cost_of(new_x, new_packs)
         accept = new_cost < cost
         converged = (accept & (cost - new_cost <= 1e-6 * cost)) | (
