@@ -202,6 +202,10 @@ class FrontendConfig2D:
     # tiled-layout conversions on every typed transfer otherwise.
     chunk_size: int = 0
     num_points: int = 0
+    # LM grid-read formulation: weight-folded band bilinear forms (half the
+    # MXU work per iteration) vs the 4x4 one-hot patch path. See
+    # gauss_newton_2d.match_bands.
+    use_band_matcher: bool = True
     # Debug: comma-separated stages to stub out when isolating perf
     # ("voxel", "adaptive", "match", "insert"). Not for production use.
     disable: str = ""
@@ -325,7 +329,12 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     if "match" in cfg.disable:
         gn_pose = pred
     else:
-        gn_pose, _gn_cost = gauss_newton_2d.match.__wrapped__(
+        matcher = (
+            gauss_newton_2d.match_bands
+            if cfg.use_band_matcher
+            else gauss_newton_2d.match
+        )
+        gn_pose, _gn_cost = matcher.__wrapped__(
             1.0 - slot0_prob,
             state.grid_origin[0],
             pred,

@@ -69,6 +69,16 @@ def _cubic_weights(t):
     return jnp.stack([w0, w1, w2, w3], axis=-1)
 
 
+def _cubic_weights_d(t):
+    """d/dt of the Catmull-Rom basis."""
+    t2 = t * t
+    w0 = -1.5 * t2 + 2.0 * t - 0.5
+    w1 = 4.5 * t2 - 5.0 * t
+    w2 = -4.5 * t2 + 4.0 * t + 0.5
+    w3 = 1.5 * t2 - t
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
 def _extract_patches_gather(cost_grid, iv, iu):
     offs = jnp.arange(-1, 3, dtype=jnp.int32)
     rows = iv[..., None, None] + offs[:, None]  # [..., 4, 1]
@@ -425,3 +435,173 @@ def match(
     )
     pose, _, _, _, _, cost, _, _ = jax.lax.while_loop(cond, step, init)
     return pose, cost
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def match_bands(
+    cost_grid: jax.Array,  # f32 [H, W] correspondence cost (unknown -> 0.9)
+    origin: jax.Array,  # f32 [2]
+    initial_pose: jax.Array,  # f32 [3]
+    target_translation: jax.Array,  # f32 [2]
+    points: jax.Array,  # f32 [N, 2]
+    point_mask: jax.Array,  # bool [N]
+    resolution: float,
+    occupied_space_weight: float,
+    translation_weight: float,
+    rotation_weight: float,
+    max_iterations: int = 20,
+):
+    """match() with the bicubic grid read restructured as weight-folded
+    band bilinear forms.
+
+    The interpolated cost is the bilinear form wv(tv)^T P wu(tu) over the
+    4x4 patch P. Instead of materializing P per point ([N, 4, 4] via a
+    [4N, H] x [H, W] one-hot matmul), fold the ROW weights into the grid
+    matmul: RG[n] = wv^T P (a [2N, H] x [H, W] matmul also carrying the
+    derivative selector wv'^T P), then take the three column dot products
+    (wu, wu', and wv'-bands x wu) as cheap [N, W] reductions. Halves the
+    MXU work per LM iteration and removes the batched 4x4 einsum and the
+    [N, 4, W] intermediates. Out-of-grid reads contribute
+    MAX_CORRESPONDENCE_COST exactly as the patch path: Catmull-Rom weights
+    sum to 1, so the OOB mass is 1 - (in-bounds row mass x in-bounds
+    column mass), with matching derivative corrections.
+
+    Same residuals/normal equations as match() (analytic instead of jacfwd
+    through the frozen patch — identical values up to matmul rounding),
+    same LM lambda control and convergence tests. Returns (pose, cost).
+    """
+    h, w = cost_grid.shape
+    num_points = jnp.maximum(jnp.sum(point_mask), 1)
+    osw = occupied_space_weight / jnp.sqrt(num_points.astype(jnp.float32))
+    maxc = pv.MAX_CORRESPONDENCE_COST
+    pmf = point_mask.astype(jnp.float32)
+    tw = jnp.float32(translation_weight)
+    rw = jnp.float32(rotation_weight)
+    offs = jnp.arange(-1, 3, dtype=jnp.int32)
+    n = points.shape[0]
+
+    def uv_of(pose):
+        c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+        wx = c * points[:, 0] - s * points[:, 1] + pose[0]
+        wy = s * points[:, 0] + c * points[:, 1] + pose[1]
+        u = (wx - origin[0]) / resolution - 0.5
+        v = (wy - origin[1]) / resolution - 0.5
+        return u, v
+
+    def extract_at(pose):
+        """Row-side extraction: one [2N, H] x [H, W] matmul streaming the
+        grid once for both the value (wv) and derivative (wv') bands."""
+        u, v = uv_of(pose)
+        iu = jnp.floor(u).astype(jnp.int32)
+        iv = jnp.floor(v).astype(jnp.int32)
+        tv = v - iv.astype(jnp.float32)
+        rows = iv[:, None] + offs[None, :]  # [N, 4]
+        rowin = (rows >= 0) & (rows < h)
+        wv = jnp.where(rowin, _cubic_weights(tv), 0.0)
+        wvp = jnp.where(rowin, _cubic_weights_d(tv), 0.0)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, h), 2)
+        onehot = rows[:, :, None] == row_iota  # [N, 4, H]
+        sel = jnp.concatenate(
+            [
+                jnp.sum(jnp.where(onehot, wv[:, :, None], 0.0), axis=1),
+                jnp.sum(jnp.where(onehot, wvp[:, :, None], 0.0), axis=1),
+            ],
+            axis=0,
+        )  # [2N, H]
+        bands = jax.lax.stop_gradient(
+            jnp.einsum(
+                "nh,hw->nw", sel, cost_grid,
+                preferred_element_type=jnp.float32,
+            )
+        )
+        return bands[:n], bands[n:], jnp.sum(wv, 1), jnp.sum(wvp, 1), iu, iv
+
+    def eval_at(pose, rg, rpg, sv, svp, iu, iv):
+        """Residuals + cost + the derivative dot products at the
+        extraction pose (exact there; rg/rpg freeze the row side)."""
+        u, _ = uv_of(pose)
+        tu = u - iu.astype(jnp.float32)
+        cols = iu[:, None] + offs[None, :]
+        colin = (cols >= 0) & (cols < w)
+        wu = jnp.where(colin, _cubic_weights(tu), 0.0)
+        wup = jnp.where(colin, _cubic_weights_d(tu), 0.0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+        onehot = cols[:, :, None] == col_iota  # [N, 4, W]
+        cw = jnp.sum(jnp.where(onehot, wu[:, :, None], 0.0), axis=1)
+        cwp = jnp.sum(jnp.where(onehot, wup[:, :, None], 0.0), axis=1)
+        d_vu = jnp.sum(rg * cw, axis=1)  # wv  P wu
+        d_vup = jnp.sum(rg * cwp, axis=1)  # wv  P wu'
+        d_vpu = jnp.sum(rpg * cw, axis=1)  # wv' P wu
+        su = jnp.sum(wu, 1)
+        sup = jnp.sum(wup, 1)
+        occ = osw * pmf * (d_vu + maxc * (1.0 - sv * su))
+        extra = jnp.stack(
+            [
+                tw * (pose[0] - target_translation[0]),
+                tw * (pose[1] - target_translation[1]),
+                rw * (pose[2] - initial_pose[2]),
+            ]
+        )
+        cost = 0.5 * (jnp.sum(occ * occ) + jnp.sum(extra * extra))
+        g_tu = osw * pmf * (d_vup - maxc * sv * sup)
+        g_tv = osw * pmf * (d_vpu - maxc * svp * su)
+        return cost, occ, extra, g_tu, g_tv
+
+    def normal_eqs(pose, occ, extra, g_tu, g_tv):
+        c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+        inv_res = jnp.float32(1.0 / resolution)
+        du_dth = (-s * points[:, 0] - c * points[:, 1]) * inv_res
+        dv_dth = (c * points[:, 0] - s * points[:, 1]) * inv_res
+        g = jnp.stack(
+            [g_tu * inv_res, g_tv * inv_res, g_tu * du_dth + g_tv * dv_dth],
+            axis=1,
+        )  # [N, 3] = d occ / d pose
+        jtj = jnp.einsum(
+            "ni,nj->ij", g, g, preferred_element_type=jnp.float32
+        ) + jnp.diag(jnp.stack([tw * tw, tw * tw, rw * rw]))
+        jtr = g.T @ occ + jnp.stack(
+            [tw * extra[0], tw * extra[1], rw * extra[2]]
+        )
+        return jtj, jtr
+
+    def cond(carry):
+        pose, rg, rpg, sv, svp, iu, iv, lam, cost, it, done = carry
+        return (it < max_iterations) & ~done
+
+    def step(carry):
+        pose, rg, rpg, sv, svp, iu, iv, lam, cost, it, done = carry
+        _, occ, extra, g_tu, g_tv = eval_at(pose, rg, rpg, sv, svp, iu, iv)
+        jtj, jtr = normal_eqs(pose, occ, extra, g_tu, g_tv)
+        damped = jtj + lam * jnp.diag(jnp.diag(jtj))
+        delta = -solve_spd_small(damped, jtr)
+        new_pose = pose + delta
+        nrg, nrpg, nsv, nsvp, niu, niv = extract_at(new_pose)
+        new_cost, *_ = eval_at(new_pose, nrg, nrpg, nsv, nsvp, niu, niv)
+        accept = new_cost < cost
+        converged = (accept & (cost - new_cost <= 1e-6 * cost)) | (
+            ~accept & (lam > 1e3)
+        )
+        sel = lambda a, b: jnp.where(accept, a, b)
+        return (
+            sel(new_pose, pose),
+            sel(nrg, rg),
+            sel(nrpg, rpg),
+            sel(nsv, sv),
+            sel(nsvp, svp),
+            sel(niu, iu),
+            sel(niv, iv),
+            jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0),
+            sel(new_cost, cost),
+            it + 1,
+            converged,
+        )
+
+    pose0 = initial_pose.astype(jnp.float32)
+    rg0, rpg0, sv0, svp0, iu0, iv0 = extract_at(pose0)
+    cost0, *_ = eval_at(pose0, rg0, rpg0, sv0, svp0, iu0, iv0)
+    init = (
+        pose0, rg0, rpg0, sv0, svp0, iu0, iv0,
+        jnp.float32(1e-4), cost0, jnp.int32(0), jnp.asarray(False),
+    )
+    out = jax.lax.while_loop(cond, step, init)
+    return out[0], out[8]

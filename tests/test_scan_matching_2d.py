@@ -117,3 +117,78 @@ class TestCeresScanMatcher:
         # Sub-half-cell drift tolerated (see test_refines_small_perturbation).
         np.testing.assert_allclose(pose[:2], [0.0, 0.0], atol=0.025)
         assert abs(pose[2]) < np.radians(0.3)
+
+
+class TestBandMatcher:
+    """gauss_newton_2d.match_bands: the weight-folded band bilinear-form
+    formulation must agree with the 4x4 patch LM (`match`) — same residuals
+    and normal equations up to MXU rounding — and recover perturbations."""
+
+    def _cost_grid_args(self, grid, points, initial, max_it=30):
+        import jax.numpy as jnp
+
+        prob = np.where(
+            np.asarray(grid.known),
+            1.0 / (1.0 + np.exp(-np.asarray(grid.log_odds))),
+            0.1,
+        ).astype(np.float32)
+        from cartographer_tpu.mapping.scan_matching_2d import pad_points_2d
+
+        points_p, point_mask = pad_points_2d(np.asarray(points))
+        return (
+            jnp.asarray(1.0 - prob),
+            jnp.asarray(grid.origin),
+            jnp.asarray(initial, jnp.float32),
+            jnp.asarray(initial[:2], jnp.float32),
+            jnp.asarray(points_p),
+            jnp.asarray(point_mask),
+            grid.resolution,
+            1.0,
+            0.1,
+            0.1,
+            max_it,
+        )
+
+    def test_agrees_with_patch_matcher(self):
+        from cartographer_tpu.ops.scan_matching import gauss_newton_2d as gn
+
+        grid, points = build_world()
+        for seed in range(3):
+            rng = np.random.default_rng(seed)
+            initial = rigid2.make(rng.normal(0, 0.04, 2), rng.normal(0, 0.02))
+            args = self._cost_grid_args(grid, points, initial)
+            p1, c1 = gn.match(*args)
+            p2, c2 = gn.match_bands(*args)
+            # Same LM trajectory up to matmul rounding; on the structured
+            # world both land on the same optimum to sub-millimeter.
+            np.testing.assert_allclose(
+                np.asarray(p1), np.asarray(p2), atol=5e-3
+            )
+            assert float(c2) == pytest.approx(float(c1), rel=0.02, abs=1e-3)
+
+    def test_recovers_perturbation(self):
+        from cartographer_tpu.ops.scan_matching import gauss_newton_2d as gn
+
+        grid, points = build_world()
+        initial = rigid2.make([0.05, -0.04], np.radians(1.0))
+        args = self._cost_grid_args(grid, points, initial)
+        pose, _ = gn.match_bands(*args)
+        pose = np.asarray(pose)
+        np.testing.assert_allclose(pose[:2], [0.0, 0.0], atol=0.045)
+        assert abs(pose[2]) < np.radians(1.0)
+
+    def test_out_of_grid_points_cost_max(self):
+        """Points fully outside the grid must contribute the max
+        correspondence cost with zero gradient (kPadding semantics):
+        match_bands must agree with the patch path there too."""
+        import jax.numpy as jnp
+        from cartographer_tpu.ops.scan_matching import gauss_newton_2d as gn
+
+        grid, points = build_world()
+        far = points + np.array([50.0, 50.0])  # entirely off-grid
+        initial = rigid2.make([0.01, 0.02], 0.0)
+        args = self._cost_grid_args(grid, far, initial, max_it=5)
+        p1, c1 = gn.match(*args)
+        p2, c2 = gn.match_bands(*args)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
+        assert float(c2) == pytest.approx(float(c1), rel=1e-3)

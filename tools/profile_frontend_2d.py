@@ -119,6 +119,12 @@ def main() -> None:
                   "voxel,adaptive", "voxel,adaptive,match,insert"):
         t, _ = device_time(dataclasses.replace(cfg, disable=stage))
         print(f"device without {stage:28s}: {t*1e3:6.1f} ms (stage ~{(full_t-t)*1e3:5.1f} ms)")
+    alt = dataclasses.replace(cfg, use_band_matcher=not cfg.use_band_matcher)
+    t, _ = device_time(alt)
+    print(
+        f"device full chunk with use_band_matcher={alt.use_band_matcher}: "
+        f"{t*1e3:.1f} ms ({CHUNK/t:.0f} scans/s)"
+    )
 
     # (c) fetch time (the full out_points stays on device — lazy)
     fetch_bytes = packed_out.nbytes
