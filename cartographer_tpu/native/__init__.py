@@ -82,6 +82,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.rotational_histogram.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return _lib
 
@@ -138,6 +144,23 @@ def ray_to_pixel_mask(
     )
     assert k >= 0, "ray_to_pixel_mask overflow"
     return out[:k]
+
+
+def rotational_histogram(points: np.ndarray, histogram_size: int):
+    """Rotational scan-matcher histogram (gravity-aligned (N, 3) cloud) —
+    native when available, else None (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points[:, :3], np.float32)
+    out = np.zeros(histogram_size, np.float32)
+    lib.rotational_histogram(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(points),
+        histogram_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
 
 
 def accumulate_cells_2d(

@@ -19,6 +19,8 @@
 #include <cstring>
 #include <algorithm>
 #include <unordered_set>
+#include <utility>
+#include <vector>
 
 extern "C" {
 
@@ -123,6 +125,97 @@ void accumulate_cells_2d(const float* points, int64_t n, int32_t height,
     const int32_t y = static_cast<int32_t>(std::floor(points[2 * i + 1]));
     if (x >= 0 && x < width && y >= 0 && y < height) {
       ++grid[static_cast<int64_t>(y) * width + x];
+    }
+  }
+}
+
+// Rotational scan-matcher histogram
+// (internal/3d/scan_matching/rotational_scan_matcher.cc:31-193): angles
+// between consecutive points within 0.2 m z-slices (sorted around the
+// slice centroid), weighted by orthogonality to the centroid direction.
+// points: [n * 3] float32 in the gravity-aligned frame; hist: [size] f32.
+// Semantics mirror ops/scan_matching/rotational_histogram.py exactly
+// (np.round / Python round() are round-half-to-even -> nearbyint).
+void rotational_histogram(const float* points, int64_t n, int32_t size,
+                          float* hist) {
+  if (size <= 0) return;
+  std::memset(hist, 0, sizeof(float) * static_cast<size_t>(size));
+  if (n == 0) return;
+  constexpr float kMinDistance = 0.2f;
+  constexpr float kMaxDistance = 0.9f;
+  constexpr float kSliceHeight = 0.2f;
+  const double kPi = 3.14159265358979323846;
+  std::vector<std::pair<int32_t, int64_t>> slot(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) {
+    slot[static_cast<size_t>(i)] = {
+        static_cast<int32_t>(std::nearbyintf(points[3 * i + 2] / kSliceHeight)),
+        i};
+  }
+  std::stable_sort(
+      slot.begin(), slot.end(),
+      [](const std::pair<int32_t, int64_t>& a,
+         const std::pair<int32_t, int64_t>& b) { return a.first < b.first; });
+  struct P {
+    float x, y, angle;
+  };
+  std::vector<P> pts;
+  int64_t start = 0;
+  while (start < n) {
+    int64_t end = start;
+    while (end < n && slot[static_cast<size_t>(end)].first ==
+                          slot[static_cast<size_t>(start)].first) {
+      ++end;
+    }
+    double cx = 0.0, cy = 0.0;
+    for (int64_t k = start; k < end; ++k) {
+      const int64_t i = slot[static_cast<size_t>(k)].second;
+      cx += points[3 * i];
+      cy += points[3 * i + 1];
+    }
+    const float cxf = static_cast<float>(cx / static_cast<double>(end - start));
+    const float cyf = static_cast<float>(cy / static_cast<double>(end - start));
+    pts.clear();
+    for (int64_t k = start; k < end; ++k) {
+      const int64_t i = slot[static_cast<size_t>(k)].second;
+      const float x = points[3 * i];
+      const float y = points[3 * i + 1];
+      const float dx = x - cxf;
+      const float dy = y - cyf;
+      if (std::sqrt(dx * dx + dy * dy) >= kMinDistance) {
+        pts.push_back({x, y, std::atan2(dy, dx)});
+      }
+    }
+    start = end;
+    if (pts.size() < 2) continue;
+    std::stable_sort(pts.begin(), pts.end(), [](const P& a, const P& b) {
+      return a.angle < b.angle;
+    });
+    float lx = pts[0].x, ly = pts[0].y;
+    for (const P& p : pts) {
+      const float dx = p.x - lx;
+      const float dy = p.y - ly;
+      const float gx = p.x - cxf;
+      const float gy = p.y - cyf;
+      const float dist = std::sqrt(dx * dx + dy * dy);
+      const float dirn = std::sqrt(gx * gx + gy * gy);
+      if (dist < kMinDistance || dirn < kMinDistance) continue;
+      if (dist > kMaxDistance) {
+        lx = p.x;
+        ly = p.y;
+        continue;
+      }
+      const float dot =
+          (dx / std::max(dist, 1e-12f)) * (gx / std::max(dirn, 1e-12f)) +
+          (dy / std::max(dist, 1e-12f)) * (gy / std::max(dirn, 1e-12f));
+      const float value = std::max(0.0f, 1.0f - std::abs(dot));
+      double a = std::fmod(static_cast<double>(std::atan2(dy, dx)), kPi);
+      if (a < 0.0) a += kPi;
+      int32_t bucket = static_cast<int32_t>(
+          std::nearbyint(static_cast<double>(size) * a / kPi - 0.5));
+      bucket = std::min(std::max(bucket, 0), size - 1);
+      hist[bucket] += value;
+      lx = p.x;
+      ly = p.y;
     }
   }
 }

@@ -75,3 +75,44 @@ class TestAccumulate:
         assert grid[0, 0] == 2
         assert grid[2, 3] == 1
         assert grid.sum() == 3  # out-of-bounds dropped
+
+
+class TestRotationalHistogram:
+    """Native rotational_histogram must agree with the numpy oracle
+    (ops/scan_matching/rotational_histogram.compute_histogram_numpy) —
+    same slice grouping, centroid filtering, stable angular sort, and
+    sequential min/max-distance walk."""
+
+    def test_matches_numpy_oracle(self):
+        from cartographer_tpu.ops.scan_matching import (
+            rotational_histogram as rh,
+        )
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no native compiler")
+        rng = np.random.default_rng(7)
+        for n in (0, 1, 3, 50, 800, 3000):
+            pts = rng.normal(0.0, 3.0, (n, 3)).astype(np.float32)
+            if n:
+                pts[:, 2] = rng.normal(0.0, 1.0, n)
+            h_py = rh.compute_histogram_numpy(pts, 120)
+            h_cc = (
+                native.rotational_histogram(pts, 120)
+                if n
+                else np.zeros(120, np.float32)
+            )
+            np.testing.assert_allclose(h_cc, h_py, atol=1e-5)
+
+    def test_compute_histogram_uses_native(self):
+        from cartographer_tpu.ops.scan_matching import (
+            rotational_histogram as rh,
+        )
+
+        rng = np.random.default_rng(3)
+        pts = rng.normal(0.0, 3.0, (500, 3)).astype(np.float32)
+        h = rh.compute_histogram(pts, 64)
+        np.testing.assert_allclose(
+            h, rh.compute_histogram_numpy(pts, 64), atol=1e-5
+        )
