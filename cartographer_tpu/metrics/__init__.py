@@ -171,6 +171,12 @@ constraints_searched = _factory.counter(
     "mapping_constraint_builder_constraints_searched"
 )
 optimization_runs = _factory.counter("mapping_pose_graph_optimizations")
+# Counts BnB searches whose per-level survivor set exceeded the beam cap
+# (the search is exact only while the cap does not bind; overflowing
+# searches are automatically re-run with a widened beam).
+beam_overflow_retries = _factory.counter(
+    "mapping_constraint_builder_beam_overflow_retries"
+)
 
 
 def _register_all() -> None:
@@ -178,7 +184,7 @@ def _register_all() -> None:
     global pose_graph_work_queue_size, pose_graph_work_queue_delay
     global pose_graph_constraints_inter, pose_graph_constraints_intra
     global constraint_scores, constraints_found, constraints_searched
-    global optimization_runs
+    global optimization_runs, beam_overflow_retries
     local_slam_latency = _factory.gauge("mapping_2d_local_trajectory_builder_latency")
     local_slam_real_time_ratio = _factory.gauge(
         "mapping_2d_local_trajectory_builder_real_time_ratio"
@@ -198,3 +204,6 @@ def _register_all() -> None:
         "mapping_constraint_builder_constraints_searched"
     )
     optimization_runs = _factory.counter("mapping_pose_graph_optimizations")
+    beam_overflow_retries = _factory.counter(
+        "mapping_constraint_builder_beam_overflow_retries"
+    )

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cartographer_tpu import metrics
 from cartographer_tpu.common.config import FastCorrelativeScanMatcherOptions2D
 from cartographer_tpu.mapping import probability_values as pv
 from cartographer_tpu.mapping.grid_2d import Grid2D
@@ -45,6 +46,10 @@ from cartographer_tpu.transform import rigid2
 
 _MAX_CANDIDATES = 1 << 16  # per-level beam cap (see module docstring)
 _LEAF_PROBE = 256  # candidates probed at full resolution per level
+# Widening ceiling for beam-overflow retries: a search that still overflows
+# here is reported via the beam_overflow_retries metric and returns the
+# (possibly inexact) widest-beam result.
+_MAX_WIDENED_BEAM = 1 << 15
 
 
 # Pyramid cells are uint8 like the reference's PrecomputationGrid2D
@@ -156,10 +161,14 @@ def bnb_search(
     — done here so the host uploads the RAW cloud, ~100x smaller, and the
     angle axis can be padded for compile-cache stability), then score ->
     leaf-probe (true lower bounds) -> prune -> beam top-k -> expand, for
-    every level, with a single (score, angle, x, y) result — one host
-    round trip per search instead of one per level. Exact while the beam
-    cap does not bind (pooled bounds are admissible; leaf probing only
-    tightens the incumbent)."""
+    every level, with a single (score, angle, x, y, overflowed) result —
+    one host round trip per search instead of one per level. Exact while
+    the beam cap does not bind (pooled bounds are admissible; leaf probing
+    only tightens the incumbent); `overflowed` reports whether any level's
+    survivor set exceeded the beam so the host can re-run with a wider
+    beam (the reference's DFS, fast_correlative_scan_matcher_2d.cc:
+    335-378, is unconditionally exact — widening restores that guarantee
+    observably instead of silently truncating)."""
     # DiscretizeScans on device: world point = rot(initial_rotation +
     # angle) @ p + initial_translation.
     full_angles = initial_pose[2] + angles  # [A]
@@ -172,6 +181,7 @@ def bnb_search(
 
     best_score = jnp.float32(min_score)
     best = jnp.array([-1, 0, 0], jnp.int32)
+    overflowed = jnp.asarray(False)
     a, x, y, valid = a0, x0, y0, m0
     for level in range(depth - 1, -1, -1):
         scores = _score_cands(pyramid[level], ix, iy, pmask, a, x, y, valid)
@@ -203,6 +213,12 @@ def bnb_search(
         # Prune by the admissible bound, keep the best `beam`, expand 4x.
         pruned = jnp.where(scores > best_score, scores, -jnp.inf)
         k_beam = min(beam, pruned.shape[0])
+        if k_beam < pruned.shape[0]:
+            # The cap binds iff more than k_beam candidates survive the
+            # bound prune — dropped candidates could hide the argmax, so
+            # the result is no longer guaranteed exact.
+            n_surv = jnp.sum(pruned > -jnp.inf)
+            overflowed = overflowed | (n_surv > k_beam)
         top_scores, top_idx = jax.lax.top_k(pruned, k_beam)
         half = 1 << (level - 1)
         pa = jnp.repeat(a[top_idx], 4)
@@ -216,7 +232,7 @@ def bnb_search(
             px <= num_linear
         ) & (py <= num_linear)
         a, x, y, valid = pa, px, py, pvalid
-    return best_score, best
+    return best_score, best, overflowed
 
 
 @dataclasses.dataclass
@@ -248,8 +264,13 @@ def batch_match_device(searches):
     `searches`: list of dicts with keys matcher, initial_pose (None =>
     full submap), device_points ((points, mask) or None), point_cloud,
     min_score. All matchers must share depth/beam and grid shape (true for
-    one trajectory configuration). Returns (packed [K, 4] numpy array,
-    ctxs list) — decode row k with searches[k]["matcher"].decode."""
+    one trajectory configuration). Returns (packed [K, 5] numpy array,
+    ctxs list) — decode row k with searches[k]["matcher"].decode.
+
+    Searches whose beam cap bound (packed column 4) are automatically
+    re-run with a doubled beam up to _MAX_WIDENED_BEAM, preserving the
+    reference DFS's exactness guarantee; every widening pass increments
+    the beam_overflow_retries metric."""
     packs, ctxs = [], []
     for i in range(0, len(searches), _MAX_SEARCH_BATCH):
         chunk = searches[i: i + _MAX_SEARCH_BATCH]
@@ -257,10 +278,23 @@ def batch_match_device(searches):
         packs.append((p, len(c)))
         ctxs.extend(c)
     packed = np.concatenate([np.asarray(p)[:n] for p, n in packs])
+    if len(searches):
+        beam = searches[0]["matcher"]._options.beam_width
+        rows = np.flatnonzero(packed[:, 4] > 0.5)
+        while len(rows) and beam < _MAX_WIDENED_BEAM:
+            beam = min(2 * beam, _MAX_WIDENED_BEAM)
+            metrics.beam_overflow_retries.increment(len(rows))
+            for j in range(0, len(rows), _MAX_SEARCH_BATCH):
+                idx = rows[j: j + _MAX_SEARCH_BATCH]
+                p, _ = _batch_match_device(
+                    [searches[r] for r in idx], beam_override=beam
+                )
+                packed[idx] = np.asarray(p)[: len(idx)]
+            rows = rows[packed[rows, 4] > 0.5]
     return packed, ctxs
 
 
-def _batch_match_device(searches):
+def _batch_match_device(searches, beam_override: Optional[int] = None):
     k = len(searches)
     preps = []
     n_pad = 64
@@ -375,8 +409,12 @@ def _batch_match_device(searches):
         )
 
     depth = preps[0]["m"]._depth
-    beam = preps[0]["m"]._options.beam_width
-    score, best = bnb_search_batch(
+    beam = (
+        beam_override
+        if beam_override is not None
+        else preps[0]["m"]._options.beam_width
+    )
+    score, best, overflowed = bnb_search_batch(
         pyr, points_d, pmask_d, jnp.asarray(angles),
         jnp.asarray(initial_poses), jnp.asarray(origins),
         jnp.asarray(resolutions),
@@ -385,7 +423,12 @@ def _batch_match_device(searches):
         depth, beam, _LEAF_PROBE,
     )
     packed = jnp.concatenate(
-        [score[:, None].astype(jnp.float32), best.astype(jnp.float32)], axis=1
+        [
+            score[:, None].astype(jnp.float32),
+            best.astype(jnp.float32),
+            overflowed[:, None].astype(jnp.float32),
+        ],
+        axis=1,
     )
     return packed, ctxs
 
@@ -489,7 +532,19 @@ class FastCorrelativeScanMatcher2D:
             initial_pose_estimate, point_cloud, min_score,
             linear_search_window, angular_search_window,
         )
-        return self.decode(np.asarray(packed_d), ctx)
+        packed = np.asarray(packed_d)
+        # Beam-overflow widening (see batch_match_device).
+        beam = self._options.beam_width
+        while packed[4] > 0.5 and beam < _MAX_WIDENED_BEAM:
+            beam = min(2 * beam, _MAX_WIDENED_BEAM)
+            metrics.beam_overflow_retries.increment()
+            packed_d, ctx = self._dispatch_window(
+                initial_pose_estimate, point_cloud, min_score,
+                linear_search_window, angular_search_window,
+                beam=beam,
+            )
+            packed = np.asarray(packed_d)
+        return self.decode(packed, ctx)
 
     def _dispatch_window(
         self,
@@ -499,6 +554,7 @@ class FastCorrelativeScanMatcher2D:
         linear_search_window: float,
         angular_search_window: float,
         device_points=None,
+        beam: Optional[int] = None,
     ):
         """Rotation/discretization happen ON DEVICE (bnb_search): the host
         uploads only the raw cloud (or reuses `device_points`, a cached
@@ -539,7 +595,7 @@ class FastCorrelativeScanMatcher2D:
         cand_y, _ = _pad_pow2(y_grid.ravel(), 1024)
 
         # The entire search runs on device — one dispatch, one fetch.
-        score, best = bnb_search(
+        score, best, overflowed = bnb_search(
             self._pyramid,
             points_d,
             pmask_d,
@@ -554,10 +610,14 @@ class FastCorrelativeScanMatcher2D:
             jnp.int32(num_linear),
             jnp.float32(min_score),
             self._depth,
-            beam=self._options.beam_width,
+            beam=beam if beam is not None else self._options.beam_width,
         )
         packed_d = jnp.concatenate(
-            [score[None].astype(jnp.float32), best.astype(jnp.float32)]
+            [
+                score[None].astype(jnp.float32),
+                best.astype(jnp.float32),
+                overflowed[None].astype(jnp.float32),
+            ]
         )
         ctx = (angles, initial_pose_estimate, initial_rotation, self._resolution)
         return packed_d, ctx

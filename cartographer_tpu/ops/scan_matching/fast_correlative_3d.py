@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cartographer_tpu import metrics
 from cartographer_tpu.common.config import FastCorrelativeScanMatcherOptions3D
 from cartographer_tpu.mapping import probability_values as pv
 from cartographer_tpu.mapping.hybrid_grid import Grid3D
@@ -39,6 +40,8 @@ from cartographer_tpu.transform import rigid3
 
 _MAX_CANDIDATES = 1 << 14
 _LEAF_PROBE = 128
+# Widening ceiling for beam-overflow retries (see fast_correlative_2d).
+_MAX_WIDENED_BEAM = 1 << 14
 
 
 # Pyramid and veto cells are uint8 like the reference's
@@ -213,7 +216,9 @@ def bnb_search_3d(
     discretization of the per-yaw clouds happen HERE (the host uploads only
     the raw clouds, which callers can cache on device, and the yaw axis is
     padded so the program compiles once per shape family instead of once
-    per surviving-yaw count). Returns (score, low_score, [a, x, y, z])."""
+    per surviving-yaw count). Returns (score, low_score, [a, x, y, z],
+    overflowed) — `overflowed` reports a binding beam cap (the result is
+    then not guaranteed exact; callers re-run with a wider beam)."""
     half_a = 0.5 * angles
     zeros_a = jnp.zeros_like(angles)
     qa = jnp.stack(
@@ -236,6 +241,7 @@ def bnb_search_3d(
     best_score = jnp.float32(min_score)
     best_low = jnp.float32(0.0)
     best = jnp.array([-1, 0, 0, 0], jnp.int32)
+    overflowed = jnp.asarray(False)
     a, x, y, z, valid = a0, x0, y0, z0, m0
     for level in range(depth - 1, -1, -1):
         scores = _score_cands_3d(
@@ -275,6 +281,9 @@ def bnb_search_3d(
         )
         pruned = jnp.where(scores > best_score, scores, -jnp.inf)
         k_beam = min(beam, pruned.shape[0])
+        if k_beam < pruned.shape[0]:
+            n_surv = jnp.sum(pruned > -jnp.inf)
+            overflowed = overflowed | (n_surv > k_beam)
         top_scores, top_idx = jax.lax.top_k(pruned, k_beam)
         half = 1 << (level - 1)
         ca = jnp.repeat(a[top_idx], 8)
@@ -294,7 +303,7 @@ def bnb_search_3d(
             & (cz <= nl_z)
         )
         a, x, y, z, valid = ca, cx, cy, cz, cvalid
-    return best_score, best_low, best
+    return best_score, best_low, best, overflowed
 
 
 # Vmapped batch variant: one program for a whole drain of independent
@@ -315,18 +324,32 @@ _MAX_SEARCH_BATCH_3D = 8
 def batch_match_device_3d(preps):
     """Run the prepared searches (FastCorrelativeScanMatcher3D._prepare
     results, all from matchers sharing depth/beam/grid shapes) as vmapped
-    programs in chunks. Returns (packed [K, 6] numpy, ctxs list) aligned
-    with `preps`."""
+    programs in chunks. Returns (packed [K, 7] numpy, ctxs list) aligned
+    with `preps`. Searches whose beam cap bound (column 6) are re-run with
+    a doubled beam up to _MAX_WIDENED_BEAM (see fast_correlative_2d)."""
     packs, ctxs = [], []
     for i in range(0, len(preps), _MAX_SEARCH_BATCH_3D):
         p, c = _batch_3d(preps[i: i + _MAX_SEARCH_BATCH_3D])
         packs.append((p, len(c)))
         ctxs.extend(c)
     packed = np.concatenate([np.asarray(p)[:n] for p, n in packs])
+    if len(preps):
+        beam = preps[0]["matcher"]._options.beam_width
+        rows = np.flatnonzero(packed[:, 6] > 0.5)
+        while len(rows) and beam < _MAX_WIDENED_BEAM:
+            beam = min(2 * beam, _MAX_WIDENED_BEAM)
+            metrics.beam_overflow_retries.increment(len(rows))
+            for j in range(0, len(rows), _MAX_SEARCH_BATCH_3D):
+                idx = rows[j: j + _MAX_SEARCH_BATCH_3D]
+                p, _ = _batch_3d(
+                    [preps[r] for r in idx], beam_override=beam
+                )
+                packed[idx] = np.asarray(p)[: len(idx)]
+            rows = rows[packed[rows, 6] > 0.5]
     return packed, ctxs
 
 
-def _batch_3d(preps):
+def _batch_3d(preps, beam_override: Optional[int] = None):
     k = 2
     while k < len(preps):
         k *= 2
@@ -414,7 +437,12 @@ def _batch_3d(preps):
         lmask_d = lmask_d.at[i, : lm_.shape[0]].set(lm_)
 
     m0_first = preps[0]["matcher"]
-    score, low, best = bnb_search_3d_batch(
+    beam = (
+        beam_override
+        if beam_override is not None
+        else m0_first._options.beam_width
+    )
+    score, low, best, overflowed = bnb_search_3d_batch(
         pyr, points_d, pmask_d, jnp.asarray(q0), jnp.asarray(t0),
         jnp.asarray(angles), jnp.asarray(origins), jnp.asarray(res),
         low_prob, lpoints_d, lmask_d, jnp.asarray(lorigins),
@@ -422,13 +450,14 @@ def _batch_3d(preps):
         jnp.asarray(a0), jnp.asarray(x0), jnp.asarray(y0), jnp.asarray(z0),
         jnp.asarray(m0), jnp.asarray(nl_xy), jnp.asarray(nl_z),
         jnp.asarray(ms), jnp.asarray(mls), jnp.asarray(ratio),
-        m0_first._depth, m0_first._options.beam_width, _LEAF_PROBE,
+        m0_first._depth, beam, _LEAF_PROBE,
     )
     packed = jnp.concatenate(
         [
             score[:, None].astype(jnp.float32),
             low[:, None].astype(jnp.float32),
             best.astype(jnp.float32),
+            overflowed[:, None].astype(jnp.float32),
         ],
         axis=1,
     )
@@ -507,7 +536,24 @@ class FastCorrelativeScanMatcher3D:
         if dispatched is None:
             return None
         packed_d, ctx = dispatched
-        return self.decode(np.asarray(packed_d), ctx)
+        packed = np.asarray(packed_d)
+        # Beam-overflow widening (see batch_match_device_3d).
+        beam = self._options.beam_width
+        while packed[6] > 0.5 and beam < _MAX_WIDENED_BEAM:
+            beam = min(2 * beam, _MAX_WIDENED_BEAM)
+            metrics.beam_overflow_retries.increment()
+            packed_d, ctx = self.match_device(
+                global_node_pose_in_submap,
+                node_histogram,
+                node_gravity_yaw,
+                point_cloud,
+                low_resolution_point_cloud,
+                min_score,
+                full_submap,
+                beam=beam,
+            )
+            packed = np.asarray(packed_d)
+        return self.decode(packed, ctx)
 
     def _prepare(
         self,
@@ -614,9 +660,10 @@ class FastCorrelativeScanMatcher3D:
         min_score: float,
         full_submap: bool = False,
         device_points=None,
+        beam: Optional[int] = None,
     ):
         """Dispatch the search (no host round trip); returns
-        (packed device array [6], decode ctx) or None when the rotational
+        (packed device array [7], decode ctx) or None when the rotational
         histogram prunes every candidate yaw. Callers batching searches
         stack the packed vectors and fetch once. Pass `device_points`
         (from stage_points) to reuse node clouds already on device."""
@@ -633,7 +680,7 @@ class FastCorrelativeScanMatcher3D:
 
         # The entire search (incl. per-yaw rotation + discretization of the
         # clouds) runs on device — one dispatch, one fetch.
-        score_d, low_d, best_d = bnb_search_3d(
+        score_d, low_d, best_d, overflowed_d = bnb_search_3d(
             self._pyramid,
             points_d,
             pmask_d,
@@ -658,13 +705,14 @@ class FastCorrelativeScanMatcher3D:
             jnp.float32(opts.min_low_resolution_score),
             jnp.float32(self._resolution / prep["lres"]),
             self._depth,
-            beam=opts.beam_width,
+            beam=beam if beam is not None else opts.beam_width,
         )
         packed_d = jnp.concatenate(
             [
                 score_d[None].astype(jnp.float32),
                 low_d[None].astype(jnp.float32),
                 best_d.astype(jnp.float32),
+                overflowed_d[None].astype(jnp.float32),
             ]
         )
         return packed_d, prep["ctx"]
