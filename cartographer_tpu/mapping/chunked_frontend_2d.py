@@ -19,6 +19,7 @@ arrays end to end.
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 import math
 import time as _walltime
@@ -205,6 +206,15 @@ class ChunkedLocalTrajectoryBuilder2D:
         self._imu_buffer: List = []  # IMU samples awaiting assignment
         self._pending: List[dict] = []  # dispatched chunks awaiting collection
         self._max_in_flight = 3
+        # Uploads + dispatches run on a dedicated thread: staging a chunk's
+        # packed input over a remote-attached host link costs tens of ms
+        # and would otherwise serialize with the (main-thread) feed loop.
+        # One worker keeps the state chain strictly ordered; results flow
+        # back through per-chunk futures.
+        self._dispatcher = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="frontend2d-dispatch"
+        )
+        self._chain: Optional[concurrent.futures.Future] = None
         # Sticky static shapes/flags: grow-only, so the jitted chunk program
         # recompiles at most a handful of times over a whole run instead of
         # flip-flopping between shape variants.
@@ -212,7 +222,17 @@ class ChunkedLocalTrajectoryBuilder2D:
         # IMU padding starts SMALL: the device tracker fold is a sequential
         # per-slot scan, so oversized padding directly costs device time.
         self._pad_imu = 4
+        # Fetched filtered-cloud rows per chunk (inserted scans only);
+        # sticky grow-on-overflow, so motion-filter-sparse runs pay a tiny
+        # downlink while insert-every-scan runs settle at chunk_size after
+        # one overflow (whose excess rows decode from the device-resident
+        # full clouds).
+        self._pack_cap = min(8, self._chunk)
         self._sticky_misses = False
+        # Exact-detection upload compression (see FrontendConfig2D):
+        # optimistic, downgraded permanently on the first violating scan.
+        self._sticky_planar = True
+        self._sticky_linear = True
         self._prewarmed: Set[tuple] = set()
         self._submaps: List[Submap2D] = []
         self._popped_submaps: List[Submap2D] = []
@@ -335,20 +355,14 @@ class ChunkedLocalTrajectoryBuilder2D:
         m = self._pad_imu
         while m < max((len(s["imu"]) for s in scans), default=1):
             m *= 2
-        cfg_shape = dataclasses.replace(
-            self._cfg, max_imu_per_scan=m, chunk_size=c, num_points=n
-        )
-        o_points, o_times, o_meta, o_imu, total = frontend_2d.input_layout(
-            cfg_shape
-        )
-        buf = np.zeros(total, np.uint8)
-        scan_points = buf[o_points:o_times].view(np.int16).reshape(c, n, 3)
-        scan_times = buf[o_times:o_meta].view(np.uint16).reshape(c, n)
-        scan_meta = buf[o_meta:o_imu].view(np.float32).reshape(c, 7)
-        imu_input = buf[o_imu:].view(np.float32).reshape(c, m, 8)
-        last_t = 0.0
+        # Pass 1: per-scan quantization + sticky-flag detection. The
+        # buffer layout depends on the detected flags, so packing is a
+        # second pass.
         has_misses = self._sticky_misses
-        for i, s in enumerate(scans):
+        planar = self._sticky_planar
+        linear = self._sticky_linear
+        rows = []
+        for s in scans:
             k = s["points"].shape[0]
             delta = s["points"][:, :3] - s["origin"][None, :]
             r = np.linalg.norm(delta, axis=1)
@@ -357,90 +371,156 @@ class ChunkedLocalTrajectoryBuilder2D:
                 delta = delta * np.minimum(1.0, clamp_r / np.maximum(r, 1e-12))[
                     :, None
                 ]
-            scan_points[i, :k] = np.clip(
+            pts_i16 = np.clip(
                 np.round(delta / q_scale), -32767, 32767
             ).astype(np.int16)
+            zc = 0.0
+            if planar:
+                zmin = float(np.min(delta[:, 2]))
+                zmax = float(np.max(delta[:, 2]))
+                # Within one quantization step the per-scan constant is as
+                # accurate as the int16 z would have been.
+                if zmax - zmin <= q_scale:
+                    zc = 0.5 * (zmin + zmax)
+                else:
+                    planar = False
             abs_times = (s["time"] - new_epoch) + s["times"]
             t0 = float(abs_times[0])
             span = float(max(abs_times[-1] - t0, 0.0))
             if span > 0.0:
                 u = np.clip(
-                    np.round((abs_times - t0) / span * 65535.0), 0, 65535
-                ).astype(np.uint16)
-                scan_times[i, :k] = u
-                scan_times[i, k:] = u[-1]
-            scan_meta[i, 0] = s["time"] - new_epoch
-            scan_meta[i, 1:4] = s["origin"]
-            scan_meta[i, 4] = k
-            scan_meta[i, 5] = t0
-            scan_meta[i, 6] = span
-            for j, d in enumerate(s["imu"]):
-                imu_input[i, j, 0] = d.time - new_epoch
-                imu_input[i, j, 1:4] = d.linear_acceleration
-                imu_input[i, j, 4:7] = d.angular_velocity
-                imu_input[i, j, 7] = 1.0
-            last_t = scan_meta[i, 0]
+                    np.round((abs_times - t0) / span * 255.0), 0, 255
+                ).astype(np.uint8)
+            else:
+                u = np.zeros(k, np.uint8)
+            if linear and k > 1 and span > 0.0:
+                # Compare against the f32 ramp the device regenerates.
+                expected = np.round(
+                    np.arange(k, dtype=np.float32)
+                    * np.float32(255.0)
+                    / np.float32(k - 1)
+                ).astype(np.uint8)
+                if not np.array_equal(u, expected):
+                    linear = False
             if not has_misses:
                 # Ranges are invariant under the rigid per-point unwarp, so
                 # out-of-range points are knowable before dispatch; chunks
                 # without any compile to a slimmer no-miss program. The
                 # 4*q_scale margin covers quantization flips at the border.
                 has_misses = bool(np.any(r > max_range - 4.0 * q_scale))
+            rows.append(dict(k=k, pts=pts_i16, zc=zc, u=u, t0=t0, span=span))
+
+        self._sticky_misses = has_misses
+        self._sticky_planar = planar
+        self._sticky_linear = linear
+        cfg_shape = dataclasses.replace(
+            self._cfg, max_imu_per_scan=m, chunk_size=c, num_points=n,
+            max_packed_inserts=self._pack_cap,
+            planar_z=planar, linear_times=linear,
+        )
+        o_points, o_times, o_meta, o_imu, total = frontend_2d.input_layout(
+            cfg_shape
+        )
+        buf = np.zeros(total, np.uint8)
+        pdim = 2 if planar else 3
+        scan_points = buf[o_points:o_times].view(np.int16).reshape(c, n, pdim)
+        scan_meta = buf[o_meta:o_imu].view(np.float32).reshape(c, 8)
+        imu_input = buf[o_imu:].view(np.float32).reshape(c, m, 8)
+        scan_times = (
+            None if linear else buf[o_times:o_meta].reshape(c, n)
+        )
+        last_t = 0.0
+        for i, (s, row) in enumerate(zip(scans, rows)):
+            k = row["k"]
+            scan_points[i, :k] = row["pts"][:, :pdim]
+            if scan_times is not None and row["span"] > 0.0:
+                scan_times[i, :k] = row["u"]
+                scan_times[i, k:] = row["u"][-1]
+            scan_meta[i, 0] = s["time"] - new_epoch
+            scan_meta[i, 1:4] = s["origin"]
+            scan_meta[i, 4] = k
+            scan_meta[i, 5] = row["t0"]
+            scan_meta[i, 6] = row["span"]
+            scan_meta[i, 7] = row["zc"]
+            for j, d in enumerate(s["imu"]):
+                imu_input[i, j, 0] = d.time - new_epoch
+                imu_input[i, j, 1:4] = d.linear_acceleration
+                imu_input[i, j, 4:7] = d.angular_velocity
+                imu_input[i, j, 7] = 1.0
+            last_t = scan_meta[i, 0]
         for i in range(len(scans), c):
             # Padding scans: no valid points -> matched False, state frozen.
             scan_meta[i, 0] = last_t
             scan_meta[i, 5] = last_t
 
-        self._sticky_misses = has_misses
         cfg = dataclasses.replace(cfg_shape, has_misses=has_misses)
-        if not has_misses and (n, m) not in self._prewarmed:
-            # Any realistic run eventually sees an out-of-range echo, which
-            # upgrades (sticky) to the miss-handling program variant; compile
-            # it NOW so the upgrade is not a multi-second mid-run stall.
-            # Skipped off-TPU to keep CPU test runs fast.
-            self._prewarmed.add((n, m))
-            import jax
-
-            if jax.default_backend() == "tpu":
-                frontend_2d.run_chunk(
-                    dataclasses.replace(cfg, has_misses=True),
-                    self._state, epoch_shift, buf,
-                )
-        state, fin, out_points, packed_out = frontend_2d.run_chunk(
-            cfg, self._state, epoch_shift, buf
+        prewarm = (
+            not has_misses
+            and (n, m, planar, linear) not in self._prewarmed
         )
-        self._state = state
-        # Start the host copy of the SMALL packed output now; it overlaps
-        # the next chunk's compute. out_points stays device-resident (lazy).
-        try:
-            packed_out.copy_to_host_async()
-        except AttributeError:  # older jax.Array without the method
-            pass
+        if prewarm:
+            self._prewarmed.add((n, m, planar, linear))
+        prev_chain = self._chain
+        initial_state = self._state
+
+        def run(prev=prev_chain, cfg=cfg, epoch_shift=epoch_shift, buf=buf):
+            state = prev.result()[0] if prev is not None else initial_state
+            if prewarm:
+                # Any realistic run eventually sees an out-of-range echo,
+                # which upgrades (sticky) to the miss-handling program
+                # variant; compile it NOW so the upgrade is not a
+                # multi-second mid-run stall. Skipped off-TPU to keep CPU
+                # test runs fast.
+                import jax
+
+                if jax.default_backend() == "tpu":
+                    frontend_2d.run_chunk(
+                        dataclasses.replace(cfg, has_misses=True),
+                        state, epoch_shift, buf,
+                    )
+            state, fin, out_points, packed_out = frontend_2d.run_chunk(
+                cfg, state, epoch_shift, buf
+            )
+            # Start the host copy of the SMALL packed output now; it
+            # overlaps the next chunk's compute. out_points stays
+            # device-resident (lazy).
+            try:
+                packed_out.copy_to_host_async()
+            except AttributeError:  # older jax.Array without the method
+                pass
+            return state, fin, out_points, packed_out
+
+        self._chain = self._dispatcher.submit(run)
         self._pending.append(
-            {
-                "scans": scans,
-                "state": state,
-                "fin": fin,
-                "out_points": out_points,
-                "packed_out": packed_out,
-            }
+            {"scans": scans, "future": self._chain, "rcap": self._pack_cap}
         )
 
     def _collect(self) -> List[MatchingResult]:
         p = self._pending.pop(0)
         scans = p["scans"]
-        state = p["state"]
-        holder = _ChunkCloudHolder(p["out_points"])  # stays on device
-        packed = np.asarray(p["packed_out"])  # one flat fetch
+        state, fin, out_points, packed_out = p["future"].result()
+        holder = _ChunkCloudHolder(out_points)  # stays on device
+        packed = np.asarray(packed_out)  # one flat fetch
         c = self._chunk
+        rcap = p["rcap"]
         n_sc = len(frontend_2d.SCALARS)
         sc = packed[: c * n_sc * 4].view(np.float32).reshape(c, n_sc)
-        out_filtered = packed[c * n_sc * 4:].view(np.int16).reshape(c, -1, 3)
+        out_filtered = packed[c * n_sc * 4:].view(np.int16).reshape(rcap, -1, 3)
         q_scale = np.float32(frontend_2d.point_quantization_scale(self._cfg))
         S = frontend_2d.SIDX
+        num_inserted = int(np.sum(sc[:, S["inserted"]] > 0.5))
+        if num_inserted > rcap:
+            # More inserts than fetched cloud rows: grow the sticky cap
+            # for future chunks; this chunk's excess rows decode from the
+            # device-resident full clouds below.
+            cap = self._pack_cap
+            while cap < min(num_inserted, self._chunk):
+                cap *= 2
+            self._pack_cap = min(cap, self._chunk)
 
         results: List[MatchingResult] = []
         res = self._cfg.resolution
+        insert_idx = 0
         for i, s in enumerate(scans):
             if sc[i, S["matched"]] < 0.5:
                 continue
@@ -469,7 +549,22 @@ class ChunkedLocalTrajectoryBuilder2D:
             insertion_result = None
             if sc[i, S["inserted"]] > 0.5:
                 nf = int(sc[i, S["num_filtered"]])
-                filtered = out_filtered[i, :nf].astype(np.float32) * q_scale
+                if insert_idx < rcap:
+                    filtered = (
+                        out_filtered[insert_idx, :nf].astype(np.float32)
+                        * q_scale
+                    )
+                else:
+                    # Cap overflow: recover the compacted adaptive cloud
+                    # from the full per-scan device output (mask code 2 =
+                    # return kept by the adaptive filter, scan order —
+                    # the same set the device compaction packs).
+                    pts = holder.get()
+                    code_col = 6 if pts.shape[-1] == 7 else 3
+                    code = pts[i, :, code_col]
+                    adaptive = (code >= 1.5) & (code < 2.5)
+                    filtered = pts[i, adaptive, 0:3][:nf].astype(np.float32)
+                insert_idx += 1
                 insertion_result = self._replay_insert(
                     sc[i], filtered, s, pose2d, g_quat, pose_estimate
                 )
@@ -494,7 +589,6 @@ class ChunkedLocalTrajectoryBuilder2D:
         # Submaps popped mid-chunk get their exact finished grids from the
         # chunk's snapshot ring (in pop order).
         if self._popped_submaps:
-            fin = p["fin"]
             for slot, submap in enumerate(self._popped_submaps):
                 submap.grid = Grid2D(
                     log_odds=fin["lo"][slot],

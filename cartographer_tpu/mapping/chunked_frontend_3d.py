@@ -18,6 +18,7 @@ cost). Voxel volumes remain jax device arrays end to end.
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 import time as _walltime
 from typing import List, Optional, Set
@@ -128,6 +129,14 @@ class ChunkedLocalTrajectoryBuilder3D:
         self._imu_buffer: List = []
         self._pending: List[dict] = []
         self._max_in_flight = 2  # 3D volumes are large; keep HBM headroom
+        # Uploads + dispatches on a dedicated thread (see
+        # chunked_frontend_2d: the host-link staging cost would otherwise
+        # serialize with the feed loop); one worker keeps the state chain
+        # ordered.
+        self._dispatcher = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="frontend3d-dispatch"
+        )
+        self._chain: Optional[concurrent.futures.Future] = None
         # Sticky static shapes/flags: grow-only so the jitted chunk program
         # recompiles at most a handful of times per run. IMU padding starts
         # SMALL (4): the device tracker fold is a sequential per-slot scan,
@@ -135,6 +144,7 @@ class ChunkedLocalTrajectoryBuilder3D:
         self._pad_n = 256
         self._pad_imu = 4
         self._sticky_misses = False
+        self._sticky_linear = True  # exact-detection linear-times upload
         self._prewarmed: Set[tuple] = set()
         self._submaps: List[Submap3D] = []
         self._popped_submaps: List[Submap3D] = []
@@ -250,20 +260,12 @@ class ChunkedLocalTrajectoryBuilder3D:
         m = self._pad_imu
         while m < max((len(s["imu"]) for s in scans), default=1):
             m *= 2
-        cfg_shape = dataclasses.replace(
-            self._cfg, max_imu_per_scan=m, chunk_size=c, num_points=n
-        )
-        o_points, o_times, o_meta, o_imu, total = frontend_3d.input_layout(
-            cfg_shape
-        )
-        buf = np.zeros(total, np.uint8)
-        scan_points = buf[o_points:o_times].view(np.int16).reshape(c, n, 3)
-        scan_times = buf[o_times:o_meta].view(np.uint16).reshape(c, n)
-        scan_meta = buf[o_meta:o_imu].view(np.float32).reshape(c, 7)
-        imu_input = buf[o_imu:].view(np.float32).reshape(c, m, 8)
-        last_t = 0.0
+        # Pass 1: quantization + sticky-flag detection (layout depends on
+        # the detected flags).
         has_misses = self._sticky_misses
-        for i, s in enumerate(scans):
+        linear = self._sticky_linear
+        rows = []
+        for s in scans:
             k = s["points"].shape[0]
             delta = s["points"][:, :3] - s["origin"][None, :]
             r = np.linalg.norm(delta, axis=1)
@@ -274,7 +276,7 @@ class ChunkedLocalTrajectoryBuilder3D:
                 delta = delta * np.minimum(
                     1.0, clamp_r / np.maximum(r, 1e-12)
                 )[:, None]
-            scan_points[i, :k] = np.clip(
+            pts_i16 = np.clip(
                 np.round(delta / q_scale), -32767, 32767
             ).astype(np.int16)
             abs_times = (s["time"] - new_epoch) + s["times"]
@@ -282,64 +284,99 @@ class ChunkedLocalTrajectoryBuilder3D:
             span = float(max(abs_times[-1] - t0, 0.0))
             if span > 0.0:
                 u = np.clip(
-                    np.round((abs_times - t0) / span * 65535.0), 0, 65535
-                ).astype(np.uint16)
-                scan_times[i, :k] = u
-                scan_times[i, k:] = u[-1]
+                    np.round((abs_times - t0) / span * 255.0), 0, 255
+                ).astype(np.uint8)
+            else:
+                u = np.zeros(k, np.uint8)
+            if linear and k > 1 and span > 0.0:
+                expected = np.round(
+                    np.arange(k, dtype=np.float32)
+                    * np.float32(255.0)
+                    / np.float32(k - 1)
+                ).astype(np.uint8)
+                if not np.array_equal(u, expected):
+                    linear = False
+            if not has_misses:
+                has_misses = bool(np.any(r > max_range - 4.0 * q_scale))
+            rows.append(dict(k=k, pts=pts_i16, u=u, t0=t0, span=span))
+
+        self._sticky_misses = has_misses
+        self._sticky_linear = linear
+        cfg_shape = dataclasses.replace(
+            self._cfg, max_imu_per_scan=m, chunk_size=c, num_points=n,
+            linear_times=linear,
+        )
+        o_points, o_times, o_meta, o_imu, total = frontend_3d.input_layout(
+            cfg_shape
+        )
+        buf = np.zeros(total, np.uint8)
+        scan_points = buf[o_points:o_times].view(np.int16).reshape(c, n, 3)
+        scan_times = (
+            None if linear else buf[o_times:o_meta].reshape(c, n)
+        )
+        scan_meta = buf[o_meta:o_imu].view(np.float32).reshape(c, 7)
+        imu_input = buf[o_imu:].view(np.float32).reshape(c, m, 8)
+        last_t = 0.0
+        for i, (s, row) in enumerate(zip(scans, rows)):
+            k = row["k"]
+            scan_points[i, :k] = row["pts"]
+            if scan_times is not None and row["span"] > 0.0:
+                scan_times[i, :k] = row["u"]
+                scan_times[i, k:] = row["u"][-1]
             scan_meta[i, 0] = s["time"] - new_epoch
             scan_meta[i, 1:4] = s["origin"]
             scan_meta[i, 4] = k
-            scan_meta[i, 5] = t0
-            scan_meta[i, 6] = span
+            scan_meta[i, 5] = row["t0"]
+            scan_meta[i, 6] = row["span"]
             for j, d in enumerate(s["imu"]):
                 imu_input[i, j, 0] = d.time - new_epoch
                 imu_input[i, j, 1:4] = d.linear_acceleration
                 imu_input[i, j, 4:7] = d.angular_velocity
                 imu_input[i, j, 7] = 1.0
             last_t = scan_meta[i, 0]
-            if not has_misses:
-                has_misses = bool(np.any(r > max_range - 4.0 * q_scale))
         for i in range(len(scans), c):
             scan_meta[i, 0] = last_t
             scan_meta[i, 5] = last_t
 
-        self._sticky_misses = has_misses
         cfg = dataclasses.replace(cfg_shape, has_misses=has_misses)
-        if not has_misses and (n, m) not in self._prewarmed:
-            # Pre-compile the miss-handling variant so the (inevitable)
-            # sticky upgrade is not a mid-run stall. Skipped off-TPU.
-            self._prewarmed.add((n, m))
-            import jax
+        prewarm = not has_misses and (n, m, linear) not in self._prewarmed
+        if prewarm:
+            self._prewarmed.add((n, m, linear))
+        prev_chain = self._chain
+        initial_state = self._state
 
-            if jax.default_backend() == "tpu":
-                frontend_3d.run_chunk(
-                    dataclasses.replace(cfg, has_misses=True),
-                    self._state, epoch_shift, buf,
-                )
-        state, fin, packed_out = frontend_3d.run_chunk(
-            cfg, self._state, epoch_shift, buf
-        )
-        self._state = state
-        try:
-            packed_out.copy_to_host_async()
-        except AttributeError:
-            pass
+        def run(prev=prev_chain, cfg=cfg, epoch_shift=epoch_shift, buf=buf):
+            state = prev.result()[0] if prev is not None else initial_state
+            if prewarm:
+                # Pre-compile the miss-handling variant so the (inevitable)
+                # sticky upgrade is not a mid-run stall. Skipped off-TPU.
+                import jax
+
+                if jax.default_backend() == "tpu":
+                    frontend_3d.run_chunk(
+                        dataclasses.replace(cfg, has_misses=True),
+                        state, epoch_shift, buf,
+                    )
+            state, fin, packed_out = frontend_3d.run_chunk(
+                cfg, state, epoch_shift, buf
+            )
+            try:
+                packed_out.copy_to_host_async()
+            except AttributeError:
+                pass
+            return state, fin, packed_out
+
+        self._chain = self._dispatcher.submit(run)
         self._pending.append(
-            {
-                "scans": scans,
-                "state": state,
-                "fin": fin,
-                "cfg": cfg,
-                "packed_out": packed_out,
-            }
+            {"scans": scans, "cfg": cfg, "future": self._chain}
         )
 
     def _collect(self) -> List[MatchingResult]:
         p = self._pending.pop(0)
         scans = p["scans"]
-        state = p["state"]
         cfg = p["cfg"]
-        packed = np.asarray(p["packed_out"])  # one flat fetch
+        state, fin, packed_out = p["future"].result()
+        packed = np.asarray(packed_out)  # one flat fetch
         c, n = cfg.chunk_size, cfg.num_points
         has_misses = cfg.has_misses
         o_sc, o_hits, o_code, o_miss, _ = frontend_3d.output_layout(cfg)
@@ -428,7 +465,6 @@ class ChunkedLocalTrajectoryBuilder3D:
                 resolution=sub.low_resolution,
             )
         if self._popped_submaps:
-            fin = p["fin"]
             for slot, submap in enumerate(self._popped_submaps):
                 submap.high_resolution_grid = Grid3D(
                     values=fin["high"][slot],

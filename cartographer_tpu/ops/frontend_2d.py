@@ -202,6 +202,24 @@ class FrontendConfig2D:
     # tiled-layout conversions on every typed transfer otherwise.
     chunk_size: int = 0
     num_points: int = 0
+    # Rows of the compacted adaptive-filtered cloud fetched per chunk
+    # (inserted scans only, in scan order; 0 = all chunk_size rows). Most
+    # configs insert a small fraction of scans (motion filter), so capping
+    # the fetch saves most of the downlink; the host wrapper detects
+    # overflow from the per-scan inserted flags and falls back to the
+    # device-resident full cloud for the excess rows.
+    max_packed_inserts: int = 0
+    # Exact-detection upload compression (host-verified per chunk, sticky
+    # downgrade on first violation — both reproduce the full packing's
+    # values EXACTLY within its own int16/uint8 quantization):
+    # planar_z: every scan's sensor-relative z spread fits inside one
+    #   quantization step, so points ride as xy int16 pairs plus one
+    #   per-scan z constant (planar 2D lidars — the common 2D case).
+    # linear_times: every scan's uint8 time fractions equal the uniform
+    #   round(i*255/(k-1)) ramp, so the time array is regenerated on
+    #   device instead of uploaded (fixed-rate spinning lidars).
+    planar_z: bool = False
+    linear_times: bool = False
     # LM grid-read formulation: weight-folded band bilinear forms (half the
     # MXU work per iteration) vs the 4x4 one-hot patch path. See
     # gauss_newton_2d.match_bands.
@@ -322,10 +340,22 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     # Compact the matching cloud to the adaptive-filtered points (stable
     # order): the LM matcher's per-iteration patch extraction scales with
     # its point count, and the adaptive cloud is ~10% of the padded scan.
+    # Cumsum + small scatter instead of an argsort — a full per-scan sort
+    # inside the lax.scan body costs ~ms across the chunk.
     m_cap = min(cfg.match_max_points, ga_hits.shape[0])
-    sel = jnp.argsort(~adaptive_mask, stable=True)[:m_cap]
-    match_points = ga_hits[sel, :2]
-    match_mask = adaptive_mask[sel]
+    pos = jnp.cumsum(adaptive_mask.astype(jnp.int32)) - 1  # [N]
+    dst = jnp.where(adaptive_mask & (pos < m_cap), pos, m_cap)
+    compacted = (
+        jnp.zeros((m_cap + 1, 3), ga_hits.dtype)
+        .at[dst].set(ga_hits, mode="drop")[:m_cap]
+    )
+    num_filtered = jnp.minimum(
+        jnp.sum(adaptive_mask.astype(jnp.int32)), m_cap
+    )
+    match_points = compacted[:, :2]
+    match_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (m_cap,), 0) < num_filtered
+    )
     if "match" in cfg.disable:
         gn_pose = pred
     else:
@@ -488,12 +518,15 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     )
 
     # -- ray-cast insertion into all valid slots -------------------------------
-    n = local_hits.shape[0]
+    # Each point is EITHER a return (range <= max_range) or a missing echo,
+    # never both, so one [N] endpoint array covers all rays — the bitmask
+    # rasterizer's per-(ray, row) lattice is the dominant insert cost and
+    # scales linearly with the ray count.
     if cfg.has_misses:
         local_miss = _rot2(pose2d[2], ga_miss[:, :2]) + pose2d[None, :2]
-        ends = jnp.concatenate([local_hits, local_miss], axis=0)  # [2N, 2]
-        is_hit = jnp.concatenate([ret_mask, jnp.zeros(n, bool)])
-        ray_valid = jnp.concatenate([ret_mask, miss_mask]) & insert
+        ends = jnp.where(as_return[:, None], local_hits, local_miss)
+        is_hit = ret_mask
+        ray_valid = jnp.where(as_return, ret_mask, miss_mask) & insert
     else:
         ends = local_hits
         is_hit = ret_mask
@@ -549,8 +582,8 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
         "ga_origin": ga_origin_xy,
         # Compacted matching cloud (adaptive-filtered points first, stable
         # order) — becomes the node's filtered_gravity_aligned_point_cloud.
-        "filtered_pts": ga_hits[sel],
-        "num_filtered": jnp.sum(match_mask.astype(jnp.int32)),
+        "filtered_pts": compacted,
+        "num_filtered": num_filtered,
     }
     if cfg.has_misses:
         out["ga_miss"] = ga_miss
@@ -570,14 +603,18 @@ SIDX = {k: i for i, k in enumerate(SCALARS)}
 
 def input_layout(cfg: FrontendConfig2D):
     """Byte offsets of the sections inside the packed input buffer:
-    (points i16 [C,N,3], times u16 [C,N], meta f32 [C,7],
-    imu f32 [C,M,8], total_bytes). All section starts are 4-byte aligned
-    as long as C*N is even (N is padded to a multiple of 256)."""
+    (points i16 [C,N,3] — or [C,N,2] under planar_z, times u8 [C,N] —
+    absent under linear_times, meta f32 [C,8], imu f32 [C,M,8],
+    total_bytes). All section starts are 4-byte aligned as long as C*N is
+    a multiple of 4 (N is padded to a multiple of 256). Per-point times
+    are uint8 fractions of the scan's [t0, t0+span]: the span is one
+    scan's sweep (~0.1 s), so the ~span/255 rounding is < 0.5 ms — far
+    below the motion scales the unwarp corrects."""
     c, n, m = cfg.chunk_size, cfg.num_points, cfg.max_imu_per_scan
     o_points = 0
-    o_times = o_points + c * n * 6
-    o_meta = o_times + c * n * 2
-    o_imu = o_meta + c * 28
+    o_times = o_points + c * n * (4 if cfg.planar_z else 6)
+    o_meta = o_times + (0 if cfg.linear_times else c * n)
+    o_imu = o_meta + c * 32
     total = o_imu + c * m * 32
     return o_points, o_times, o_meta, o_imu, total
 
@@ -639,13 +676,13 @@ def run_chunk(
     o_points, o_times, o_meta, o_imu, _ = input_layout(cfg)
     bc = jax.lax.bitcast_convert_type
     scan_points = bc(
-        packed_input[o_points:o_times].reshape(c, n, 3, 2), jnp.int16
-    )
-    scan_times = bc(
-        packed_input[o_times:o_meta].reshape(c, n, 2), jnp.uint16
+        packed_input[o_points:o_times].reshape(
+            c, n, 2 if cfg.planar_z else 3, 2
+        ),
+        jnp.int16,
     )
     scan_meta = bc(
-        packed_input[o_meta:o_imu].reshape(c, 7, 4), jnp.float32
+        packed_input[o_meta:o_imu].reshape(c, 8, 4), jnp.float32
     )
     imu_input = bc(
         packed_input[o_imu:].reshape(c, mi, 8, 4), jnp.float32
@@ -665,16 +702,33 @@ def run_chunk(
     counts_in = scan_meta[:, 4].astype(jnp.int32)
     t0s = scan_meta[:, 5]
     spans = scan_meta[:, 6]
-    points = (
-        sensor_origin[:, None, :]
-        + scan_points.astype(jnp.float32) * q_scale
-    )
-    ptimes = t0s[:, None] + scan_times.astype(jnp.float32) * (
-        spans[:, None] / 65535.0
-    )
-    pmask = (
-        jax.lax.broadcasted_iota(jnp.int32, (c, n), 1) < counts_in[:, None]
-    )
+    if cfg.planar_z:
+        delta = jnp.concatenate(
+            [
+                scan_points.astype(jnp.float32) * q_scale,
+                jnp.broadcast_to(scan_meta[:, 7, None, None], (c, n, 1)),
+            ],
+            axis=-1,
+        )
+    else:
+        delta = scan_points.astype(jnp.float32) * q_scale
+    points = sensor_origin[:, None, :] + delta
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (c, n), 1)
+    if cfg.linear_times:
+        # Regenerate the exact uint8 ramp the host verified against:
+        # u_i = round(i * 255 / (k - 1)) for i < k, clamped at the last
+        # real point for padding (f32 arithmetic on both sides).
+        denom = jnp.maximum(counts_in - 1, 1).astype(jnp.float32)
+        u8_frac = jnp.round(
+            jnp.minimum(iota_n, counts_in[:, None] - 1).astype(jnp.float32)
+            * 255.0
+            / denom[:, None]
+        )
+    else:
+        scan_times = packed_input[o_times:o_meta].reshape(c, n)  # u8
+        u8_frac = scan_times.astype(jnp.float32)
+    ptimes = t0s[:, None] + u8_frac * (spans[:, None] / 255.0)
+    pmask = iota_n < counts_in[:, None]
 
     imu = (
         imu_input[:, :, 0],
@@ -707,6 +761,11 @@ def run_chunk(
     out_filtered = jnp.clip(
         jnp.round(outs["filtered_pts"] / q_scale), -32767, 32767
     ).astype(jnp.int16)
+    rcap = cfg.max_packed_inserts if cfg.max_packed_inserts > 0 else c
+    if rcap < c:
+        # Fetch only the inserted scans' compacted clouds (scan order).
+        ins_order = jnp.argsort(~outs["inserted"], stable=True)[:rcap]
+        out_filtered = out_filtered[ins_order]
     bc_u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
     f = lambda k: outs[k].astype(jnp.float32)
     out_scalars = jnp.stack(

@@ -190,6 +190,11 @@ class FrontendConfig3D:
     # Packed-transfer geometry (see input_layout/output_layout).
     chunk_size: int = 0
     num_points: int = 0
+    # Exact-detection upload compression: every scan's uint8 time
+    # fractions equal the uniform round(i*255/(k-1)) ramp, so the time
+    # array is regenerated on device instead of uploaded (host-verified,
+    # sticky downgrade — see ops/frontend_2d.FrontendConfig2D).
+    linear_times: bool = False
     # Debug: comma-separated stages to stub out when isolating perf
     # ("voxel", "adaptive", "match", "insert"). Not for production use.
     disable: str = ""
@@ -278,13 +283,23 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
     # Compact each matching cloud to its adaptive-filtered points (stable
     # order): the LM matcher's per-iteration voxel gathers scale with the
     # point count, and the adaptive clouds are ~10% of the padded scan.
+    # Cumsum + small scatter instead of argsorts — two full per-scan sorts
+    # inside the lax.scan body cost ~ms across the chunk.
     m_cap = min(cfg.match_max_points, hits_track.shape[0])
-    sel_hi = jnp.argsort(~high_mask, stable=True)[:m_cap]
-    sel_lo = jnp.argsort(~low_mask, stable=True)[:m_cap]
-    hi_pts = hits_track[sel_hi]
-    hi_m = high_mask[sel_hi]
-    lo_pts = hits_track[sel_lo]
-    lo_m = low_mask[sel_lo]
+    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (m_cap,), 0)
+
+    def compact(mask):
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        dst = jnp.where(mask & (pos < m_cap), pos, m_cap)
+        pts = (
+            jnp.zeros((m_cap + 1, 3), hits_track.dtype)
+            .at[dst].set(hits_track, mode="drop")[:m_cap]
+        )
+        cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), m_cap)
+        return pts, iota_cap < cnt
+
+    hi_pts, hi_m = compact(high_mask)
+    lo_pts, lo_m = compact(low_mask)
     if "match" in cfg.disable:
         gn_t, gn_q = init_t, init_q
     else:
@@ -521,12 +536,14 @@ SIDX = {k: i for i, k in enumerate(SCALARS)}
 
 def input_layout(cfg: FrontendConfig3D):
     """Byte offsets of the sections inside the packed input buffer:
-    (points i16 [C,N,3], times u16 [C,N], meta f32 [C,7],
-    imu f32 [C,M,8], total_bytes)."""
+    (points i16 [C,N,3], times u8 [C,N] — absent under linear_times,
+    meta f32 [C,7], imu f32 [C,M,8], total_bytes). Per-point times are
+    uint8 fractions of the scan's [t0, t0+span] (see
+    ops/frontend_2d.input_layout for the error budget)."""
     c, n, m = cfg.chunk_size, cfg.num_points, cfg.max_imu_per_scan
     o_points = 0
     o_times = o_points + c * n * 6
-    o_meta = o_times + c * n * 2
+    o_meta = o_times + (0 if cfg.linear_times else c * n)
     o_imu = o_meta + c * 28
     total = o_imu + c * m * 32
     return o_points, o_times, o_meta, o_imu, total
@@ -583,7 +600,6 @@ def run_chunk(
     scan_points = bc(
         packed_input[o_points:o_times].reshape(c, n, 3, 2), jnp.int16
     )
-    scan_times = bc(packed_input[o_times:o_meta].reshape(c, n, 2), jnp.uint16)
     scan_meta = bc(packed_input[o_meta:o_imu].reshape(c, 7, 4), jnp.float32)
     imu_input = bc(packed_input[o_imu:].reshape(c, mi, 8, 4), jnp.float32)
     q_scale = jnp.float32(point_quantization_scale(cfg))
@@ -603,12 +619,22 @@ def run_chunk(
     points = (
         sensor_origin[:, None, :] + scan_points.astype(jnp.float32) * q_scale
     )
-    ptimes = t0s[:, None] + scan_times.astype(jnp.float32) * (
-        spans[:, None] / 65535.0
-    )
-    pmask = (
-        jax.lax.broadcasted_iota(jnp.int32, (c, n), 1) < counts_in[:, None]
-    )
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (c, n), 1)
+    if cfg.linear_times:
+        # Regenerate the exact uint8 ramp the host verified against (see
+        # ops/frontend_2d.run_chunk).
+        denom = jnp.maximum(counts_in - 1, 1).astype(jnp.float32)
+        u8_frac = jnp.round(
+            jnp.minimum(iota_n, counts_in[:, None] - 1).astype(jnp.float32)
+            * 255.0
+            / denom[:, None]
+        )
+    else:
+        u8_frac = packed_input[o_times:o_meta].reshape(c, n).astype(
+            jnp.float32
+        )
+    ptimes = t0s[:, None] + u8_frac * (spans[:, None] / 255.0)
+    pmask = iota_n < counts_in[:, None]
     imu = (
         imu_input[:, :, 0],
         imu_input[:, :, 1:4],
