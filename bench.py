@@ -14,7 +14,12 @@ LocalTrajectoryBuilder2D does per scan in the reference,
 mapping/internal/2d/local_trajectory_builder_2d.cc), not a single-kernel
 microbenchmark.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"extras"}. The primary metric is the 2D local-SLAM rate; "extras" holds
+the rest of BASELINE.md's measurement table (3D local-SLAM scans/s,
+batched loop-closure BnB matches/s, SPA solve seconds at 1k and 10k
+nodes), each produced with its own time budget and skipped — never
+fatal — if the host link is too degraded to finish in time.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
 denominator is a documented estimate of the reference's CPU local-SLAM
@@ -106,7 +111,271 @@ def main() -> None:
             "host link degraded during run (warmup truncated); value "
             "understates steady-state throughput"
         )
+    record["extras"] = _extras(degraded)
     print(json.dumps(record))
+
+
+def _extras(degraded: bool) -> dict:
+    """The remaining BASELINE.md table rows; each isolated and
+    time-budgeted (a metric that cannot complete reports why instead of
+    hanging the driver)."""
+    import time as _t
+
+    extras: dict = {}
+    if degraded:
+        extras["skipped"] = "host link degraded; extras omitted"
+        return extras
+
+    def guard(name, fn, budget_s):
+        t0 = _t.perf_counter()
+        try:
+            extras[name] = fn()
+        except Exception as e:  # pragma: no cover - defensive
+            extras[name] = {"error": f"{type(e).__name__}: {e}"}
+        extras[name]["seconds_total"] = round(_t.perf_counter() - t0, 1)
+        if _t.perf_counter() - t0 > budget_s:
+            extras[name]["note"] = "over budget (cold compile or slow link)"
+
+    guard("local_slam_3d_scans_per_sec", _bench_3d, 600.0)
+    guard("loop_closure_batched_matches_per_sec", _bench_bnb, 420.0)
+    guard("spa_solve_seconds", _bench_spa, 420.0)
+    return extras
+
+
+def _bench_3d() -> dict:
+    import time
+
+    from cartographer_tpu.common.config import (
+        AdaptiveVoxelFilterOptions as _AVF,
+        MotionFilterOptions,
+        SubmapsOptions3D,
+        TrajectoryBuilder3DOptions,
+    )
+    from cartographer_tpu.mapping.chunked_frontend_3d import (
+        ChunkedLocalTrajectoryBuilder3D,
+    )
+    from cartographer_tpu.sensor.data import ImuData
+    from cartographer_tpu.testing.synthetic import (
+        FAKE_START_TIME,
+        generate_fake_range_measurements,
+    )
+
+    direction = np.array([2.0, 1.0, 0.0])
+    direction /= np.linalg.norm(direction)
+    duration_3d = 30.0
+    measurements_3d = generate_fake_range_measurements(
+        translation=direction * 5.0, duration=duration_3d, time_step=0.1
+    )
+    builder3d = ChunkedLocalTrajectoryBuilder3D(
+        TrajectoryBuilder3DOptions(
+            min_range=0.1,
+            max_range=10.0,
+            motion_filter=MotionFilterOptions(
+                max_time_seconds=0.5,
+                max_distance_meters=0.2,
+                max_angle_radians=0.2,
+            ),
+            high_resolution_adaptive_voxel_filter=_AVF(
+                max_length=2.0, min_num_points=100, max_range=15.0
+            ),
+            low_resolution_adaptive_voxel_filter=_AVF(
+                max_length=4.0, min_num_points=150, max_range=15.0
+            ),
+            submaps=SubmapsOptions3D(
+                num_range_data=40,
+                high_resolution=0.10,
+                low_resolution=0.45,
+                high_resolution_grid_size=256,
+                low_resolution_grid_size=128,
+            ),
+        ),
+        {"range"},
+        chunk_size=16,
+    )
+    imu_times = np.arange(
+        FAKE_START_TIME - 0.5, FAKE_START_TIME + duration_3d + 0.2, 0.02
+    )
+    imu_3d = [
+        ImuData(
+            time=t,
+            linear_acceleration=np.array([0.0, 0.0, 9.8]),
+            angular_velocity=np.zeros(3),
+        )
+        for t in imu_times
+    ]
+    imu_i = 0
+    warm3d = 64
+    t0 = None
+    for k, m in enumerate(measurements_3d):
+        while imu_i < len(imu_3d) and imu_3d[imu_i].time <= m.time:
+            builder3d.add_imu_data(imu_3d[imu_i])
+            imu_i += 1
+        if k == warm3d:
+            t0 = time.perf_counter()
+        builder3d.add_range_data("range", m)
+    builder3d.flush()
+    dt = time.perf_counter() - t0
+    return {
+        "value": round((len(measurements_3d) - warm3d) / dt, 2),
+        "unit": "scans/s",
+    }
+
+
+def _bench_bnb() -> dict:
+    import time
+
+    from cartographer_tpu.common.config import (
+        AdaptiveVoxelFilterOptions,
+        ConstraintBuilderOptions,
+        FastCorrelativeScanMatcherOptions2D,
+        GridOptions2D,
+        SubmapsOptions2D,
+        TrajectoryBuilder2DOptions,
+    )
+    from cartographer_tpu.mapping.chunked_frontend_2d import (
+        ChunkedLocalTrajectoryBuilder2D,
+    )
+    from cartographer_tpu.mapping.constraint_builder_2d import (
+        ConstraintBuilder2D,
+    )
+    from cartographer_tpu.mapping.id import NodeId, SubmapId
+    from cartographer_tpu.mapping.trajectory_node import TrajectoryNodeData
+    from cartographer_tpu.sensor.data import PointCloud
+    from cartographer_tpu.sensor.voxel_filter import adaptive_voxel_filter
+    from cartographer_tpu.testing.synthetic import (
+        generate_fake_range_measurements,
+    )
+    from cartographer_tpu.transform import rigid2
+    from cartographer_tpu.transform import rigid3 as r3
+
+    direction = np.array([2.0, 1.0, 0.0])
+    direction /= np.linalg.norm(direction)
+    measurements = generate_fake_range_measurements(
+        translation=direction * 10.0, duration=30.0, time_step=0.05
+    )
+    builder = ChunkedLocalTrajectoryBuilder2D(
+        TrajectoryBuilder2DOptions(
+            use_imu_data=False,
+            max_range=10.0,
+            submaps=SubmapsOptions2D(
+                num_range_data=40,
+                grid_options_2d=GridOptions2D(resolution=0.05, grid_size=512),
+            ),
+        ),
+        {"range"},
+        chunk_size=32,
+    )
+    for m in measurements[:256]:
+        builder.add_range_data("range", m)
+    builder.flush()
+    grid = builder._submaps[0].grid
+    cloud = adaptive_voxel_filter(
+        PointCloud(measurements[-1].ranges.points),
+        AdaptiveVoxelFilterOptions(
+            max_length=0.9, min_num_points=100, max_range=50.0
+        ),
+    ).points[:, :2]
+    center = np.asarray(grid.origin) + 0.5 * 0.05 * 512
+
+    cb_opts = ConstraintBuilderOptions()
+    cb_opts.sampling_ratio = 1.0
+    cb_opts.max_constraint_distance = 1e6
+    cb_opts.min_score = 0.3
+    cb_opts.fast_correlative_scan_matcher = FastCorrelativeScanMatcherOptions2D(
+        branch_and_bound_depth=7,
+        linear_search_window=7.0,
+        angular_search_window=np.radians(30.0),
+    )
+    cb = ConstraintBuilder2D(cb_opts)
+    sid = SubmapId(0, 0)
+    cb.set_submap_local_pose(sid, np.zeros(3))
+    cloud3 = np.concatenate(
+        [cloud, np.zeros((len(cloud), 1))], axis=1
+    ).astype(np.float32)
+    batch = 16
+
+    def enqueue():
+        for k in range(batch):
+            cb.maybe_add_constraint(
+                sid,
+                grid,
+                NodeId(0, k),
+                TrajectoryNodeData(
+                    time=0.0,
+                    gravity_alignment=np.array([1.0, 0, 0, 0]),
+                    filtered_gravity_aligned_point_cloud=cloud3,
+                    local_pose=r3.identity(),
+                ),
+                rigid2.make(center, 0.1),
+            )
+
+    enqueue()
+    cb.run_pending()  # warm up / compile
+    enqueue()
+    t0 = time.perf_counter()
+    found = cb.run_pending()
+    dt = time.perf_counter() - t0
+    return {
+        "value": round(batch / dt, 2),
+        "unit": "matches/s",
+        "note": f"batch of {batch} BnB depth-7 searches (7 m/30 deg) + GN "
+        f"refinements, {len(found)} constraints found",
+    }
+
+
+def _bench_spa() -> dict:
+    import time
+
+    import jax.numpy as jnp
+
+    from cartographer_tpu.ops import spa_solver
+
+    rng = np.random.default_rng(0)
+    out = {}
+    for n_nodes in (1000, 10000):
+        n_submaps = max(2, n_nodes // 90)
+        n_con = n_nodes * 3
+        problem = spa_solver.SpaProblem(
+            submap_poses=jnp.asarray(
+                rng.normal(0, 5, (n_submaps, 3)).astype(np.float32)
+            ),
+            node_poses=jnp.asarray(
+                rng.normal(0, 5, (n_nodes, 3)).astype(np.float32)
+            ),
+            free_submap=jnp.asarray(
+                np.array([False] + [True] * (n_submaps - 1))
+            ),
+            free_node=jnp.ones((n_nodes,), bool),
+            c_submap=jnp.asarray(
+                rng.integers(0, n_submaps, n_con).astype(np.int32)
+            ),
+            c_node=jnp.asarray(
+                rng.integers(0, n_nodes, n_con).astype(np.int32)
+            ),
+            c_z=jnp.asarray(rng.normal(0, 1, (n_con, 3)).astype(np.float32)),
+            c_weight=jnp.ones((n_con, 2), jnp.float32) * 1e4,
+            c_huber=jnp.ones((n_con,), bool),
+            c_mask=jnp.ones((n_con,), bool),
+            n_a=jnp.asarray((np.arange(n_nodes - 1)).astype(np.int32)),
+            n_b=jnp.asarray((np.arange(n_nodes - 1) + 1).astype(np.int32)),
+            n_z=jnp.asarray(
+                rng.normal(0, 0.1, (n_nodes - 1, 3)).astype(np.float32)
+            ),
+            n_weight=jnp.ones((n_nodes - 1, 2), jnp.float32) * 1e5,
+            n_mask=jnp.ones((n_nodes - 1,), bool),
+        )
+        sp, npo, cost = spa_solver.solve(
+            problem, jnp.float32(1e3), max_iterations=20, cg_iterations=50
+        )
+        np.asarray(cost)  # compile + settle
+        t0 = time.perf_counter()
+        sp, npo, cost = spa_solver.solve(
+            problem, jnp.float32(1e3), max_iterations=20, cg_iterations=50
+        )
+        np.asarray(cost)
+        out[f"{n_nodes}_nodes"] = round(time.perf_counter() - t0, 4)
+    out["unit"] = "s (20 LM x 50 CG, 3 constraints/node)"
+    return out
 
 
 if __name__ == "__main__":

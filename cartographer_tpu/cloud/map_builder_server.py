@@ -488,12 +488,15 @@ class MapBuilderServer:
             resolution = cropped.resolution
             origin = cropped.origin
         else:  # 3D: project the high-res grid along z (max probability).
-            prob = np.asarray(submap.high_resolution_grid.probability())
-            known3 = np.asarray(submap.high_resolution_grid.known())
+            from cartographer_tpu.mapping.paged_grid_3d import as_dense
+
+            high_grid = as_dense(submap.high_resolution_grid)
+            prob = np.asarray(high_grid.probability())
+            known3 = np.asarray(high_grid.known())
             intensity = prob.max(axis=0).astype(np.float32)
             alpha = known3.any(axis=0).astype(np.float32)
-            resolution = submap.high_resolution_grid.resolution
-            origin = np.asarray(submap.high_resolution_grid.origin)[:2]
+            resolution = high_grid.resolution
+            origin = np.asarray(high_grid.origin)[:2]
         return wire.encode(
             "submap_texture",
             {

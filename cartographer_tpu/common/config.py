@@ -286,6 +286,18 @@ class SubmapsOptions3D(ConfigBase):
     # TPU addition: fixed voxel-grid extents per resolution (cells per axis).
     high_resolution_grid_size: int = 512
     low_resolution_grid_size: int = 256
+    # TPU addition: block-sparse (paged) active-submap grids — fixed block
+    # pool + dense block table (mapping/paged_grid_3d.py), the HybridGrid
+    # pointer-tree replacement. Virtual extent per axis =
+    # table_size * 2^block_bits cells (defaults: high 1024 cells = +-51.2 m
+    # at 10 cm; low 512 cells = +-115 m at 0.45 m — beyond the reference's
+    # default max ranges). Finished submaps densify cropped to content.
+    sparse_grids: bool = True
+    sparse_block_bits: int = 4
+    sparse_high_table_size: int = 64
+    sparse_high_pool_blocks: int = 4096
+    sparse_low_table_size: int = 32
+    sparse_low_pool_blocks: int = 2048
 
 
 @dataclass

@@ -403,11 +403,15 @@ def write_pbstream(map_builder, include_unfinished_submaps: bool = True) -> byte
             rigid3_to_proto(np.asarray(submap.local_pose), target.local_pose)
             target.num_range_data = submap.num_range_data
             target.finished = submap.insertion_finished
+            from cartographer_tpu.mapping.paged_grid_3d import as_dense
+
             grid3d_to_proto(
-                submap.high_resolution_grid, target.high_resolution_hybrid_grid
+                as_dense(submap.high_resolution_grid),
+                target.high_resolution_hybrid_grid,
             )
             grid3d_to_proto(
-                submap.low_resolution_grid, target.low_resolution_hybrid_grid
+                as_dense(submap.low_resolution_grid),
+                target.low_resolution_hybrid_grid,
             )
             target.rotational_scan_matcher_histogram.extend(
                 float(x) for x in submap.rotational_scan_matcher_histogram

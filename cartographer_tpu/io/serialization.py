@@ -128,13 +128,17 @@ def serialize_state(map_builder, include_unfinished_submaps: bool = True) -> byt
                 )
             )
         else:  # 3D
+            from cartographer_tpu.mapping.paged_grid_3d import as_dense
+
+            high_grid = as_dense(submap.high_resolution_grid)
+            low_grid = as_dense(submap.low_resolution_grid)
             writer.write(
                 _encode_record(
                     "submap_3d",
                     {
                         **meta,
-                        "high_resolution": submap.high_resolution_grid.resolution,
-                        "low_resolution": submap.low_resolution_grid.resolution,
+                        "high_resolution": high_grid.resolution,
+                        "low_resolution": low_grid.resolution,
                     },
                     {
                         "local_pose": np.asarray(submap.local_pose, np.float64),
@@ -142,10 +146,10 @@ def serialize_state(map_builder, include_unfinished_submaps: bool = True) -> byt
                             spec.global_pose if spec is not None else submap.local_pose,
                             np.float64,
                         ),
-                        "high_values": np.asarray(submap.high_resolution_grid.values),
-                        "high_origin": np.asarray(submap.high_resolution_grid.origin),
-                        "low_values": np.asarray(submap.low_resolution_grid.values),
-                        "low_origin": np.asarray(submap.low_resolution_grid.origin),
+                        "high_values": np.asarray(high_grid.values),
+                        "high_origin": np.asarray(high_grid.origin),
+                        "low_values": np.asarray(low_grid.values),
+                        "low_origin": np.asarray(low_grid.origin),
                         "histogram": np.asarray(
                             submap.rotational_scan_matcher_histogram
                         ),

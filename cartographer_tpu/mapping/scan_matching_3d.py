@@ -18,6 +18,7 @@ from cartographer_tpu.common.config import (
     RealTimeCorrelativeScanMatcherOptions,
 )
 from cartographer_tpu.mapping.hybrid_grid import Grid3D
+from cartographer_tpu.mapping.paged_grid_3d import PagedGrid3D
 from cartographer_tpu.ops.scan_matching import correlative_3d, gauss_newton_3d
 from cartographer_tpu.ops.scan_matching.correlative_2d import compute_angular_step
 from cartographer_tpu.transform import rigid3
@@ -28,6 +29,13 @@ def _round_up_pow2(n: int, minimum: int = 64) -> int:
     while v < n:
         v *= 2
     return v
+
+
+def _vol(grid):
+    """Grid-read argument for the device matchers: the paged struct
+    itself, or the dense int8 log-odds volume (probability conversion
+    happens per gathered corner either way)."""
+    return grid if isinstance(grid, PagedGrid3D) else grid.values
 
 
 def pad_points_3d(points: np.ndarray, minimum: int = 64) -> Tuple[np.ndarray, np.ndarray]:
@@ -73,7 +81,7 @@ class RealTimeCorrelativeScanMatcher3D:
         points_p, point_mask = pad_points_3d(rotated.astype(np.float32))
 
         _, best, best_score = correlative_3d.score_candidates_3d(
-            grid.probability(),
+            _vol(grid),
             grid.origin,
             jnp.asarray(points_p),
             jnp.asarray(point_mask),
@@ -128,9 +136,9 @@ class CeresScanMatcher3D:
             hi[: len(high_intensities)] = high_intensities
             iopts = opts.intensity_cost_function_options_0
             packed = gauss_newton_3d.match_3d_intensity(
-                high_resolution_grid.probability(),
+                _vol(high_resolution_grid),
                 high_resolution_grid.origin,
-                low_resolution_grid.probability(),
+                _vol(low_resolution_grid),
                 low_resolution_grid.origin,
                 intensity_avg,
                 jnp.asarray(initial_pose[:3], jnp.float32),
@@ -156,9 +164,9 @@ class CeresScanMatcher3D:
             packed = np.asarray(packed, np.float64)  # single round trip
             return packed[:7], float(packed[7])
         packed = gauss_newton_3d.match_3d(
-            high_resolution_grid.probability(),
+            _vol(high_resolution_grid),
             high_resolution_grid.origin,
-            low_resolution_grid.probability(),
+            _vol(low_resolution_grid),
             low_resolution_grid.origin,
             jnp.asarray(initial_pose[:3], jnp.float32),
             jnp.asarray(initial_pose[3:7], jnp.float32),
@@ -195,9 +203,9 @@ class CeresScanMatcher3D:
         hp, hm = pad_points_3d(np.asarray(high_resolution_cloud))
         lp, lm = pad_points_3d(np.asarray(low_resolution_cloud))
         return gauss_newton_3d.match_3d(
-            high_resolution_grid.probability(),
+            _vol(high_resolution_grid),
             high_resolution_grid.origin,
-            low_resolution_grid.probability(),
+            _vol(low_resolution_grid),
             low_resolution_grid.origin,
             jnp.asarray(initial_pose_estimate[:3], jnp.float32),
             jnp.asarray(initial_pose_estimate[3:7], jnp.float32),

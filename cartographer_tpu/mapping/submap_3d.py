@@ -24,6 +24,12 @@ from cartographer_tpu.mapping.hybrid_grid import (
     make_grid_3d,
     quantize_log_odds_delta,
 )
+from cartographer_tpu.mapping.paged_grid_3d import (
+    PagedGrid3D,
+    insert_scan_3d_paged,
+    make_paged_grid_3d,
+    to_dense,
+)
 from cartographer_tpu.ops import raycast_3d
 from cartographer_tpu.ops.scan_matching import rotational_histogram
 from cartographer_tpu.sensor.data import RangeData
@@ -45,7 +51,7 @@ def _pad_cells(cells: np.ndarray, minimum: int = 256):
 @dataclasses.dataclass
 class Submap3D:
     local_pose: np.ndarray  # SE(3) (7,)
-    high_resolution_grid: Grid3D
+    high_resolution_grid: Grid3D  # or PagedGrid3D while building
     low_resolution_grid: Grid3D
     rotational_scan_matcher_histogram: np.ndarray
     intensity_sum: Optional[jnp.ndarray] = None
@@ -54,6 +60,15 @@ class Submap3D:
     insertion_finished: bool = False
 
     def finish(self) -> None:
+        # Paged building grids densify cropped to the occupied block
+        # bounding box on finish — the form the BnB pyramid, constraint
+        # refinement, and serialization consume (the reference's
+        # PrecomputationGrid3D also materializes dense bounded volumes,
+        # precomputation_grid_3d.cc:54-85).
+        if isinstance(self.high_resolution_grid, PagedGrid3D):
+            self.high_resolution_grid = to_dense(self.high_resolution_grid)
+        if isinstance(self.low_resolution_grid, PagedGrid3D):
+            self.low_resolution_grid = to_dense(self.low_resolution_grid)
         self.insertion_finished = True
 
 
@@ -101,16 +116,35 @@ class ActiveSubmaps3D:
         local_pose = rigid3.make(
             np.asarray(origin, np.float64), np.asarray(local_from_gravity_aligned)
         )
-        high = make_grid_3d(
-            np.zeros(3, np.float32),
-            self._options.high_resolution,
-            self._options.high_resolution_grid_size,
-        )
-        low = make_grid_3d(
-            np.zeros(3, np.float32),
-            self._options.low_resolution,
-            self._options.low_resolution_grid_size,
-        )
+        o = self._options
+        # Intensity grids are dense companions of the high grid, so the
+        # intensity configuration keeps dense building grids.
+        if o.sparse_grids and not self._use_intensities:
+            high = make_paged_grid_3d(
+                np.zeros(3, np.float32),
+                o.high_resolution,
+                block_bits=o.sparse_block_bits,
+                table_size=o.sparse_high_table_size,
+                pool_blocks=o.sparse_high_pool_blocks,
+            )
+            low = make_paged_grid_3d(
+                np.zeros(3, np.float32),
+                o.low_resolution,
+                block_bits=o.sparse_block_bits,
+                table_size=o.sparse_low_table_size,
+                pool_blocks=o.sparse_low_pool_blocks,
+            )
+        else:
+            high = make_grid_3d(
+                np.zeros(3, np.float32),
+                o.high_resolution,
+                o.high_resolution_grid_size,
+            )
+            low = make_grid_3d(
+                np.zeros(3, np.float32),
+                o.low_resolution,
+                o.low_resolution_grid_size,
+            )
         submap = Submap3D(
             local_pose=local_pose,
             high_resolution_grid=high,
@@ -157,18 +191,31 @@ class ActiveSubmaps3D:
                 (origin - np.asarray(grid.origin)) / grid.resolution + 0.5
             ).astype(np.int32)
             cells_p, valid = _pad_cells(cells)
-            new_values = raycast_3d.insert_scan_3d(
-                grid.values,
-                jnp.asarray(origin_cell),
-                jnp.asarray(cells_p),
-                jnp.asarray(valid),
-                self._hit_delta,
-                self._miss_delta,
-                self._options.range_data_inserter.num_free_space_voxels,
-            )
-            new_grid = Grid3D(
-                values=new_values, origin=grid.origin, resolution=grid.resolution
-            )
+            if isinstance(grid, PagedGrid3D):
+                new_grid = insert_scan_3d_paged(
+                    grid,
+                    jnp.asarray(origin_cell),
+                    jnp.asarray(cells_p),
+                    jnp.asarray(valid),
+                    self._hit_delta,
+                    self._miss_delta,
+                    self._options.range_data_inserter.num_free_space_voxels,
+                )
+            else:
+                new_values = raycast_3d.insert_scan_3d(
+                    grid.values,
+                    jnp.asarray(origin_cell),
+                    jnp.asarray(cells_p),
+                    jnp.asarray(valid),
+                    self._hit_delta,
+                    self._miss_delta,
+                    self._options.range_data_inserter.num_free_space_voxels,
+                )
+                new_grid = Grid3D(
+                    values=new_values,
+                    origin=grid.origin,
+                    resolution=grid.resolution,
+                )
             if grid_name == "high":
                 submap.high_resolution_grid = new_grid
             else:

@@ -13,12 +13,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from cartographer_tpu.mapping import probability_values as pv
+from cartographer_tpu.mapping.paged_grid_3d import gather_probability
 
 
 @functools.partial(jax.jit, static_argnames=("num_linear",))
 def score_candidates_3d(
-    prob: jax.Array,  # f32 [D, H, W]
+    prob: jax.Array,  # f32 [D, H, W] dense, int8 log-odds, or PagedGrid3D
     origin: jax.Array,  # f32 [3]
     points: jax.Array,  # f32 [N, 3] in the search frame (initial pose applied)
     point_mask: jax.Array,  # bool [N]
@@ -31,7 +31,6 @@ def score_candidates_3d(
     num_linear: int,
 ):
     """Returns (scores [A, D3, D3, D3] flat argmax info)."""
-    d, h, w = prob.shape
     cos_a = jnp.cos(angles)[:, None]
     sin_a = jnp.sin(angles)[:, None]
     px, py, pz = points[:, 0][None, :], points[:, 1][None, :], points[:, 2][None, :]
@@ -50,11 +49,7 @@ def score_candidates_3d(
     cyi = iy[:, None, None, None, :] + offs[None, None, :, None, None]
     cxi = ix[:, None, None, None, :] + offs[None, None, None, :, None]
     czi, cyi, cxi = jnp.broadcast_arrays(czi, cyi, cxi)
-    oob = (cxi < 0) | (cxi >= w) | (cyi < 0) | (cyi >= h) | (czi < 0) | (czi >= d)
-    vals = prob[
-        jnp.clip(czi, 0, d - 1), jnp.clip(cyi, 0, h - 1), jnp.clip(cxi, 0, w - 1)
-    ]
-    vals = jnp.where(oob, pv.MIN_PROBABILITY, vals)
+    vals = gather_probability(prob, czi, cyi, cxi)
     count = jnp.maximum(jnp.sum(point_mask), 1)
     mean_prob = jnp.sum(vals * point_mask, axis=-1) / count  # [A, Dz, Dy, Dx]
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from cartographer_tpu.mapping import probability_values as pv
+from cartographer_tpu.mapping.paged_grid_3d import gather_probability
 from cartographer_tpu.ops.scan_matching.gauss_newton_2d import solve_spd_small
 
 
@@ -63,9 +64,11 @@ def _corners_pack(prob, origin, res, points, t, q):
     makes the grid read cost ONE gather set per iteration (extraction at
     the candidate pose) instead of one per residual/Jacobian/cost
     evaluation; the Jacobian through the frozen corners equals jacfwd of
-    the full residual at the extraction pose."""
-    d, h, ww = prob.shape
-    is_int8 = prob.dtype == jnp.int8
+    the full residual at the extraction pose.
+
+    `prob` may be a dense f32 probability volume, a dense int8 log-odds
+    volume, or a mapping.paged_grid_3d.PagedGrid3D (the active-submap
+    representation) — gather_probability handles all three."""
     world = _quat_rotate(q[None, :], points) + t[None, :]
     u = (world[:, 0] - origin[0]) / res
     v = (world[:, 1] - origin[1]) / res
@@ -75,21 +78,7 @@ def _corners_pack(prob, origin, res, points, t, q):
     iw = jnp.floor(w).astype(jnp.int32)
 
     def corner(dz, dy, dx):
-        zi, yi, xi = iw + dz, iv + dy, iu + dx
-        oob = (xi < 0) | (xi >= ww) | (yi < 0) | (yi >= h) | (zi < 0) | (zi >= d)
-        vals = prob[
-            jnp.clip(zi, 0, d - 1), jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, ww - 1)
-        ]
-        if is_int8:
-            from cartographer_tpu.mapping.hybrid_grid import LOG_ODDS_SCALE
-
-            l = vals.astype(jnp.float32) * LOG_ODDS_SCALE
-            vals = jnp.where(
-                vals != 0,
-                1.0 / (1.0 + jnp.exp(-l)),
-                pv.MIN_PROBABILITY,
-            )
-        return jnp.where(oob, pv.MIN_PROBABILITY, vals)
+        return gather_probability(prob, iw + dz, iv + dy, iu + dx)
 
     corners = jnp.stack(
         [
@@ -130,32 +119,16 @@ def interp_smoothstep_3d(prob: jax.Array, u, v, w):
     integers; out-of-bounds reads MIN_PROBABILITY. Matches
     interpolated_grid.h's piecewise cubic (zero derivative at centers).
 
-    `prob` may also be an int8 log-odds volume (hybrid_grid.Grid3D.values):
-    the probability conversion then happens per gathered corner, which
-    avoids materializing a float32 copy of the whole volume (4x the HBM
-    traffic at 512^3) inside jitted pipelines."""
-    d, h, ww = prob.shape
-    is_int8 = prob.dtype == jnp.int8
+    `prob` may also be an int8 log-odds volume (hybrid_grid.Grid3D.values)
+    or a PagedGrid3D: the probability conversion then happens per gathered
+    corner, which avoids materializing a float32 copy of the whole volume
+    (4x the HBM traffic at 512^3) inside jitted pipelines."""
     iu = jnp.floor(u).astype(jnp.int32)
     iv = jnp.floor(v).astype(jnp.int32)
     iw = jnp.floor(w).astype(jnp.int32)
 
     def corner(dz, dy, dx):
-        zi, yi, xi = iw + dz, iv + dy, iu + dx
-        oob = (xi < 0) | (xi >= ww) | (yi < 0) | (yi >= h) | (zi < 0) | (zi >= d)
-        vals = prob[
-            jnp.clip(zi, 0, d - 1), jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, ww - 1)
-        ]
-        if is_int8:
-            from cartographer_tpu.mapping.hybrid_grid import LOG_ODDS_SCALE
-
-            l = vals.astype(jnp.float32) * LOG_ODDS_SCALE
-            vals = jnp.where(
-                vals != 0,
-                1.0 / (1.0 + jnp.exp(-l)),
-                pv.MIN_PROBABILITY,
-            )
-        return jnp.where(oob, pv.MIN_PROBABILITY, vals)
+        return gather_probability(prob, iw + dz, iv + dy, iu + dx)
 
     def smooth(t):
         return t * t * (3.0 - 2.0 * t)

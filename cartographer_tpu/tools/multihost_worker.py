@@ -30,7 +30,6 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from cartographer_tpu.ops import spa_solver
     from cartographer_tpu.parallel import multihost, sharded
@@ -39,22 +38,26 @@ def main(argv=None) -> int:
         args.coordinator_address, args.num_processes, args.process_id
     )
     n_dev = len(ctx.mesh.devices.reshape(-1))
-    rng = np.random.default_rng(ctx.process_id)
+    # SPMD discipline: every process passes the SAME global values for
+    # replicated/sharded jit inputs (uncommitted numpy arrays — jit
+    # device_puts them to the global shardings; a committed process-local
+    # jnp array would fail on a multi-process mesh).
+    rng = np.random.default_rng(0)
 
     # -- sharded candidate scoring -------------------------------------------
     score = sharded.make_sharded_score_level(ctx.mesh)
     H = W = 1024
     A, N = 64, 512
     C = args.candidates_per_device * n_dev
-    pool = jnp.asarray(rng.uniform(0.1, 0.9, (H, W)).astype(np.float32))
-    ix = jnp.asarray(rng.integers(0, W, (A, N)).astype(np.int32))
-    iy = jnp.asarray(rng.integers(0, H, (A, N)).astype(np.int32))
-    pmask = jnp.ones((N,), bool)
+    pool = rng.uniform(0.1, 0.9, (H, W)).astype(np.float32)
+    ix = rng.integers(0, W, (A, N)).astype(np.int32)
+    iy = rng.integers(0, H, (A, N)).astype(np.int32)
+    pmask = np.ones((N,), bool)
     cand_args = (
-        jnp.asarray(rng.integers(0, A, C).astype(np.int32)),
-        jnp.asarray(rng.integers(-64, 64, C).astype(np.int32)),
-        jnp.asarray(rng.integers(-64, 64, C).astype(np.int32)),
-        jnp.ones((C,), bool),
+        rng.integers(0, A, C).astype(np.int32),
+        rng.integers(-64, 64, C).astype(np.int32),
+        rng.integers(-64, 64, C).astype(np.int32),
+        np.ones((C,), bool),
     )
     scores = score(pool, ix, iy, pmask, *cand_args)
     jax.block_until_ready(scores)
@@ -62,7 +65,7 @@ def main(argv=None) -> int:
     reps = 10
     for _ in range(reps):
         scores = score(pool, ix, iy, pmask, *cand_args)
-    _ = np.asarray(scores[:1])
+    jax.block_until_ready(scores)
     dt = (time.perf_counter() - t0) / reps
     report = multihost.scaling_report(ctx, C, dt)
     report["metric"] = "sharded_candidate_scores"
@@ -80,32 +83,35 @@ def main(argv=None) -> int:
         ctx.mesh, max_iterations=20, cg_iterations=50
     )
     problem = spa_solver.SpaProblem(
-        submap_poses=jnp.asarray(rng.normal(0, 5, (n_submaps, 3)).astype(np.float32)),
-        node_poses=jnp.asarray(rng.normal(0, 5, (n_nodes, 3)).astype(np.float32)),
-        free_submap=jnp.asarray(np.array([False] + [True] * (n_submaps - 1))),
-        free_node=jnp.ones((n_nodes,), bool),
-        c_submap=jnp.asarray(rng.integers(0, n_submaps, n_con).astype(np.int32)),
-        c_node=jnp.asarray(rng.integers(0, n_nodes, n_con).astype(np.int32)),
-        c_z=jnp.asarray(rng.normal(0, 1, (n_con, 3)).astype(np.float32)),
-        c_weight=jnp.ones((n_con, 2), jnp.float32) * 1e4,
-        c_huber=jnp.ones((n_con,), bool),
-        c_mask=jnp.ones((n_con,), bool),
-        n_a=jnp.asarray((np.arange(n_odo) % (n_nodes - 1)).astype(np.int32)),
-        n_b=jnp.asarray((np.arange(n_odo) % (n_nodes - 1) + 1).astype(np.int32)),
-        n_z=jnp.asarray(rng.normal(0, 0.1, (n_odo, 3)).astype(np.float32)),
-        n_weight=jnp.ones((n_odo, 2), jnp.float32) * 1e5,
-        n_mask=jnp.asarray(np.arange(n_odo) < n_nodes - 1),
+        submap_poses=rng.normal(0, 5, (n_submaps, 3)).astype(np.float32),
+        node_poses=rng.normal(0, 5, (n_nodes, 3)).astype(np.float32),
+        free_submap=np.array([False] + [True] * (n_submaps - 1)),
+        free_node=np.ones((n_nodes,), bool),
+        c_submap=rng.integers(0, n_submaps, n_con).astype(np.int32),
+        c_node=rng.integers(0, n_nodes, n_con).astype(np.int32),
+        c_z=rng.normal(0, 1, (n_con, 3)).astype(np.float32),
+        c_weight=np.ones((n_con, 2), np.float32) * 1e4,
+        c_huber=np.ones((n_con,), bool),
+        c_mask=np.ones((n_con,), bool),
+        n_a=(np.arange(n_odo) % (n_nodes - 1)).astype(np.int32),
+        n_b=(np.arange(n_odo) % (n_nodes - 1) + 1).astype(np.int32),
+        n_z=rng.normal(0, 0.1, (n_odo, 3)).astype(np.float32),
+        n_weight=np.ones((n_odo, 2), np.float32) * 1e5,
+        n_mask=np.arange(n_odo) < n_nodes - 1,
     )
-    sp, npo, cost = solve(problem, jnp.float32(1e3))
-    _ = np.asarray(cost)
+    sp, npo, cost = solve(problem, np.float32(1e3))
+    jax.block_until_ready(cost)
     t0 = time.perf_counter()
-    sp, npo, cost = solve(problem, jnp.float32(1e3))
-    _ = np.asarray(cost)
+    sp, npo, cost = solve(problem, np.float32(1e3))
+    jax.block_until_ready(cost)
     dt = time.perf_counter() - t0
     report = multihost.scaling_report(ctx, n_con, dt)
     report["metric"] = "sharded_spa_solve"
     report["seconds"] = round(dt, 4)
-    print(json.dumps(report))
+    # Replicated outputs: read this process's addressable copy (a global
+    # array is not fully addressable under multi-controller).
+    report["final_cost"] = float(np.asarray(cost.addressable_data(0)))
+    print(json.dumps(report, ), flush=True)
     return 0
 
 

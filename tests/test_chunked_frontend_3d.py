@@ -166,8 +166,24 @@ class TestChunkedParity3D:
             for r in chunked_results
             if r.insertion_result is not None
         )
-        hv = np.asarray(h_sub.high_resolution_grid.values)
-        cv = np.asarray(c_sub.high_resolution_grid.values)
+        from cartographer_tpu.mapping.paged_grid_3d import as_dense
+
+        h_grid = as_dense(h_sub.high_resolution_grid)
+        c_grid = c_sub.high_resolution_grid
+        cv = np.asarray(c_grid.values)
+        # The host side builds paged and densifies cropped; embed the crop
+        # into the chunked grid's (full-extent) cell lattice to compare.
+        hv = np.zeros_like(cv)
+        crop = np.asarray(h_grid.values)
+        off = np.round(
+            (np.asarray(h_grid.origin) - np.asarray(c_grid.origin))
+            / h_grid.resolution
+        ).astype(int)
+        hv[
+            off[2]: off[2] + crop.shape[0],
+            off[1]: off[1] + crop.shape[1],
+            off[0]: off[0] + crop.shape[2],
+        ] = crop
         # Occupancy agreement: same voxels known, >=98% sign agreement.
         known_h = hv != 0
         known_c = cv != 0

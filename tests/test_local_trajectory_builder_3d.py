@@ -133,6 +133,9 @@ class TestLocalSlam3D:
                     assert submap.num_range_data > 0
         assert insertions >= 1
         submap = builder._active_submaps.submaps()[0]
-        # Grid got occupancy.
-        assert int(np.asarray((submap.high_resolution_grid.values != 0).sum())) > 100
+        # Grid got occupancy (active submaps build paged by default).
+        from cartographer_tpu.mapping.paged_grid_3d import as_dense
+
+        high = as_dense(submap.high_resolution_grid)
+        assert int(np.asarray((high.values != 0).sum())) > 100
         assert np.linalg.norm(submap.rotational_scan_matcher_histogram) > 0
