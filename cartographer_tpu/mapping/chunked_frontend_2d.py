@@ -238,6 +238,7 @@ class ChunkedLocalTrajectoryBuilder2D:
         self._popped_submaps: List[Submap2D] = []
         self._last_wall_time: Optional[float] = None
         self._last_sensor_time: Optional[Time] = None
+        self._extent_overflow_warned = False
 
     # -- sensor feeds ---------------------------------------------------------
 
@@ -517,6 +518,20 @@ class ChunkedLocalTrajectoryBuilder2D:
             while cap < min(num_inserted, self._chunk):
                 cap *= 2
             self._pack_cap = min(cap, self._chunk)
+
+        oob_total = int(np.sum(sc[:, S["oob_hits"]]))
+        if oob_total:
+            metrics.grid_oob_points.increment(oob_total)
+            if not self._extent_overflow_warned:
+                self._extent_overflow_warned = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "submap grid extent overflow: %d hit endpoint(s) outside "
+                    "the %dx%d grid this chunk; increase "
+                    "grid_options_2d.grid_size",
+                    oob_total, self._cfg.grid_size, self._cfg.grid_size,
+                )
 
         results: List[MatchingResult] = []
         res = self._cfg.resolution

@@ -15,6 +15,7 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from cartographer_tpu import metrics
 from cartographer_tpu.common.config import SubmapsOptions2D
 from cartographer_tpu.mapping import probability_values as pv
 from cartographer_tpu.mapping.grid_2d import Grid2D, make_grid, world_to_cell
@@ -36,6 +37,7 @@ class Submap2D:
     grid: Grid2D
     num_range_data: int = 0
     insertion_finished: bool = False
+    extent_overflow_warned: bool = False
 
     def finish(self) -> None:
         self.insertion_finished = True
@@ -143,6 +145,24 @@ class ActiveSubmaps2D:
             grid = submap.grid
             origin_cell = world_to_cell(grid, jnp.asarray(origin, jnp.float32))
             ends_cell = world_to_cell(grid, jnp.asarray(ends_p))
+            # Extent-overflow observability: the fixed extent replaces the
+            # reference's GrowLimits (grid_2d.cc), so out-of-extent HIT
+            # endpoints are dropped — count them instead of losing them
+            # silently (an undersized grid_size degrades mapping quality;
+            # miss rays merely truncate at the border).
+            ec = np.floor(np.asarray(ends_cell)[:n_hits])
+            oob = int(np.sum(np.any((ec < 0) | (ec >= grid.size), axis=1)))
+            if oob:
+                metrics.grid_oob_points.increment(oob)
+                if not submap.extent_overflow_warned:
+                    submap.extent_overflow_warned = True
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "submap grid extent overflow: %d endpoint(s) outside "
+                        "the %dx%d grid this scan; increase "
+                        "grid_options_2d.grid_size", oob, grid.size, grid.size,
+                    )
             new_log_odds, new_known = raycast_2d.insert_scan(
                 grid.log_odds,
                 grid.known,

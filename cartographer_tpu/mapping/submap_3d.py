@@ -65,10 +65,23 @@ class Submap3D:
         # refinement, and serialization consume (the reference's
         # PrecomputationGrid3D also materializes dense bounded volumes,
         # precomputation_grid_3d.cc:54-85).
-        if isinstance(self.high_resolution_grid, PagedGrid3D):
-            self.high_resolution_grid = to_dense(self.high_resolution_grid)
-        if isinstance(self.low_resolution_grid, PagedGrid3D):
-            self.low_resolution_grid = to_dense(self.low_resolution_grid)
+        for name in ("high_resolution_grid", "low_resolution_grid"):
+            grid = getattr(self, name)
+            if not isinstance(grid, PagedGrid3D):
+                continue
+            dropped = int(grid.dropped)
+            if dropped:
+                from cartographer_tpu import metrics
+
+                metrics.grid_oob_points.increment(dropped)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "paged 3D grid dropped %d write(s) (%s: pool full or "
+                    "outside the virtual extent); raise the sparse_* "
+                    "options", dropped, name,
+                )
+            setattr(self, name, to_dense(grid))
         self.insertion_finished = True
 
 

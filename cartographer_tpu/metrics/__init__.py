@@ -177,6 +177,9 @@ optimization_runs = _factory.counter("mapping_pose_graph_optimizations")
 beam_overflow_retries = _factory.counter(
     "mapping_constraint_builder_beam_overflow_retries"
 )
+# Range-data endpoints dropped because they fell outside a fixed grid
+# extent (the reference grows its grids; here the loss is observable).
+grid_oob_points = _factory.counter("mapping_grid_out_of_extent_points")
 
 
 def _register_all() -> None:
@@ -184,7 +187,7 @@ def _register_all() -> None:
     global pose_graph_work_queue_size, pose_graph_work_queue_delay
     global pose_graph_constraints_inter, pose_graph_constraints_intra
     global constraint_scores, constraints_found, constraints_searched
-    global optimization_runs, beam_overflow_retries
+    global optimization_runs, beam_overflow_retries, grid_oob_points
     local_slam_latency = _factory.gauge("mapping_2d_local_trajectory_builder_latency")
     local_slam_real_time_ratio = _factory.gauge(
         "mapping_2d_local_trajectory_builder_real_time_ratio"
@@ -207,3 +210,4 @@ def _register_all() -> None:
     beam_overflow_retries = _factory.counter(
         "mapping_constraint_builder_beam_overflow_retries"
     )
+    grid_oob_points = _factory.counter("mapping_grid_out_of_extent_points")

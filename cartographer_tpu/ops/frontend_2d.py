@@ -534,6 +534,18 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
 
     origin_cell = (local_origin[None, :] - grid_origin) / cfg.resolution  # [2,2]
     ends_cell = (ends[None, :, :] - grid_origin[:, None, :]) / cfg.resolution
+    # Extent-overflow observability: HIT endpoints outside a slot's fixed
+    # extent are dropped by the rasterizer (the reference would grow the
+    # grid) — count the worst slot so the host can surface it.
+    ec = jnp.floor(ends_cell)
+    hit_oob = jnp.any((ec < 0) | (ec >= cfg.grid_size), axis=-1)  # [2, N]
+    oob_count = jnp.max(
+        jnp.sum(
+            hit_oob & (is_hit & ray_valid)[None, :]
+            & (slot_valid & insert)[:, None],
+            axis=1,
+        )
+    )
     if "insert" in cfg.disable:
         new_lo, new_known = grids_lo, grids_known
     else:
@@ -584,6 +596,7 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
         # order) — becomes the node's filtered_gravity_aligned_point_cloud.
         "filtered_pts": compacted,
         "num_filtered": num_filtered,
+        "oob_hits": oob_count,
     }
     if cfg.has_misses:
         out["ga_miss"] = ga_miss
@@ -597,6 +610,7 @@ SCALARS = (
     "g_qw", "g_qx", "g_qy", "g_qz", "inserted",
     "created", "popped", "finished", "anchor_x", "anchor_y",
     "count0", "count1", "ga_origin_x", "ga_origin_y", "num_filtered",
+    "oob_hits",
 )
 SIDX = {k: i for i, k in enumerate(SCALARS)}
 
@@ -780,6 +794,7 @@ def run_chunk(
             outs["counts"][:, 1].astype(jnp.float32),
             outs["ga_origin"][:, 0], outs["ga_origin"][:, 1],
             f("num_filtered"),
+            f("oob_hits"),
         ],
         axis=1,
     )

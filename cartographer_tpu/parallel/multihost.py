@@ -81,6 +81,21 @@ def make_global_batch(ctx: MultihostContext, per_host_rows: np.ndarray):
     )
 
 
+def make_global_sharded(ctx: MultihostContext, value: np.ndarray):
+    """Build a worker-axis-sharded global array from a GLOBAL value every
+    process holds identically (jax.make_array_from_callback: each process
+    materializes only its addressable shards). Multi-process jit rejects
+    numpy inputs with non-trivial shardings — this is the sanctioned
+    conversion."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    value = np.asarray(value)
+    sharding = NamedSharding(ctx.mesh, P(sharded.WORKER_AXIS))
+    return jax.make_array_from_callback(
+        value.shape, sharding, lambda idx: value[idx]
+    )
+
+
 def scaling_report(ctx: MultihostContext, work_items: int, seconds: float) -> dict:
     """Per-run scaling record (items/sec/device); aggregated across rounds
     by the caller to compute scaling efficiency vs a single-chip run."""

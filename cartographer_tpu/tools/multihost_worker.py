@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--candidates_per_device", type=int, default=4096)
     parser.add_argument("--spa_nodes", type=int, default=10000)
+    parser.add_argument("--lm_iterations", type=int, default=20)
+    parser.add_argument("--cg_iterations", type=int, default=50)
     args = parser.parse_args(argv)
 
     import jax
@@ -53,11 +55,14 @@ def main(argv=None) -> int:
     ix = rng.integers(0, W, (A, N)).astype(np.int32)
     iy = rng.integers(0, H, (A, N)).astype(np.int32)
     pmask = np.ones((N,), bool)
-    cand_args = (
-        rng.integers(0, A, C).astype(np.int32),
-        rng.integers(-64, 64, C).astype(np.int32),
-        rng.integers(-64, 64, C).astype(np.int32),
-        np.ones((C,), bool),
+    cand_args = tuple(
+        multihost.make_global_sharded(ctx, a)
+        for a in (
+            rng.integers(0, A, C).astype(np.int32),
+            rng.integers(-64, 64, C).astype(np.int32),
+            rng.integers(-64, 64, C).astype(np.int32),
+            np.ones((C,), bool),
+        )
     )
     scores = score(pool, ix, iy, pmask, *cand_args)
     jax.block_until_ready(scores)
@@ -80,24 +85,27 @@ def main(argv=None) -> int:
     n_con = pad_to(n_nodes * 3)
     n_odo = pad_to(n_nodes - 1)
     solve = sharded.make_sharded_spa_solve(
-        ctx.mesh, max_iterations=20, cg_iterations=50
+        ctx.mesh,
+        max_iterations=args.lm_iterations,
+        cg_iterations=args.cg_iterations,
     )
+    gs = lambda a: multihost.make_global_sharded(ctx, a)
     problem = spa_solver.SpaProblem(
         submap_poses=rng.normal(0, 5, (n_submaps, 3)).astype(np.float32),
         node_poses=rng.normal(0, 5, (n_nodes, 3)).astype(np.float32),
         free_submap=np.array([False] + [True] * (n_submaps - 1)),
         free_node=np.ones((n_nodes,), bool),
-        c_submap=rng.integers(0, n_submaps, n_con).astype(np.int32),
-        c_node=rng.integers(0, n_nodes, n_con).astype(np.int32),
-        c_z=rng.normal(0, 1, (n_con, 3)).astype(np.float32),
-        c_weight=np.ones((n_con, 2), np.float32) * 1e4,
-        c_huber=np.ones((n_con,), bool),
-        c_mask=np.ones((n_con,), bool),
-        n_a=(np.arange(n_odo) % (n_nodes - 1)).astype(np.int32),
-        n_b=(np.arange(n_odo) % (n_nodes - 1) + 1).astype(np.int32),
-        n_z=rng.normal(0, 0.1, (n_odo, 3)).astype(np.float32),
-        n_weight=np.ones((n_odo, 2), np.float32) * 1e5,
-        n_mask=np.arange(n_odo) < n_nodes - 1,
+        c_submap=gs(rng.integers(0, n_submaps, n_con).astype(np.int32)),
+        c_node=gs(rng.integers(0, n_nodes, n_con).astype(np.int32)),
+        c_z=gs(rng.normal(0, 1, (n_con, 3)).astype(np.float32)),
+        c_weight=gs(np.ones((n_con, 2), np.float32) * 1e4),
+        c_huber=gs(np.ones((n_con,), bool)),
+        c_mask=gs(np.ones((n_con,), bool)),
+        n_a=gs((np.arange(n_odo) % (n_nodes - 1)).astype(np.int32)),
+        n_b=gs((np.arange(n_odo) % (n_nodes - 1) + 1).astype(np.int32)),
+        n_z=gs(rng.normal(0, 0.1, (n_odo, 3)).astype(np.float32)),
+        n_weight=gs(np.ones((n_odo, 2), np.float32) * 1e5),
+        n_mask=gs(np.arange(n_odo) < n_nodes - 1),
     )
     sp, npo, cost = solve(problem, np.float32(1e3))
     jax.block_until_ready(cost)

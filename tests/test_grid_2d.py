@@ -132,3 +132,34 @@ class TestCroppedGrid:
         cropped = compute_cropped(grid)
         assert cropped.probability.shape[0] >= 1
         assert cropped.known.any()
+
+
+class TestExtentOverflowObservability:
+    def test_undersized_grid_trips_counter(self):
+        """An undersized fixed extent must COUNT dropped hit endpoints
+        (the reference grows its grids; grid_2d.py documents the fixed
+        extent as the TPU deviation — the loss has to be observable)."""
+        from cartographer_tpu import metrics as m
+
+        factory = m.enable_collection()
+        try:
+            active = ActiveSubmaps2D(small_options(grid_size=16, resolution=0.1))
+            # Hits 5 m out of a 1.6 m grid.
+            hits = [[5.0, 0.0], [0.0, 5.0], [-5.0, 1.0]]
+            active.insert_range_data(make_range_data([0.0, 0.0], hits))
+            assert m.grid_oob_points.value() >= 3
+        finally:
+            m.register_family_factory(m.FamilyFactory(real=False))
+
+    def test_well_sized_grid_does_not_trip(self):
+        from cartographer_tpu import metrics as m
+
+        factory = m.enable_collection()
+        try:
+            active = ActiveSubmaps2D(small_options(grid_size=64, resolution=0.1))
+            active.insert_range_data(
+                make_range_data([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+            )
+            assert m.grid_oob_points.value() == 0
+        finally:
+            m.register_family_factory(m.FamilyFactory(real=False))

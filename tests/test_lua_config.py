@@ -85,3 +85,110 @@ class TestTypedConversion:
         assert (
             l3d.motion_filter.max_angle_radians == d3d.motion_filter.max_angle_radians
         )
+
+
+class TestRealLuaEvaluator:
+    """The tree-walking evaluator (common/lua.py) vs the pitfalls a regex
+    translation mis-parses, plus the reference's unread-key typo defense
+    (lua_parameter_dictionary.h reference counting)."""
+
+    def test_comment_markers_inside_strings(self):
+        from cartographer_tpu.common.lua_config import load_lua_code
+
+        table = load_lua_code(
+            'options = { tag = "a--b;c", other = "semi;colon" }\n'
+            "options.x = 1 -- real comment = ignored\n"
+        )
+        assert table["options"]["tag"] == "a--b;c"
+        assert table["options"]["other"] == "semi;colon"
+        assert table["options"]["x"] == 1.0
+
+    def test_long_comments_and_multiline_exprs(self):
+        from cartographer_tpu.common.lua_config import load_lua_code
+
+        table = load_lua_code(
+            "--[[ a long\n comment with options = {} inside ]]\n"
+            "options = {\n"
+            "  value = 1.0 +\n"
+            "          2.0 * 3.0,\n"
+            "  angle = math.rad(90.),\n"
+            "}\n"
+        )
+        assert table["options"]["value"] == 7.0
+        assert abs(table["options"]["angle"] - 1.5707963) < 1e-6
+
+    def test_arithmetic_on_included_subtables(self):
+        from cartographer_tpu.common.lua_config import load_lua_code
+
+        table = load_lua_code(
+            "BASE = { resolution = 0.05, count = 4 }\n"
+            "DERIVED = { cells = 2 / BASE.resolution + BASE.count }\n"
+        )
+        assert table["DERIVED"]["cells"] == 44.0
+
+    def test_return_chunk(self):
+        from cartographer_tpu.common.lua_config import load_lua_code
+
+        table = load_lua_code("return { blah = 100 }")
+        assert table == {"blah": 100.0}
+
+    def test_string_concat_and_local(self):
+        from cartographer_tpu.common.lua_config import load_lua_code
+
+        table = load_lua_code(
+            'local prefix = "map_"\n'
+            'options = { name = prefix .. "builder" .. 2 }\n'
+        )
+        assert table["options"]["name"] == "map_builder2"
+
+    def test_clear_error_on_unsupported_lua(self):
+        import pytest
+
+        from cartographer_tpu.common.lua import LuaError
+        from cartographer_tpu.common.lua_config import load_lua_code
+
+        with pytest.raises(LuaError):
+            load_lua_code("function f() return 1 end")
+
+    def test_unread_key_is_hard_error(self):
+        import pytest
+
+        from cartographer_tpu.common.lua_config import (
+            LuaConfigError,
+            load_map_builder_options,
+        )
+
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "typo.lua")
+            with open(path, "w") as f:
+                f.write(
+                    'include "map_builder.lua"\n'
+                    "MAP_BUILDER.use_trajectory_builder_2d = true\n"
+                    "MAP_BUILDER.nmu_background_threads = 4\n"  # typo
+                )
+            with pytest.raises(LuaConfigError, match="nmu_background"):
+                load_map_builder_options("typo.lua", include_dirs=[d])
+            # Non-strict loading still works for forward compatibility.
+            opts = load_map_builder_options(
+                "typo.lua", include_dirs=[d], strict=False
+            )
+            assert opts.use_trajectory_builder_2d
+
+    def test_nested_includes(self):
+        import os
+        import tempfile
+
+        from cartographer_tpu.common.lua_config import load_lua_file
+
+        with tempfile.TemporaryDirectory() as d:
+            with open(os.path.join(d, "base.lua"), "w") as f:
+                f.write("BASE = { value = 1 }\n")
+            with open(os.path.join(d, "mid.lua"), "w") as f:
+                f.write('include "base.lua"\nBASE.value = BASE.value + 1\n')
+            with open(os.path.join(d, "top.lua"), "w") as f:
+                f.write('include "mid.lua"\nTOP = { v = BASE.value * 10 }\n')
+            table = load_lua_file("top.lua", [d])
+            assert table["TOP"]["v"] == 20.0

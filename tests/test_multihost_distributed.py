@@ -29,8 +29,16 @@ def _worker_env(n_local_devices: int) -> dict:
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={n_local_devices}"
     )
-    # Never inherit a TPU attachment into the workers.
+    # Never inherit a TPU attachment into the CPU workers: a sitecustomize
+    # on PYTHONPATH may register an accelerator PJRT plugin at interpreter
+    # start, which breaks both the forced CPU device count and
+    # jax.distributed initialization in subprocesses.
     env.pop("PJRT_DEVICE", None)
+    path = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join(path)
     return env
 
 
@@ -44,6 +52,11 @@ def _run_workers(num_processes: int, port: int, spa_nodes: int = 256):
             "cartographer_tpu.tools.multihost_worker",
             "--candidates_per_device", "64",
             "--spa_nodes", str(spa_nodes),
+            # Cross-process CPU collectives (Gloo) cost ~20 ms each; keep
+            # the iteration product small — correctness, not throughput,
+            # is under test.
+            "--lm_iterations", "4",
+            "--cg_iterations", "8",
         ]
         if num_processes > 1:
             args += [
