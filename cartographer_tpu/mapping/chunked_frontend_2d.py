@@ -137,10 +137,10 @@ def _round_up_multiple(n: int, multiple: int = 256) -> int:
 
 def supports(options: TrajectoryBuilder2DOptions) -> bool:
     """Whether this frontend covers the given configuration (with or
-    without IMU; constant-velocity extrapolation, no odometry)."""
+    without IMU; constant-velocity extrapolation; odometry in no-IMU
+    configs; optional online correlative pre-match)."""
     return (
         options.num_accumulated_range_data == 1
-        and not options.use_online_correlative_scan_matching
         and options.submaps.grid_options_2d.grid_type == "PROBABILITY_GRID"
         and not options.pose_extrapolator.use_imu_based
     )
@@ -200,10 +200,45 @@ class ChunkedLocalTrajectoryBuilder2D:
                 options.pose_extrapolator.constant_velocity.imu_gravity_time_constant
             ),
         )
+        if options.use_online_correlative_scan_matching:
+            rt = options.real_time_correlative_scan_matcher
+            # Static bounds: the data-dependent angular step is smallest
+            # at the longest possible matching range.
+            msr_max = min(
+                options.max_range, options.adaptive_voxel_filter.max_range
+            )
+            from cartographer_tpu.ops.scan_matching.correlative_2d import (
+                compute_angular_step,
+            )
+
+            step_min = compute_angular_step(grid.resolution, msr_max)
+            a_cap = int(math.ceil(rt.angular_search_window / step_min))
+            num_linear = int(
+                math.ceil(rt.linear_search_window / grid.resolution)
+            )
+            d = 2 * num_linear + 1
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and d <= 8
+                and grid.grid_size >= 128
+            )
+            self._cfg = dataclasses.replace(
+                self._cfg,
+                use_online_correlative=True,
+                rtcsm_linear_search_window=rt.linear_search_window,
+                rtcsm_angular_search_window=rt.angular_search_window,
+                rtcsm_translation_weight=rt.translation_delta_cost_weight,
+                rtcsm_rotation_weight=rt.rotation_delta_cost_weight,
+                rtcsm_num_linear=num_linear,
+                rtcsm_a_cap=a_cap,
+                use_pallas_rtcsm=use_pallas,
+            )
         self._state: Optional[frontend_2d.FrontendState2D] = None
         self._epoch: Optional[Time] = None
         self._buffer: List[dict] = []  # scans awaiting dispatch
         self._imu_buffer: List = []  # IMU samples awaiting assignment
+        self._odom_buffer: List = []  # odometry samples awaiting assignment
+        self._sticky_odometry = False  # upgraded on the first sample
         self._pending: List[dict] = []  # dispatched chunks awaiting collection
         self._max_in_flight = 3
         # Uploads + dispatches run on a dedicated thread: staging a chunk's
@@ -273,9 +308,19 @@ class ChunkedLocalTrajectoryBuilder2D:
         self._imu_buffer.append(imu_data)
 
     def add_odometry_data(self, odometry_data) -> None:
-        raise NotImplementedError(
-            "chunked device frontend runs without odometry"
-        )
+        if self._options.use_imu_data:
+            # IMU + odometry interleaving stays on the general path
+            # (LocalTrajectoryBuilder2D).
+            raise NotImplementedError(
+                "chunked device frontend supports odometry only in "
+                "no-IMU configurations; use LocalTrajectoryBuilder2D"
+            )
+        if self._state is None:
+            # Extrapolator not yet initialized
+            # (local_trajectory_builder_2d.cc AddOdometryData).
+            return
+        self._sticky_odometry = True
+        self._odom_buffer.append(odometry_data)
 
     def add_range_data(
         self, sensor_id: str, unsynchronized_data: TimedPointCloudData
@@ -298,6 +343,9 @@ class ChunkedLocalTrajectoryBuilder2D:
         scan_imu = []
         while self._imu_buffer and self._imu_buffer[0].time < time:
             scan_imu.append(self._imu_buffer.pop(0))
+        scan_odom = []
+        while self._odom_buffer and self._odom_buffer[0].time < time:
+            scan_odom.append(self._odom_buffer.pop(0))
         origins = synchronized.origins[synchronized.origin_index]  # (N, 3)
         # Single-origin scans only (one rangefinder, or collated to one).
         origin = origins[0] if origins.ndim == 2 else origins
@@ -308,6 +356,7 @@ class ChunkedLocalTrajectoryBuilder2D:
                 "times": np.asarray(synchronized.times, np.float64),
                 "origin": np.asarray(origin, np.float32).reshape(3),
                 "imu": scan_imu,
+                "odom": scan_odom,
             }
         )
         if len(self._buffer) >= self._chunk:
@@ -356,6 +405,10 @@ class ChunkedLocalTrajectoryBuilder2D:
         m = self._pad_imu
         while m < max((len(s["imu"]) for s in scans), default=1):
             m *= 2
+        use_odom = self._sticky_odometry
+        mo = 4
+        while mo < max((len(s["odom"]) for s in scans), default=1):
+            mo *= 2
         # Pass 1: per-scan quantization + sticky-flag detection. The
         # buffer layout depends on the detected flags, so packing is a
         # second pass.
@@ -418,15 +471,21 @@ class ChunkedLocalTrajectoryBuilder2D:
             self._cfg, max_imu_per_scan=m, chunk_size=c, num_points=n,
             max_packed_inserts=self._pack_cap,
             planar_z=planar, linear_times=linear,
+            use_odometry=use_odom, max_odom_per_scan=mo,
         )
-        o_points, o_times, o_meta, o_imu, total = frontend_2d.input_layout(
-            cfg_shape
+        (o_points, o_times, o_meta, o_imu, o_odom, total) = (
+            frontend_2d.input_layout(cfg_shape)
         )
         buf = np.zeros(total, np.uint8)
         pdim = 2 if planar else 3
         scan_points = buf[o_points:o_times].view(np.int16).reshape(c, n, pdim)
         scan_meta = buf[o_meta:o_imu].view(np.float32).reshape(c, 8)
-        imu_input = buf[o_imu:].view(np.float32).reshape(c, m, 8)
+        imu_input = buf[o_imu:o_odom].view(np.float32).reshape(c, m, 8)
+        odom_input = (
+            buf[o_odom:].view(np.float32).reshape(c, mo, 9)
+            if use_odom
+            else None
+        )
         scan_times = (
             None if linear else buf[o_times:o_meta].reshape(c, n)
         )
@@ -448,6 +507,12 @@ class ChunkedLocalTrajectoryBuilder2D:
                 imu_input[i, j, 1:4] = d.linear_acceleration
                 imu_input[i, j, 4:7] = d.angular_velocity
                 imu_input[i, j, 7] = 1.0
+            if odom_input is not None:
+                for j, d in enumerate(s["odom"]):
+                    odom_input[i, j, 0] = d.time - new_epoch
+                    odom_input[i, j, 1:4] = d.pose[:3]
+                    odom_input[i, j, 4:8] = d.pose[3:7]
+                    odom_input[i, j, 8] = 1.0
             last_t = scan_meta[i, 0]
         for i in range(len(scans), c):
             # Padding scans: no valid points -> matched False, state frozen.
@@ -457,10 +522,10 @@ class ChunkedLocalTrajectoryBuilder2D:
         cfg = dataclasses.replace(cfg_shape, has_misses=has_misses)
         prewarm = (
             not has_misses
-            and (n, m, planar, linear) not in self._prewarmed
+            and (n, m, planar, linear, use_odom, mo) not in self._prewarmed
         )
         if prewarm:
-            self._prewarmed.add((n, m, planar, linear))
+            self._prewarmed.add((n, m, planar, linear, use_odom, mo))
         prev_chain = self._chain
         initial_state = self._state
 

@@ -73,6 +73,16 @@ class RealTimeCorrelativeScanMatcher2D:
         num_linear = int(math.ceil(opts.linear_search_window / grid.resolution))
         points_p, point_mask = pad_points_2d(rotated.astype(np.float32))
 
+        # The Pallas window scorer keeps the grid VMEM-resident (one grid
+        # read instead of an [A, D, D, N] gather) when the window fits its
+        # accumulator tile; XLA gather is the portable fallback.
+        import jax as _jax
+
+        use_pallas = (
+            _jax.default_backend() == "tpu"
+            and 2 * num_linear + 1 <= 8
+            and grid.size >= 128
+        )
         _, best, best_score = correlative_2d.score_candidates(
             grid.probability(),
             grid.origin,
@@ -85,6 +95,7 @@ class RealTimeCorrelativeScanMatcher2D:
             opts.translation_delta_cost_weight,
             opts.rotation_delta_cost_weight,
             num_linear,
+            use_pallas=use_pallas,
         )
         best = int(best)
         d = 2 * num_linear + 1

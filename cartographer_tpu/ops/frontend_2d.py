@@ -82,6 +82,23 @@ class FrontendState2D:
     tracker_last_acc_t: jax.Array  # f32; -1e30 = never observed
     # Extrapolation frontier (get_last_extrapolated_time()).
     last_extrap_t: jax.Array
+    # Odometry queue (pose_extrapolator.cc odometry_data_): a fixed ring
+    # of the most recent samples; velocities use only the endpoints, and
+    # the add_pose trim has the closed form
+    # pops = clamp(#{i >= 1: t_i <= pose_t} , 0, len - 2) for monotone
+    # sample times.
+    odo_t: jax.Array  # f32 [K]
+    odo_xyz: jax.Array  # f32 [K, 3]
+    odo_q: jax.Array  # f32 [K, 4]
+    odo_len: jax.Array  # i32
+    lin_vel_odo: jax.Array  # [3]
+    ang_vel_odo: jax.Array  # [3]
+    # ImuTracker copy frozen at the last add_pose (odometry_imu_tracker_).
+    odo_trk_ori: jax.Array  # [4]
+    odo_trk_grav: jax.Array  # [3]
+    odo_trk_omega: jax.Array  # [3]
+    odo_trk_t: jax.Array
+    odo_trk_last_acc_t: jax.Array
     # Motion filter memory.
     mf_valid: jax.Array  # bool
     mf_t: jax.Array
@@ -139,6 +156,19 @@ def init_state(
         tracker_omega=omega0,
         tracker_last_acc_t=f(tracker_last_acc_t),
         last_extrap_t=f(t0),
+        odo_t=jnp.full((ODO_RING,), -1e30, jnp.float32),
+        odo_xyz=jnp.zeros((ODO_RING, 3), jnp.float32),
+        odo_q=jnp.tile(
+            jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32), (ODO_RING, 1)
+        ),
+        odo_len=jnp.int32(0),
+        lin_vel_odo=jnp.zeros(3, jnp.float32),
+        ang_vel_odo=jnp.zeros(3, jnp.float32),
+        odo_trk_ori=q0,
+        odo_trk_grav=grav0,
+        odo_trk_omega=omega0,
+        odo_trk_t=f(t0),
+        odo_trk_last_acc_t=f(tracker_last_acc_t),
         mf_valid=jnp.asarray(False),
         mf_t=f(0.0),
         mf_xyz=jnp.zeros(3, jnp.float32),
@@ -192,6 +222,26 @@ class FrontendConfig2D:
     use_imu: bool = False
     imu_gravity_time_constant: float = 10.0
     max_imu_per_scan: int = 16
+    # Odometry fusion (constant-velocity extrapolator, no-IMU configs):
+    # per-scan sample batches feed the device odometry queue; linear and
+    # angular velocities switch to the odometry-derived values once two
+    # samples are buffered (pose_extrapolator.cc:100-135).
+    use_odometry: bool = False
+    max_odom_per_scan: int = 4
+    # Online correlative pre-match before the LM refinement
+    # (real_time_correlative_scan_matcher_2d.cc; the LM target translation
+    # stays the prediction, local_trajectory_builder_2d.cc:255-265).
+    # rtcsm_a_cap is the STATIC bound on the data-dependent angle count;
+    # use_pallas_rtcsm selects the VMEM-resident window scorer
+    # (ops/pallas_kernels) over the XLA gather formulation.
+    use_online_correlative: bool = False
+    rtcsm_linear_search_window: float = 0.1
+    rtcsm_angular_search_window: float = 0.35
+    rtcsm_translation_weight: float = 1e-1
+    rtcsm_rotation_weight: float = 1e-1
+    rtcsm_num_linear: int = 2
+    rtcsm_a_cap: int = 64
+    use_pallas_rtcsm: bool = False
     # Whether any scan in the chunk has points beyond max_range (the host
     # knows exactly: ranges are invariant under the rigid unwarp). When
     # False, all missing-echo processing and outputs are compiled out.
@@ -229,6 +279,11 @@ class FrontendConfig2D:
     disable: str = ""
 
 
+# Fixed odometry-ring capacity (samples between two matched scans beyond
+# this overflow by dropping the second-oldest, preserving both endpoints).
+ODO_RING = 8
+
+
 # Shared helpers (ops/frontend_common.py) under their historical local names.
 _wrap_angle = fc.wrap_angle
 _rot2 = fc.rot2
@@ -245,10 +300,105 @@ _tracker_acc_obs = fc.tracker_acc_obs
 _tracker_fold = fc.tracker_fold
 
 
+def _odometry_fold(cfg: FrontendConfig2D, state, odom):
+    """Consume the scan's odometry samples in order: ring append,
+    endpoint velocity updates, and the odometry tracker's rotation
+    extrapolation (PoseExtrapolator::AddOdometryData,
+    pose_extrapolator.cc:100-135; no-IMU fake-gravity tracker advance,
+    :201-210). Returns the updated state."""
+    odo_ts, odo_xyzs, odo_qs, odo_valid = odom  # [Mo], [Mo,3], [Mo,4], [Mo]
+    k = ODO_RING
+
+    def step(st, x):
+        t_o, xyz_o, q_o, valid = x
+        (t, xyz, q, length, lin_v, ang_v,
+         trk_ori, trk_grav, trk_om, trk_t, trk_la) = st
+        # Ring append; on overflow drop the SECOND-oldest (both endpoints
+        # — queue front and latest — stay exact).
+        full = length >= k
+        shift = jnp.where(
+            full,
+            jnp.concatenate(
+                [jnp.zeros(1, jnp.int32),
+                 jnp.arange(2, k + 1, dtype=jnp.int32)]
+            ),
+            jnp.arange(k, dtype=jnp.int32),
+        )
+        t2 = t[jnp.clip(shift, 0, k - 1)]
+        xyz2 = xyz[jnp.clip(shift, 0, k - 1)]
+        q2 = q[jnp.clip(shift, 0, k - 1)]
+        widx = jnp.minimum(length, k - 1)
+        t2 = t2.at[widx].set(t_o)
+        xyz2 = xyz2.at[widx].set(xyz_o)
+        q2 = q2.at[widx].set(q_o)
+        len2 = jnp.minimum(length + 1, k)
+
+        # Endpoint velocities (oldest = slot 0, newest = just written).
+        have2 = len2 >= 2
+        dt = t2[0] - t_o  # negative
+        safe_dt = jnp.where(jnp.abs(dt) < 1e-9, -1e-9, dt)
+        q_delta = _qnorm(_qmul(_qconj(q_o), q2[0]))
+        ang_new = _qlog(q_delta) / safe_dt
+        lin_tracking = _qrot(_qconj(q_o)[None], (xyz2[0] - xyz_o)[None])[0] / safe_dt
+        # Advance the odometry tracker to the sample time (fake gravity;
+        # omega = odometry angular velocity once available, else poses').
+        om_used = jnp.where(have2, ang_new, state.ang_vel)
+        to_t = jnp.maximum(t_o, trk_t)
+        t1, ori1, grav1 = _tracker_advance(
+            trk_t, trk_ori, trk_grav, om_used, to_t
+        )
+        ez = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+        ori2, grav2, la1 = _tracker_acc_obs(
+            cfg, t1, ori1, grav1, trk_la, ez
+        )
+        # orientation at the newest odometry time = newest_pose.q *
+        # (conj(main tracker ori) * odometry tracker ori).
+        rot = _qmul(_qconj(state.tracker_ori), ori2)
+        ori_at_odo = _qnorm(_qmul(state.newest_q, rot))
+        lin_new = _qrot(ori_at_odo[None], lin_tracking[None])[0]
+
+        sel = lambda a, b: jnp.where(valid, a, b)
+        st2 = (
+            sel(t2, t), sel(xyz2, xyz), sel(q2, q), sel(len2, length),
+            jnp.where(valid & have2, lin_new, lin_v),
+            jnp.where(valid & have2, ang_new, ang_v),
+            sel(ori2, trk_ori), sel(grav2, trk_grav),
+            sel(om_used, trk_om), sel(t1, trk_t), sel(la1, trk_la),
+        )
+        return st2, None
+
+    init = (
+        state.odo_t, state.odo_xyz, state.odo_q, state.odo_len,
+        state.lin_vel_odo, state.ang_vel_odo,
+        state.odo_trk_ori, state.odo_trk_grav, state.odo_trk_omega,
+        state.odo_trk_t, state.odo_trk_last_acc_t,
+    )
+    (t, xyz, q, length, lin_v, ang_v, trk_ori, trk_grav, trk_om, trk_t,
+     trk_la), _ = jax.lax.scan(
+        step, init, (odo_ts, odo_xyzs, odo_qs, odo_valid), unroll=True
+    )
+    return state.replace(
+        odo_t=t, odo_xyz=xyz, odo_q=q, odo_len=length,
+        lin_vel_odo=lin_v, ang_vel_odo=ang_v,
+        odo_trk_ori=trk_ori, odo_trk_grav=trk_grav,
+        odo_trk_omega=trk_om, odo_trk_t=trk_t, odo_trk_last_acc_t=trk_la,
+    )
+
+
 def _scan_body(cfg: FrontendConfig2D, carry, x):
     state, fin = carry
-    points, pmask, ptimes, t_scan, sensor_origin, imu = x
+    points, pmask, ptimes, t_scan, sensor_origin, imu, odom = x
     half = 0.5 * cfg.grid_size * cfg.resolution
+    if cfg.use_odometry:
+        state = _odometry_fold(cfg, state, odom)
+    have_odo = state.odo_len >= 2
+    # Velocity SOURCE selection (extrapolate_pose /
+    # _extrapolate_translation): odometry once two samples are queued.
+    vel_used = jnp.where(have_odo, state.lin_vel_odo, state.vel)
+    ang_used = jnp.where(have_odo, state.ang_vel_odo, state.ang_vel)
+    # The fold/unwarp/prediction read velocities off the state; hand them
+    # a view with the selected source (persistent state keeps both).
+    state_q = state.replace(vel=vel_used, ang_vel=ang_used)
 
     # -- skip gate: extrapolator still initializing
     # (local_trajectory_builder_2d.cc:131-137).
@@ -257,12 +407,12 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     # -- ImuTracker to t_scan (breakpoints for the per-point unwarp, the
     # gravity estimate, and the add_pose tracker advance in one fold).
     (trk_t, trk_ori, trk_grav, trk_om, trk_la), (bp_t, bp_ori, bp_om) = (
-        _tracker_fold(cfg, state, t_scan, imu)
+        _tracker_fold(cfg, state_q, t_scan, imu)
     )
     g_quat = trk_ori  # estimate_gravity_orientation(t_scan)
 
     # -- per-point unwarp (ExtrapolatePosesBatch) -----------------------------
-    rot_i, tr_i, pt = fc.unwarp_points(state, bp_t, bp_ori, bp_om, ptimes)
+    rot_i, tr_i, pt = fc.unwarp_points(state_q, bp_t, bp_ori, bp_om, ptimes)
 
     origins_w = _qrot(rot_i, sensor_origin[None, :]) + tr_i  # [N, 3]
     hits_w = _qrot(rot_i, points[:, :3]) + tr_i
@@ -314,8 +464,8 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     )
     pred = jnp.stack(
         [
-            state.newest_xyz[0] + state.vel[0] * dt_s,
-            state.newest_xyz[1] + state.vel[1] * dt_s,
+            state.newest_xyz[0] + vel_used[0] * dt_s,
+            state.newest_xyz[1] + vel_used[1] * dt_s,
             _wrap_angle(_yaw_of(_qmul(pred_rot, _qconj(g_quat)))),
         ]
     )
@@ -337,6 +487,7 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
         1.0 / (1.0 + jnp.exp(-state.grids_lo[0])),
         MIN_PROBABILITY,
     )
+    slot0_origin = state.grid_origin[0]
     # Compact the matching cloud to the adaptive-filtered points (stable
     # order): the LM matcher's per-iteration patch extraction scales with
     # its point count, and the adaptive cloud is ~10% of the padded scan.
@@ -356,6 +507,42 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
     match_mask = (
         jax.lax.broadcasted_iota(jnp.int32, (m_cap,), 0) < num_filtered
     )
+    if cfg.use_online_correlative and "match" not in cfg.disable:
+        # RTCSM pre-match seeds the LM refinement; the LM target
+        # translation stays the prediction.
+        from cartographer_tpu.ops.scan_matching import correlative_2d
+
+        rr_m = jnp.where(
+            match_mask, jnp.linalg.norm(match_points, axis=1), 0.0
+        )
+        msr = jnp.maximum(jnp.max(rr_m), 3.0 * cfg.resolution)
+        step = jnp.float32(1.0 - 1e-3) * jnp.arccos(
+            1.0 - cfg.resolution**2 / (2.0 * msr * msr)
+        )
+        num_ang = jnp.minimum(
+            jnp.ceil(cfg.rtcsm_angular_search_window / step).astype(
+                jnp.int32
+            ),
+            cfg.rtcsm_a_cap,
+        )
+        _, rtcsm_pose = correlative_2d.best_candidate_pose(
+            slot0_prob,
+            slot0_origin,
+            match_points,
+            match_mask,
+            pred,
+            num_ang,
+            step,
+            cfg.resolution,
+            cfg.rtcsm_translation_weight,
+            cfg.rtcsm_rotation_weight,
+            cfg.rtcsm_num_linear,
+            cfg.rtcsm_a_cap,
+            use_pallas=cfg.use_pallas_rtcsm,
+        )
+        lm_init = jnp.where(state.slot_valid[0] & matched, rtcsm_pose, pred)
+    else:
+        lm_init = pred
     if "match" in cfg.disable:
         gn_pose = pred
     else:
@@ -366,8 +553,8 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
         )
         gn_pose, _gn_cost = matcher.__wrapped__(
             1.0 - slot0_prob,
-            state.grid_origin[0],
-            pred,
+            slot0_origin,
+            lm_init,
             pred[:2],
             match_points,
             match_mask,
@@ -402,8 +589,14 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
 
     # Without IMU, the tracker's next integration uses the UPDATED
     # pose-derived angular velocity (pose_extrapolator.cc AddPose advances
-    # after UpdateVelocitiesFromPoses).
-    trk_om_stored = trk_om if cfg.use_imu else ang_new
+    # after UpdateVelocitiesFromPoses) — or the odometry-derived one once
+    # two odometry samples are queued.
+    if cfg.use_imu:
+        trk_om_stored = trk_om
+    elif cfg.use_odometry:
+        trk_om_stored = jnp.where(have_odo, state.ang_vel_odo, ang_new)
+    else:
+        trk_om_stored = ang_new
     state = state.replace(
         older_t=upd(state.older_t, state.newest_t),
         older_xyz=upd(state.older_xyz, state.newest_xyz),
@@ -420,6 +613,34 @@ def _scan_body(cfg: FrontendConfig2D, carry, x):
         tracker_last_acc_t=upd(state.tracker_last_acc_t, trk_la),
         last_extrap_t=jnp.where(active, pt[-1], state.last_extrap_t),
     )
+
+    if cfg.use_odometry:
+        # add_pose also trims the odometry queue (closed-form pop count
+        # for monotone times) and re-copies the tracker
+        # (odometry_imu_tracker_ = imu_tracker_).
+        ring = jax.lax.broadcasted_iota(jnp.int32, (ODO_RING,), 0)
+        le = jnp.sum(
+            (
+                (state.odo_t <= t_scan)
+                & (ring >= 1)
+                & (ring < state.odo_len)
+            ).astype(jnp.int32)
+        )
+        pops = jnp.where(
+            matched, jnp.clip(le, 0, jnp.maximum(state.odo_len - 2, 0)), 0
+        )
+        sidx = jnp.clip(ring + pops, 0, ODO_RING - 1)
+        state = state.replace(
+            odo_t=state.odo_t[sidx],
+            odo_xyz=state.odo_xyz[sidx],
+            odo_q=state.odo_q[sidx],
+            odo_len=state.odo_len - pops,
+            odo_trk_ori=upd(state.odo_trk_ori, trk_ori),
+            odo_trk_grav=upd(state.odo_trk_grav, trk_grav),
+            odo_trk_omega=upd(state.odo_trk_omega, trk_om_stored),
+            odo_trk_t=upd(state.odo_trk_t, t_scan),
+            odo_trk_last_acc_t=upd(state.odo_trk_last_acc_t, trk_la),
+        )
 
     # -- motion filter (on the SE(3) pose estimate) ----------------------------
     similar = (
@@ -629,8 +850,12 @@ def input_layout(cfg: FrontendConfig2D):
     o_times = o_points + c * n * (4 if cfg.planar_z else 6)
     o_meta = o_times + (0 if cfg.linear_times else c * n)
     o_imu = o_meta + c * 32
-    total = o_imu + c * m * 32
-    return o_points, o_times, o_meta, o_imu, total
+    o_odom = o_imu + c * m * 32
+    # Odometry samples: f32 [C, Mo, 9] = (time, xyz, quat wxyz, valid).
+    total = o_odom + (
+        c * cfg.max_odom_per_scan * 36 if cfg.use_odometry else 0
+    )
+    return o_points, o_times, o_meta, o_imu, o_odom, total
 
 
 def point_quantization_scale(cfg: FrontendConfig2D) -> float:
@@ -684,10 +909,12 @@ def run_chunk(
         newest_t=state.newest_t - epoch_shift,
         last_extrap_t=state.last_extrap_t - epoch_shift,
         mf_t=state.mf_t - epoch_shift,
+        odo_t=state.odo_t - epoch_shift,
+        odo_trk_t=state.odo_trk_t - epoch_shift,
     )
     g = cfg.grid_size
     c, n, mi = cfg.chunk_size, cfg.num_points, cfg.max_imu_per_scan
-    o_points, o_times, o_meta, o_imu, _ = input_layout(cfg)
+    o_points, o_times, o_meta, o_imu, o_odom, _ = input_layout(cfg)
     bc = jax.lax.bitcast_convert_type
     scan_points = bc(
         packed_input[o_points:o_times].reshape(
@@ -699,8 +926,29 @@ def run_chunk(
         packed_input[o_meta:o_imu].reshape(c, 8, 4), jnp.float32
     )
     imu_input = bc(
-        packed_input[o_imu:].reshape(c, mi, 8, 4), jnp.float32
+        packed_input[o_imu:o_odom].reshape(c, mi, 8, 4), jnp.float32
     )
+    if cfg.use_odometry:
+        odom_input = bc(
+            packed_input[o_odom:].reshape(
+                c, cfg.max_odom_per_scan, 9, 4
+            ),
+            jnp.float32,
+        )
+        odom = (
+            odom_input[:, :, 0],
+            odom_input[:, :, 1:4],
+            odom_input[:, :, 4:8],
+            odom_input[:, :, 8] > 0.5,
+        )
+    else:
+        zf = jnp.zeros((c, cfg.max_odom_per_scan), jnp.float32)
+        odom = (
+            zf,
+            jnp.zeros((c, cfg.max_odom_per_scan, 3), jnp.float32),
+            jnp.zeros((c, cfg.max_odom_per_scan, 4), jnp.float32),
+            zf > 1.0,
+        )
     q_scale = jnp.float32(point_quantization_scale(cfg))
     # Ring of finished-submap snapshots: one pop per num_range_data inserts.
     r = c // cfg.num_range_data + 1
@@ -756,7 +1004,7 @@ def run_chunk(
 
     (state, fin), outs = jax.lax.scan(
         body, (state, fin0),
-        (points, pmask, ptimes, t_scan, sensor_origin, imu),
+        (points, pmask, ptimes, t_scan, sensor_origin, imu, odom),
     )
 
     mask_code = (

@@ -28,7 +28,7 @@ TILE_C = 128  # lane-aligned accumulator cols
 
 def _score_kernel(ix_ref, iy_ref, mask_ref, prob_ref, out_ref, acc_ref):
     """One angle: accumulate sum over points of the window patch."""
-    num_points = ix_ref.shape[1]
+    num_points = ix_ref.shape[-1]
     h, w = prob_ref.shape
 
     acc_ref[:] = jnp.zeros((TILE_R, TILE_C), jnp.float32)
@@ -38,35 +38,38 @@ def _score_kernel(ix_ref, iy_ref, mask_ref, prob_ref, out_ref, acc_ref):
 
     def body(n, _):
         # Window top-left corner for this point (D x D window starting at
-        # (iy - L, ix - L); the caller pre-subtracts L).
-        py = iy_ref[0, n]
-        px = ix_ref[0, n]
-        valid = mask_ref[0, n]
-        # Clamp the dynamic slice start so the [TILE_R, TILE_C] read stays
-        # in range; track the shift so offsets still line up.
-        y0 = jnp.clip(py, 0, h - TILE_R)
-        x0 = jnp.clip(px, 0, w - TILE_C)
-        patch = prob_ref[pl.ds(y0, TILE_R), pl.ds(x0, TILE_C)]
+        # (iy - L, ix - L); the caller pre-subtracts L). The per-angle
+        # index rows live in SMEM (scalar loads).
+        py = iy_ref[0, 0, n]
+        px = ix_ref[0, 0, n]
+        valid = mask_ref[0, 0, n] != 0
+        # Mosaic requires statically tile-aligned dynamic-slice starts:
+        # read a sublane/lane-aligned [2*TILE_R, 2*TILE_C] super-tile that
+        # provably contains the wanted window, then roll it into place.
+        # Clamp FIRST, align LAST: the final (x // T) * T form is what
+        # Mosaic's divisibility analysis proves tile-aligned.
+        y0 = (jnp.clip(py, 0, h - 2 * TILE_R) // TILE_R) * TILE_R
+        x0 = (jnp.clip(px, 0, w - 2 * TILE_C) // TILE_C) * TILE_C
+        patch = prob_ref[pl.ds(y0, 2 * TILE_R), pl.ds(x0, 2 * TILE_C)]
         # Cell actually wanted at accumulator position (r, c) is
         # (py + r, px + c); it sits in the patch at (py + r - y0, px + c - x0).
         want_y = py + row_off
         want_x = px + col_off
         in_grid = (want_y >= 0) & (want_y < h) & (want_x >= 0) & (want_x < w)
-        rel_y = want_y - y0
-        rel_x = want_x - x0
+        rel_y = py - y0 + row_off
+        rel_x = px - x0 + col_off
         in_patch = (
-            (rel_y >= 0) & (rel_y < TILE_R) & (rel_x >= 0) & (rel_x < TILE_C)
+            (rel_y >= 0)
+            & (rel_y < 2 * TILE_R)
+            & (rel_x >= 0)
+            & (rel_x < 2 * TILE_C)
         )
-        # Shift the patch so that wanted cells align: patch was read at
-        # (y0, x0); roll by the clamp shift.
-        shifted = patch
-        dy = py - y0  # in [0, TILE_R) when unclamped; negative when py < 0
-        dx = px - x0
-        # Gather via roll: roll the patch so (r, c) reads patch[r+dy, c+dx].
-        shifted = pltpu.roll(shifted, -dy, 0)
-        shifted = pltpu.roll(shifted, -dx, 1)
+        # Gather via roll: after rolling by the in-tile offset, position
+        # (r, c) reads patch[r + (py - y0), c + (px - x0)].
+        shifted = pltpu.roll(patch, -(py - y0), 0)
+        shifted = pltpu.roll(shifted, -(px - x0), 1)
         vals = jnp.where(
-            in_grid & in_patch, shifted, pv.MIN_PROBABILITY
+            in_grid & in_patch, shifted[:TILE_R, :TILE_C], pv.MIN_PROBABILITY
         )
         acc_ref[:] = acc_ref[:] + jnp.where(valid, vals, 0.0)
         return 0
@@ -90,19 +93,32 @@ def correlative_score_windows(
     d = 2 * num_linear + 1
     assert d <= TILE_R and d <= TILE_C, "window exceeds accumulator tile"
     h, w = prob.shape
-    assert h >= TILE_R and w >= TILE_C, "grid smaller than the read tile"
-    # Pre-shift to window top-left corners.
-    ix0 = ix - num_linear
-    iy0 = iy - num_linear
-    mask_b = jnp.broadcast_to(point_mask[None, :], (a, n))
+    assert h >= 2 * TILE_R and w >= 2 * TILE_C, (
+        "grid smaller than the super-tile read"
+    )
+    # Pre-shift to window top-left corners. Index rows ride in SMEM as
+    # [A, 1, N] (Mosaic requires the last two block dims to be 8/128
+    # multiples or full — a (1, 1, N) block satisfies that; scalar loads
+    # come from SMEM anyway).
+    ix0 = (ix - num_linear)[:, None, :]
+    iy0 = (iy - num_linear)[:, None, :]
+    mask_b = jnp.broadcast_to(
+        point_mask[None, None, :].astype(jnp.int32), (a, 1, n)
+    )
 
     out = pl.pallas_call(
         _score_kernel,
         grid=(a,),
         in_specs=[
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full grid
         ],
         out_specs=pl.BlockSpec(

@@ -34,7 +34,7 @@ def reference_scores(prob, ix, iy, mask, num_linear):
 class TestPallasCorrelativeScore:
     def test_matches_reference(self):
         rng = np.random.default_rng(0)
-        h, w = 64, 128
+        h, w = 64, 256  # >= the kernel's aligned super-tile read
         a, n = 4, 32
         prob = rng.uniform(0.1, 0.9, (h, w)).astype(np.float32)
         ix = rng.integers(-3, w + 3, (a, n)).astype(np.int32)
