@@ -36,6 +36,14 @@ import time
 import numpy as np
 
 REFERENCE_CPU_SCANS_PER_SEC = 100.0
+# 3D anchor: the reference's LocalTrajectoryBuilder3D is far heavier per
+# scan than 2D (0.5x voxel pre-filter, two adaptive filters, dual-grid
+# Ceres match over high+low resolution HybridGrids, per-node rotational
+# histogram — internal/3d/local_trajectory_builder_3d.cc:48-479). Its
+# real-time claim targets ~10 Hz 3D lidar scans with modest margin on a
+# desktop core; a documented estimate of ~30 scans/sec/core (~33 ms/scan)
+# is consistent with that margin. BASELINE.md's target is >=5x.
+REFERENCE_CPU_SCANS_PER_SEC_3D = 30.0
 
 
 def main() -> None:
@@ -118,13 +126,17 @@ def main() -> None:
 def _extras(degraded: bool) -> dict:
     """The remaining BASELINE.md table rows; each isolated and
     time-budgeted (a metric that cannot complete reports why instead of
-    hanging the driver)."""
+    hanging the driver). Run even on a degraded host link — the 3D/BnB/SPA
+    benches are device-compute-bound with their own budgets; the link
+    state is annotated so a slow number is attributable."""
     import time as _t
 
     extras: dict = {}
     if degraded:
-        extras["skipped"] = "host link degraded; extras omitted"
-        return extras
+        extras["host_link"] = (
+            "degraded during primary warmup; extras still run with "
+            "per-metric budgets"
+        )
 
     def guard(name, fn, budget_s):
         t0 = _t.perf_counter()
@@ -139,6 +151,7 @@ def _extras(degraded: bool) -> dict:
     guard("local_slam_3d_scans_per_sec", _bench_3d, 600.0)
     guard("loop_closure_batched_matches_per_sec", _bench_bnb, 420.0)
     guard("spa_solve_seconds", _bench_spa, 420.0)
+    guard("ate_synthetic_world", _bench_ate, 420.0)
     return extras
 
 
@@ -215,9 +228,11 @@ def _bench_3d() -> dict:
         builder3d.add_range_data("range", m)
     builder3d.flush()
     dt = time.perf_counter() - t0
+    rate = (len(measurements_3d) - warm3d) / dt
     return {
-        "value": round((len(measurements_3d) - warm3d) / dt, 2),
+        "value": round(rate, 2),
         "unit": "scans/s",
+        "vs_baseline": round(rate / REFERENCE_CPU_SCANS_PER_SEC_3D, 3),
     }
 
 
@@ -376,6 +391,110 @@ def _bench_spa() -> dict:
         out[f"{n_nodes}_nodes"] = round(time.perf_counter() - t0, 4)
     out["unit"] = "s (20 LM x 50 CG, 3 constraints/node)"
     return out
+
+
+def _bench_ate() -> dict:
+    """Accuracy row of BASELINE.md: full 2D SLAM (chunked device frontend
+    + pose graph + loop closure + final optimization) on the synthetic
+    world, evaluated two ways — ATE of the optimized node poses against
+    the known ground-truth trajectory, and the reference's relation-based
+    metric (ground_truth/compute_relations_metrics_main.cc:39-219) against
+    relations auto-generated from the optimized graph
+    (autogenerate_ground_truth.cc:40-155)."""
+    from cartographer_tpu.common.config import (
+        FastCorrelativeScanMatcherOptions2D,
+        GridOptions2D,
+        MapBuilderOptions,
+        MotionFilterOptions,
+        PoseGraphOptions,
+        SubmapsOptions2D,
+        TrajectoryBuilder2DOptions,
+        TrajectoryBuilderOptions,
+    )
+    from cartographer_tpu.evaluation.relations_metric import (
+        compute_relations_metrics,
+        generate_ground_truth,
+    )
+    from cartographer_tpu.mapping.id import NodeId
+    from cartographer_tpu.mapping.map_builder import MapBuilder
+    from cartographer_tpu.testing.synthetic import (
+        FAKE_START_TIME,
+        generate_fake_range_measurements,
+    )
+    from cartographer_tpu.transform import rigid3
+
+    pose_graph = PoseGraphOptions(optimize_every_n_nodes=20)
+    pose_graph.constraint_builder.fast_correlative_scan_matcher = (
+        FastCorrelativeScanMatcherOptions2D(
+            linear_search_window=2.0,
+            angular_search_window=np.radians(20.0),
+            branch_and_bound_depth=4,
+        )
+    )
+    pose_graph.constraint_builder.sampling_ratio = 0.5
+    mb = MapBuilder(
+        MapBuilderOptions(use_trajectory_builder_2d=True, pose_graph=pose_graph)
+    )
+    tid = mb.add_trajectory_builder(
+        {"range"},
+        TrajectoryBuilderOptions(
+            trajectory_builder_2d=TrajectoryBuilder2DOptions(
+                use_imu_data=False,
+                max_range=10.0,
+                motion_filter=MotionFilterOptions(max_distance_meters=0.04),
+                submaps=SubmapsOptions2D(
+                    num_range_data=8,
+                    grid_options_2d=GridOptions2D(
+                        resolution=0.05, grid_size=512
+                    ),
+                ),
+            ),
+            use_chunked_device_frontend=True,
+            device_frontend_chunk_size=16,
+        ),
+    )
+    builder = mb.get_trajectory_builder(tid)
+    direction = np.array([2.0, 1.0, 0.0])
+    direction /= np.linalg.norm(direction)
+    travel, duration = 1.2, 6.0
+    for m in generate_fake_range_measurements(
+        translation=direction * travel, duration=duration, time_step=0.05
+    ):
+        builder.add_sensor_data("range", m)
+    mb.finish_trajectory(tid)
+    mb.pose_graph.run_final_optimization()
+
+    velocity = direction * travel / duration
+    times, poses, errs = [], [], []
+    for node_id, node in mb.pose_graph.get_trajectory_nodes().items(NodeId):
+        t = node.constant_data.time
+        expected = rigid3.translation((t - FAKE_START_TIME) * velocity)
+        times.append(t)
+        poses.append(np.asarray(node.global_pose))
+        errs.append(
+            float(
+                np.linalg.norm(
+                    rigid3.trans(node.global_pose) - rigid3.trans(expected)
+                )
+            )
+        )
+    relations = generate_ground_truth(
+        mb.pose_graph, min_covered_distance=0.2
+    )
+    rel = compute_relations_metrics(relations, times, poses)
+    return {
+        "ate_vs_true_trajectory_mean_m": round(float(np.mean(errs)), 5),
+        "ate_vs_true_trajectory_max_m": round(float(np.max(errs)), 5),
+        "relations_abs_translational_error_m": round(
+            rel.abs_translational_error_mean, 5
+        ),
+        "relations_abs_rotational_error_deg": round(
+            rel.abs_rotational_error_deg_mean, 5
+        ),
+        "num_relations": rel.num_relations,
+        "num_nodes": len(errs),
+        "unit": "m / deg (synthetic world, travel 1.2 m)",
+    }
 
 
 if __name__ == "__main__":

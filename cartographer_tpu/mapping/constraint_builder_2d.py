@@ -63,8 +63,13 @@ class _PendingSearch:
 
 
 class ConstraintBuilder2D:
-    def __init__(self, options: ConstraintBuilderOptions):
+    def __init__(self, options: ConstraintBuilderOptions, mesh=None):
+        """mesh: optional jax.sharding.Mesh — the drained search batch is
+        sharded over it (whole BnB searches per device), the TPU analog of
+        the reference's per-pair ThreadPool fan-out
+        (constraint_builder_2d.cc:102-136)."""
         self._options = options
+        self._mesh = mesh
         self._samplers: Dict[SubmapId, FixedRatioSampler] = {}
         self._matchers: Dict[SubmapId, FastCorrelativeScanMatcher2D] = {}
         self._submap_grids: Dict[SubmapId, Grid2D] = {}
@@ -170,7 +175,7 @@ class ConstraintBuilder2D:
                     min_score=min_score,
                 )
             )
-        packed_batch, ctxs = batch_match_device(batch)
+        packed_batch, ctxs = batch_match_device(batch, mesh=self._mesh)
         all_bnb = np.asarray(packed_batch)
 
         # Phase 2: decode, dispatch every refinement, one fetch for all.

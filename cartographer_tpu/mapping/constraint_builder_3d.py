@@ -43,8 +43,11 @@ class _PendingSearch3D:
 
 
 class ConstraintBuilder3D:
-    def __init__(self, options: ConstraintBuilderOptions):
+    def __init__(self, options: ConstraintBuilderOptions, mesh=None):
+        """mesh: optional jax.sharding.Mesh — drained search batches are
+        sharded over it (constraint_builder_2d.ConstraintBuilder2D)."""
         self._options = options
+        self._mesh = mesh
         self._samplers: Dict[SubmapId, FixedRatioSampler] = {}
         self._matchers: Dict[SubmapId, FastCorrelativeScanMatcher3D] = {}
         self._submaps: Dict[SubmapId, Submap3D] = {}
@@ -177,7 +180,7 @@ class ConstraintBuilder3D:
             metrics.constraints_found.increment(0)
             return results
         # ALL surviving searches as vmapped device programs + one fetch.
-        all_bnb, ctxs = batch_match_device_3d(preps)
+        all_bnb, ctxs = batch_match_device_3d(preps, mesh=self._mesh)
         dispatched = [
             (s, c) for s, c in zip(kept_searches, ctxs)
         ]

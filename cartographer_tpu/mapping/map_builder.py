@@ -149,7 +149,11 @@ class CollatedTrajectoryBuilder:
 
 
 class MapBuilder:
-    def __init__(self, options: MapBuilderOptions):
+    def __init__(self, options: MapBuilderOptions, mesh=None):
+        """mesh: optional jax.sharding.Mesh — the pose-graph backend's
+        loop-closure search batches and SPA solves run sharded over it
+        (the multi-chip scale-up story, SURVEY.md section 2.10.4); None =
+        single-chip behavior."""
         assert options.use_trajectory_builder_2d != options.use_trajectory_builder_3d, (
             "Exactly one of use_trajectory_builder_2d / 3d must be set."
         )
@@ -160,11 +164,15 @@ class MapBuilder:
 
             thread_pool = ThreadPool(max(1, options.num_background_threads))
         if options.use_trajectory_builder_2d:
-            self._pose_graph = PoseGraph2D(options.pose_graph, thread_pool)
+            self._pose_graph = PoseGraph2D(
+                options.pose_graph, thread_pool, mesh=mesh
+            )
         else:
             from cartographer_tpu.mapping.pose_graph_3d import PoseGraph3D
 
-            self._pose_graph = PoseGraph3D(options.pose_graph, thread_pool)
+            self._pose_graph = PoseGraph3D(
+                options.pose_graph, thread_pool, mesh=mesh
+            )
         self._collator = (
             TrajectoryCollator() if options.collate_by_trajectory else Collator()
         )

@@ -49,8 +49,17 @@ def _pad_pow2(n: int, minimum: int = 8) -> int:
 
 
 class OptimizationProblem2D:
-    def __init__(self, options: OptimizationProblemOptions):
+    def __init__(self, options: OptimizationProblemOptions, mesh=None):
+        """mesh: optional jax.sharding.Mesh — residual tables of the SPA
+        solve are sharded over it (pose vectors replicated, J^T J
+        reductions psum across devices); None = single-device behavior."""
         self._options = options
+        self._mesh = mesh
+        # Sharded residual tables must be divisible by the mesh; pad their
+        # minimum to the next power of two covering it.
+        self._pad_min = 8
+        while mesh is not None and self._pad_min < mesh.devices.size:
+            self._pad_min *= 2
         self.node_data: MapById = MapById()
         self.submap_data: MapById = MapById()
         self._odometry_data = MapByTime()
@@ -192,7 +201,7 @@ class OptimizationProblem2D:
                     c.tag == INTER_SUBMAP,
                 )
             )
-        C = _pad_pow2(max(len(rows), 1))
+        C = _pad_pow2(max(len(rows), 1), self._pad_min)
         c_sub = np.zeros(C, np.int32)
         c_node = np.zeros(C, np.int32)
         c_z = np.zeros((C, 3), np.float32)
@@ -238,7 +247,7 @@ class OptimizationProblem2D:
                         self._options.local_slam_pose_rotation_weight,
                     )
                 )
-        K = _pad_pow2(max(len(nn_rows), 1))
+        K = _pad_pow2(max(len(nn_rows), 1), self._pad_min)
         n_a = np.zeros(K, np.int32)
         n_b = np.zeros(K, np.int32)
         n_z = np.zeros((K, 3), np.float32)
@@ -271,21 +280,31 @@ class OptimizationProblem2D:
         extras, landmark_ids, ff_traj_ids = self._build_extras(
             landmark_nodes, node_ids, node_index, frozen_trajectories
         )
+        if self._mesh is not None:
+            from cartographer_tpu import metrics
+            from cartographer_tpu.parallel import sharded
+
+            metrics.sharded_spa_solves.increment()
+            problem = sharded.shard_spa_problem(self._mesh, problem)
+            if extras is not None:
+                extras = sharded.shard_spa_extras(self._mesh, extras)
         result = solve(
             problem,
             huber_scale=self._options.huber_scale,
             max_iterations=self._max_num_iterations,
             extras=extras,
         )
-        new_sp = np.asarray(result[0], np.float64)
-        new_np = np.asarray(result[1], np.float64)
+        from cartographer_tpu.parallel.partition import fetch
+
+        new_sp = fetch(result[0]).astype(np.float64)
+        new_np = fetch(result[1]).astype(np.float64)
         for i, sid in enumerate(submap_ids):
             self.submap_data.at(sid).global_pose = new_sp[i]
         for i, nid in enumerate(node_ids):
             self.node_data.at(nid).global_pose_2d = new_np[i]
         if extras is not None:
-            new_lp = np.asarray(result[2], np.float64)
-            new_fp = np.asarray(result[3], np.float64)
+            new_lp = fetch(result[2]).astype(np.float64)
+            new_fp = fetch(result[3]).astype(np.float64)
             for i, lid in enumerate(landmark_ids):
                 self.landmark_data[lid] = new_lp[i]
             for i, t in enumerate(ff_traj_ids):
@@ -385,7 +404,7 @@ class OptimizationProblem2D:
         if not obs_rows and not ff_rows:
             return None, [], []
 
-        O = _pad_pow2(max(len(obs_rows), 1))
+        O = _pad_pow2(max(len(obs_rows), 1), self._pad_min)
         L = _pad_pow2(max(len(landmark_ids), 1))
         o_a = np.zeros(O, np.int32)
         o_b = np.zeros(O, np.int32)
@@ -421,7 +440,7 @@ class OptimizationProblem2D:
                 initialized.add(l)
 
         T = _pad_pow2(max(len(ff_traj_ids), 1))
-        G = _pad_pow2(max(len(ff_rows), 1))
+        G = _pad_pow2(max(len(ff_rows), 1), self._pad_min)
         f_pose = np.zeros((T, 3), np.float32)
         f_free = np.zeros(T, bool)
         for i, t in enumerate(ff_traj_ids):

@@ -90,8 +90,18 @@ def _pad_pow2(n: int, minimum: int = 8) -> int:
 
 
 class OptimizationProblem3D:
-    def __init__(self, options: OptimizationProblemOptions):
+    def __init__(self, options: OptimizationProblemOptions, mesh=None):
+        """mesh: optional jax.sharding.Mesh — every SE(3) residual table
+        (constraints, node-node, IMU rotation/acceleration rows) is
+        sharded over it, pose/calibration tables replicated; None =
+        single-device behavior."""
         self._options = options
+        self._mesh = mesh
+        # Sharded residual tables must be divisible by the mesh; pad their
+        # minimum to the next power of two covering it.
+        self._pad_min = 8
+        while mesh is not None and self._pad_min < mesh.devices.size:
+            self._pad_min *= 2
         self.node_data: MapById = MapById()
         self.submap_data: MapById = MapById()
         self._imu_data = MapByTime()
@@ -225,7 +235,7 @@ class OptimizationProblem3D:
                     c.tag == INTER_SUBMAP,
                 )
             )
-        C = _pad_pow2(max(len(rows), 1))
+        C = _pad_pow2(max(len(rows), 1), self._pad_min)
         c_sub = np.zeros(C, np.int32)
         c_node = np.zeros(C, np.int32)
         c_z_t = np.zeros((C, 3), np.float32)
@@ -322,7 +332,7 @@ class OptimizationProblem3D:
                                 )
                             )
 
-        K = _pad_pow2(max(len(nn_rows), 1))
+        K = _pad_pow2(max(len(nn_rows), 1), self._pad_min)
         n_a = np.zeros(K, np.int32)
         n_b = np.zeros(K, np.int32)
         n_z_t = np.zeros((K, 3), np.float32)
@@ -336,7 +346,7 @@ class OptimizationProblem3D:
             n_w[i] = (wt, wr)
             n_m[i] = True
 
-        R = _pad_pow2(max(len(rot_rows), 1))
+        R = _pad_pow2(max(len(rot_rows), 1), self._pad_min)
         r_a = np.zeros(R, np.int32)
         r_b = np.zeros(R, np.int32)
         r_dq = np.tile(np.array([1, 0, 0, 0], np.float32), (R, 1))
@@ -350,7 +360,7 @@ class OptimizationProblem3D:
             r_t[i] = ti
             r_m[i] = True
 
-        A = _pad_pow2(max(len(acc_rows), 1))
+        A = _pad_pow2(max(len(acc_rows), 1), self._pad_min)
         a_first = np.zeros(A, np.int32)
         a_mid = np.zeros(A, np.int32)
         a_last = np.zeros(A, np.int32)
@@ -423,30 +433,40 @@ class OptimizationProblem3D:
         extras, landmark_ids, ff_traj_ids = self._build_extras(
             landmark_nodes, node_ids, node_index, frozen_trajectories
         )
+        if self._mesh is not None:
+            from cartographer_tpu import metrics
+            from cartographer_tpu.parallel import sharded
+
+            metrics.sharded_spa_solves.increment()
+            problem = sharded.shard_spa_problem_3d(self._mesh, problem)
+            if extras is not None:
+                extras = sharded.shard_spa_extras_3d(self._mesh, extras)
         results = solve_3d(
             problem,
             huber_scale=opts.huber_scale,
             max_iterations=self._max_num_iterations,
             extras=extras,
         )
+        from cartographer_tpu.parallel.partition import fetch
+
         if extras is None:
             st, sq, nt, nq, grav, calib_q, _ = results
         else:
             st, sq, nt, nq, grav, calib_q, lt, lq, ft, fq, _ = results
-            lt = np.asarray(lt, np.float64)
-            lq = np.asarray(lq, np.float64)
-            ft = np.asarray(ft, np.float64)
-            fq = np.asarray(fq, np.float64)
+            lt = fetch(lt).astype(np.float64)
+            lq = fetch(lq).astype(np.float64)
+            ft = fetch(ft).astype(np.float64)
+            fq = fetch(fq).astype(np.float64)
             for i, lid in enumerate(landmark_ids):
                 self.landmark_data[lid] = np.concatenate([lt[i], lq[i]])
             for i, t in enumerate(ff_traj_ids):
                 self.fixed_frame_origin_in_map[t] = np.concatenate([ft[i], fq[i]])
-        st = np.asarray(st, np.float64)
-        sq = np.asarray(sq, np.float64)
-        nt = np.asarray(nt, np.float64)
-        nq = np.asarray(nq, np.float64)
-        grav = np.asarray(grav, np.float64)
-        calib_q = np.asarray(calib_q, np.float64)
+        st = fetch(st).astype(np.float64)
+        sq = fetch(sq).astype(np.float64)
+        nt = fetch(nt).astype(np.float64)
+        nq = fetch(nq).astype(np.float64)
+        grav = fetch(grav).astype(np.float64)
+        calib_q = fetch(calib_q).astype(np.float64)
         for i, sid in enumerate(submap_ids):
             self.submap_data.at(sid).global_pose = np.concatenate([st[i], sq[i]])
         for i, nid in enumerate(node_ids):
@@ -551,7 +571,7 @@ class OptimizationProblem3D:
 
         index_to_node = {i: nid for nid, i in node_index.items()}
         L = _pad_pow2(max(len(landmark_ids), 1))
-        O = _pad_pow2(max(len(obs_rows), 1))
+        O = _pad_pow2(max(len(obs_rows), 1), self._pad_min)
         l_t = np.zeros((L, 3), np.float32)
         l_q = np.tile(np.array([1, 0, 0, 0], np.float32), (L, 1))
         l_free = np.zeros(L, bool)
@@ -588,7 +608,7 @@ class OptimizationProblem3D:
             o_m[i] = True
 
         F = _pad_pow2(max(len(ff_traj_ids), 1))
-        G = _pad_pow2(max(len(ff_rows), 1))
+        G = _pad_pow2(max(len(ff_rows), 1), self._pad_min)
         f_t = np.zeros((F, 3), np.float32)
         f_q = np.tile(np.array([1, 0, 0, 0], np.float32), (F, 1))
         f_free = np.zeros(F, bool)

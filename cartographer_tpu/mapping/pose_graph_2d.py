@@ -64,21 +64,28 @@ class InternalSubmapData:
 
 
 class PoseGraph2D:
-    def __init__(self, options: PoseGraphOptions, thread_pool=None):
+    def __init__(self, options: PoseGraphOptions, thread_pool=None, mesh=None):
         """thread_pool: optional common.task.ThreadPool. When given, the
         work queue (loop closure + optimization) drains on pool threads —
         the reference's asynchronous global SLAM (pose_graph_2d.cc
         DrainWorkQueue:520-544); otherwise draining is inline and
-        deterministic."""
+        deterministic.
+
+        mesh: optional jax.sharding.Mesh. The two scalable backend
+        workloads — the drained loop-closure search batch and the SPA
+        residual tables — run sharded over it (parallel/sharded.py); a
+        single-device mesh or None is today's single-chip behavior."""
         import threading
 
         self._options = options
         self._thread_pool = thread_pool
         self._work_lock = threading.RLock()
         self._pending_task = None
-        self._constraint_builder = ConstraintBuilder2D(options.constraint_builder)
+        self._constraint_builder = ConstraintBuilder2D(
+            options.constraint_builder, mesh=mesh
+        )
         self._optimization_problem = OptimizationProblem2D(
-            options.optimization_problem
+            options.optimization_problem, mesh=mesh
         )
         self._submap_data: MapById = MapById()  # SubmapId -> InternalSubmapData
         self._trajectory_nodes: MapById = MapById()  # NodeId -> TrajectoryNode

@@ -45,11 +45,15 @@ class InternalSubmapData3D:
 
 
 class PoseGraph3D:
-    def __init__(self, options: PoseGraphOptions, thread_pool=None):
+    def __init__(self, options: PoseGraphOptions, thread_pool=None, mesh=None):
         """thread_pool: optional common.task.ThreadPool — when given, the
         loop-closure/optimization work queue drains on pool threads (the
         reference's asynchronous global SLAM, pose_graph_3d.cc
-        DrainWorkQueue); otherwise draining is inline and deterministic."""
+        DrainWorkQueue); otherwise draining is inline and deterministic.
+
+        mesh: optional jax.sharding.Mesh — the drained loop-closure search
+        batch and the SE(3) SPA residual tables run sharded over it
+        (parallel/sharded.py); None = single-chip behavior."""
         import threading
 
         self._options = options
@@ -57,9 +61,11 @@ class PoseGraph3D:
         self._work_lock = threading.RLock()
         self._pending_task = None
         self._global_slam_optimization_callback = None
-        self._constraint_builder = ConstraintBuilder3D(options.constraint_builder)
+        self._constraint_builder = ConstraintBuilder3D(
+            options.constraint_builder, mesh=mesh
+        )
         self._optimization_problem = OptimizationProblem3D(
-            options.optimization_problem
+            options.optimization_problem, mesh=mesh
         )
         self._submap_data: MapById = MapById()
         self._trajectory_nodes: MapById = MapById()

@@ -180,6 +180,17 @@ beam_overflow_retries = _factory.counter(
 # Range-data endpoints dropped because they fell outside a fixed grid
 # extent (the reference grows its grids; here the loss is observable).
 grid_oob_points = _factory.counter("mapping_grid_out_of_extent_points")
+# Production sharded-execution dispatches (loop-closure search batches /
+# SPA solves partitioned over a device mesh).
+sharded_constraint_batches = _factory.counter(
+    "parallel_sharded_constraint_batches"
+)
+sharded_spa_solves = _factory.counter("parallel_sharded_spa_solves")
+# Local-SLAM configurations that fell off the chunked device frontend onto
+# the per-scan host path (~6x slower); observable instead of silent.
+frontend_slow_path_scans = _factory.counter(
+    "mapping_frontend_slow_path_scans"
+)
 
 
 def _register_all() -> None:
@@ -188,6 +199,8 @@ def _register_all() -> None:
     global pose_graph_constraints_inter, pose_graph_constraints_intra
     global constraint_scores, constraints_found, constraints_searched
     global optimization_runs, beam_overflow_retries, grid_oob_points
+    global sharded_constraint_batches, sharded_spa_solves
+    global frontend_slow_path_scans
     local_slam_latency = _factory.gauge("mapping_2d_local_trajectory_builder_latency")
     local_slam_real_time_ratio = _factory.gauge(
         "mapping_2d_local_trajectory_builder_real_time_ratio"
@@ -211,3 +224,10 @@ def _register_all() -> None:
         "mapping_constraint_builder_beam_overflow_retries"
     )
     grid_oob_points = _factory.counter("mapping_grid_out_of_extent_points")
+    sharded_constraint_batches = _factory.counter(
+        "parallel_sharded_constraint_batches"
+    )
+    sharded_spa_solves = _factory.counter("parallel_sharded_spa_solves")
+    frontend_slow_path_scans = _factory.counter(
+        "mapping_frontend_slow_path_scans"
+    )

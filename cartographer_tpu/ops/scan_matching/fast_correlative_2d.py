@@ -257,7 +257,7 @@ bnb_search_batch = jax.jit(
 _MAX_SEARCH_BATCH = 32  # stacked pyramids cost ~7 MB HBM per search
 
 
-def batch_match_device(searches):
+def batch_match_device(searches, mesh=None):
     """Run K independent searches as one vmapped program (chunks of
     _MAX_SEARCH_BATCH to bound the stacked-pyramid memory).
 
@@ -267,34 +267,49 @@ def batch_match_device(searches):
     one trajectory configuration). Returns (packed [K, 5] numpy array,
     ctxs list) — decode row k with searches[k]["matcher"].decode.
 
+    With `mesh` (jax.sharding.Mesh) the SEARCH axis of each chunk is
+    sharded over the mesh — whole independent branch-and-bound programs
+    run on separate devices, the TPU equivalent of the reference's
+    per-(node, submap) ThreadPool fan-out
+    (constraint_builder_2d.cc:102-136). Single-device mesh == unsharded.
+
     Searches whose beam cap bound (packed column 4) are automatically
     re-run with a doubled beam up to _MAX_WIDENED_BEAM, preserving the
     reference DFS's exactness guarantee; every widening pass increments
     the beam_overflow_retries metric."""
+    from cartographer_tpu.parallel.partition import fetch
+
+    # A sharded chunk should fill every device; scale the chunk cap to a
+    # multiple of the mesh so small drains still spread.
+    chunk_cap = _MAX_SEARCH_BATCH
+    if mesh is not None:
+        chunk_cap = max(chunk_cap, mesh.devices.size)
     packs, ctxs = [], []
-    for i in range(0, len(searches), _MAX_SEARCH_BATCH):
-        chunk = searches[i: i + _MAX_SEARCH_BATCH]
-        p, c = _batch_match_device(chunk)  # dispatches async
+    for i in range(0, len(searches), chunk_cap):
+        chunk = searches[i: i + chunk_cap]
+        p, c = _batch_match_device(chunk, mesh=mesh)  # dispatches async
         packs.append((p, len(c)))
         ctxs.extend(c)
-    packed = np.concatenate([np.asarray(p)[:n] for p, n in packs])
+    packed = np.concatenate([fetch(p)[:n] for p, n in packs])
     if len(searches):
         beam = searches[0]["matcher"]._options.beam_width
         rows = np.flatnonzero(packed[:, 4] > 0.5)
         while len(rows) and beam < _MAX_WIDENED_BEAM:
             beam = min(2 * beam, _MAX_WIDENED_BEAM)
             metrics.beam_overflow_retries.increment(len(rows))
-            for j in range(0, len(rows), _MAX_SEARCH_BATCH):
-                idx = rows[j: j + _MAX_SEARCH_BATCH]
+            for j in range(0, len(rows), chunk_cap):
+                idx = rows[j: j + chunk_cap]
                 p, _ = _batch_match_device(
-                    [searches[r] for r in idx], beam_override=beam
+                    [searches[r] for r in idx], beam_override=beam, mesh=mesh
                 )
-                packed[idx] = np.asarray(p)[: len(idx)]
+                packed[idx] = fetch(p)[: len(idx)]
             rows = rows[packed[rows, 4] > 0.5]
     return packed, ctxs
 
 
-def _batch_match_device(searches, beam_override: Optional[int] = None):
+def _batch_match_device(
+    searches, beam_override: Optional[int] = None, mesh=None
+):
     k = len(searches)
     preps = []
     n_pad = 64
@@ -350,7 +365,9 @@ def _batch_match_device(searches, beam_override: Optional[int] = None):
             k0_pad *= 2
     # Pad the batch axis too (compile-cache stability across drains);
     # padding rows have an all-False candidate mask and decode to None.
-    k = 4
+    # With a mesh, the padded batch must fill it (power-of-two mesh sizes
+    # divide the power-of-two padding).
+    k = 4 if mesh is None else max(4, mesh.devices.size)
     while k < len(preps):
         k *= 2
 
@@ -414,12 +431,29 @@ def _batch_match_device(searches, beam_override: Optional[int] = None):
         if beam_override is not None
         else preps[0]["m"]._options.beam_width
     )
+    if mesh is None:
+        place = jnp.asarray
+    else:
+        # Shard the search axis: each device owns k/D whole searches
+        # (their pyramids, clouds, and candidate tables); XLA partitions
+        # the vmapped search with no cross-device communication.
+        from cartographer_tpu.parallel.partition import batch_sharding, put
+
+        metrics.sharded_constraint_batches.increment()
+        sharding = batch_sharding(mesh)
+
+        def place(arr):
+            return put(arr, sharding)
+
+        pyr = place(pyr)
+        points_d = place(points_d)
+        pmask_d = place(pmask_d)
     score, best, overflowed = bnb_search_batch(
-        pyr, points_d, pmask_d, jnp.asarray(angles),
-        jnp.asarray(initial_poses), jnp.asarray(origins),
-        jnp.asarray(resolutions),
-        jnp.asarray(a0), jnp.asarray(x0), jnp.asarray(y0), jnp.asarray(m0),
-        jnp.asarray(nl), jnp.asarray(ms),
+        pyr, points_d, pmask_d, place(angles),
+        place(initial_poses), place(origins),
+        place(resolutions),
+        place(a0), place(x0), place(y0), place(m0),
+        place(nl), place(ms),
         depth, beam, _LEAF_PROBE,
     )
     packed = jnp.concatenate(

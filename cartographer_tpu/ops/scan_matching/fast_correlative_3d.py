@@ -321,36 +321,44 @@ bnb_search_3d_batch = jax.jit(
 _MAX_SEARCH_BATCH_3D = 8
 
 
-def batch_match_device_3d(preps):
+def batch_match_device_3d(preps, mesh=None):
     """Run the prepared searches (FastCorrelativeScanMatcher3D._prepare
     results, all from matchers sharing depth/beam/grid shapes) as vmapped
     programs in chunks. Returns (packed [K, 7] numpy, ctxs list) aligned
-    with `preps`. Searches whose beam cap bound (column 6) are re-run with
-    a doubled beam up to _MAX_WIDENED_BEAM (see fast_correlative_2d)."""
+    with `preps`. With `mesh` the search axis of each chunk is sharded
+    over it (whole BnB searches per device — the reference's ThreadPool
+    fan-out, constraint_builder_3d.cc). Searches whose beam cap bound
+    (column 6) are re-run with a doubled beam up to _MAX_WIDENED_BEAM
+    (see fast_correlative_2d)."""
+    from cartographer_tpu.parallel.partition import fetch
+
+    chunk_cap = _MAX_SEARCH_BATCH_3D
+    if mesh is not None:
+        chunk_cap = max(chunk_cap, mesh.devices.size)
     packs, ctxs = [], []
-    for i in range(0, len(preps), _MAX_SEARCH_BATCH_3D):
-        p, c = _batch_3d(preps[i: i + _MAX_SEARCH_BATCH_3D])
+    for i in range(0, len(preps), chunk_cap):
+        p, c = _batch_3d(preps[i: i + chunk_cap], mesh=mesh)
         packs.append((p, len(c)))
         ctxs.extend(c)
-    packed = np.concatenate([np.asarray(p)[:n] for p, n in packs])
+    packed = np.concatenate([fetch(p)[:n] for p, n in packs])
     if len(preps):
         beam = preps[0]["matcher"]._options.beam_width
         rows = np.flatnonzero(packed[:, 6] > 0.5)
         while len(rows) and beam < _MAX_WIDENED_BEAM:
             beam = min(2 * beam, _MAX_WIDENED_BEAM)
             metrics.beam_overflow_retries.increment(len(rows))
-            for j in range(0, len(rows), _MAX_SEARCH_BATCH_3D):
-                idx = rows[j: j + _MAX_SEARCH_BATCH_3D]
+            for j in range(0, len(rows), chunk_cap):
+                idx = rows[j: j + chunk_cap]
                 p, _ = _batch_3d(
-                    [preps[r] for r in idx], beam_override=beam
+                    [preps[r] for r in idx], beam_override=beam, mesh=mesh
                 )
-                packed[idx] = np.asarray(p)[: len(idx)]
+                packed[idx] = fetch(p)[: len(idx)]
             rows = rows[packed[rows, 6] > 0.5]
     return packed, ctxs
 
 
-def _batch_3d(preps, beam_override: Optional[int] = None):
-    k = 2
+def _batch_3d(preps, beam_override: Optional[int] = None, mesh=None):
+    k = 2 if mesh is None else max(2, mesh.devices.size)
     while k < len(preps):
         k *= 2
     a_pad = 16
@@ -442,14 +450,31 @@ def _batch_3d(preps, beam_override: Optional[int] = None):
         if beam_override is not None
         else m0_first._options.beam_width
     )
+    if mesh is None:
+        place = jnp.asarray
+    else:
+        from cartographer_tpu.parallel.partition import batch_sharding, put
+
+        metrics.sharded_constraint_batches.increment()
+        sharding = batch_sharding(mesh)
+
+        def place(arr):
+            return put(arr, sharding)
+
+        pyr = tuple(place(lvl) for lvl in pyr)
+        low_prob = place(low_prob)
+        points_d = place(points_d)
+        pmask_d = place(pmask_d)
+        lpoints_d = place(lpoints_d)
+        lmask_d = place(lmask_d)
     score, low, best, overflowed = bnb_search_3d_batch(
-        pyr, points_d, pmask_d, jnp.asarray(q0), jnp.asarray(t0),
-        jnp.asarray(angles), jnp.asarray(origins), jnp.asarray(res),
-        low_prob, lpoints_d, lmask_d, jnp.asarray(lorigins),
-        jnp.asarray(lres),
-        jnp.asarray(a0), jnp.asarray(x0), jnp.asarray(y0), jnp.asarray(z0),
-        jnp.asarray(m0), jnp.asarray(nl_xy), jnp.asarray(nl_z),
-        jnp.asarray(ms), jnp.asarray(mls), jnp.asarray(ratio),
+        pyr, points_d, pmask_d, place(q0), place(t0),
+        place(angles), place(origins), place(res),
+        low_prob, lpoints_d, lmask_d, place(lorigins),
+        place(lres),
+        place(a0), place(x0), place(y0), place(z0),
+        place(m0), place(nl_xy), place(nl_z),
+        place(ms), place(mls), place(ratio),
         m0_first._depth, beam, _LEAF_PROBE,
     )
     packed = jnp.concatenate(

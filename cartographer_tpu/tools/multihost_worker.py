@@ -29,6 +29,13 @@ def main(argv=None) -> int:
     parser.add_argument("--spa_nodes", type=int, default=10000)
     parser.add_argument("--lm_iterations", type=int, default=20)
     parser.add_argument("--cg_iterations", type=int, default=50)
+    parser.add_argument(
+        "--production",
+        action="store_true",
+        help="also drive the PRODUCTION pose-graph drain (MapBuilder -> "
+        "PoseGraph2D -> sharded constraint batch + SPA) over the global "
+        "mesh — the same entry the driver dryrun exercises",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -120,6 +127,19 @@ def main(argv=None) -> int:
     # array is not fully addressable under multi-controller).
     report["final_cost"] = float(np.asarray(cost.addressable_data(0)))
     print(json.dumps(report, ), flush=True)
+
+    # -- production pose-graph drain (same entry as dryrun_multichip) --------
+    if args.production:
+        from cartographer_tpu.testing.production_dryrun import (
+            run_production_drain_2d,
+        )
+
+        stats = run_production_drain_2d(ctx.mesh)
+        stats["metric"] = "production_drain_2d"
+        stats["num_processes"] = ctx.num_processes
+        stats["process_id"] = ctx.process_id
+        stats["num_devices"] = n_dev
+        print(json.dumps(stats), flush=True)
     return 0
 
 

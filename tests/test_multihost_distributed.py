@@ -42,7 +42,9 @@ def _worker_env(n_local_devices: int) -> dict:
     return env
 
 
-def _run_workers(num_processes: int, port: int, spa_nodes: int = 256):
+def _run_workers(
+    num_processes: int, port: int, spa_nodes: int = 256, production: bool = False
+):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = []
     for pid in range(num_processes):
@@ -58,6 +60,8 @@ def _run_workers(num_processes: int, port: int, spa_nodes: int = 256):
             "--lm_iterations", "4",
             "--cg_iterations", "8",
         ]
+        if production:
+            args.append("--production")
         if num_processes > 1:
             args += [
                 "--coordinator_address", f"127.0.0.1:{port}",
@@ -120,3 +124,27 @@ class TestTwoProcessDistributed:
             for reports in duo
         ]
         assert costs[0] == pytest.approx(costs[1], rel=1e-6)
+
+    def test_two_processes_production_drain(self):
+        """The PRODUCTION pose-graph drain (MapBuilder -> PoseGraph2D ->
+        sharded constraint batch + SPA — the same entry as
+        dryrun_multichip) as a real 2-process jax.distributed SPMD
+        program: sharded programs dispatched, loop closures found, node
+        poses within the ground-truth bound, and both processes agree."""
+        duo = _run_workers(2, _free_port(), production=True)
+        drains = [
+            next(r for r in reports if r["metric"] == "production_drain_2d")
+            for reports in duo
+        ]
+        for pid, d in enumerate(drains):
+            assert d["num_processes"] == 2
+            assert d["num_devices"] == 8
+            assert d["process_id"] == pid
+            assert d["sharded_search_batches"] > 0
+            assert d["sharded_spa_solves"] > 0
+            assert d["inter_constraints"] > 0
+            assert d["max_node_error_m"] < 0.15 * d["travel_m"]
+        # SPMD equality: both processes computed the identical drain.
+        assert drains[0]["pose_digest"] == pytest.approx(
+            drains[1]["pose_digest"], abs=1e-6
+        )
