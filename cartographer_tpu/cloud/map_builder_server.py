@@ -65,6 +65,7 @@ class MapBuilderServer:
         self._incoming_data_queue = BlockingQueue()
         self._local_slam_subscriptions: List[Callable] = []
         self._slam_thread: Optional[threading.Thread] = None
+        self._shutdown_event = threading.Event()
         self._shutting_down = False
         self._processing = False
         self._lock = threading.Lock()
@@ -196,6 +197,12 @@ class MapBuilderServer:
             self._slam_thread.join(timeout=10.0)
         if self._exporter is not None:
             self._exporter.close()
+        self._shutdown_event.set()
+
+    def wait_for_shutdown(self, timeout: Optional[float] = None) -> None:
+        """Block until shutdown() is called (reference
+        MapBuilderServer::WaitForShutdown, map_builder_server.cc)."""
+        self._shutdown_event.wait(timeout)
 
     # -- SLAM thread (ProcessSensorDataQueue) -------------------------------
 

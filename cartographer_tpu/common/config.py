@@ -33,6 +33,23 @@ def _from_dict(cls, data: dict):
             kwargs[key] = _from_dict(type(default), value)
         elif default is None and isinstance(value, dict) and key in _OPTIONAL_NESTED:
             kwargs[key] = _from_dict(_OPTIONAL_NESTED[key], value)
+        elif (
+            isinstance(default, bool)
+            or isinstance(value, bool)
+            or default is None
+        ):
+            kwargs[key] = value
+        elif isinstance(default, int) and isinstance(value, float):
+            # Lua numbers are all floats; integer fields coerce like the
+            # reference's LuaParameterDictionary::GetInt.
+            if not value.is_integer():
+                raise ValueError(
+                    f"config key {key!r} of {cls.__name__} expects an "
+                    f"integer, got {value!r}"
+                )
+            kwargs[key] = int(value)
+        elif isinstance(default, float) and isinstance(value, int):
+            kwargs[key] = float(value)
         else:
             kwargs[key] = value
     return cls(**kwargs)

@@ -35,6 +35,7 @@ class Task:
         self._dependent_tasks: list[Task] = []
         self._lock = threading.Lock()
         self._pool: Optional["ThreadPool"] = None
+        self._completed = threading.Event()
 
     @property
     def state(self) -> TaskState:
@@ -96,8 +97,15 @@ class Task:
             self._state = TaskState.COMPLETED
             dependents = list(self._dependent_tasks)
             self._dependent_tasks.clear()
+        self._completed.set()
         for task in dependents:
             task._on_dependency_completed()
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        """Block until this task completes; True if it did within the
+        timeout. (Blocking wait instead of state polling — the reference
+        waits on a condition, pose_graph_2d.cc WaitForAllComputations.)"""
+        return self._completed.wait(timeout)
 
 
 class ThreadPool:

@@ -148,6 +148,31 @@ class CollatedTrajectoryBuilder:
         self._wrapped.add_sensor_data(sensor_id, queued.payload)
 
 
+def _slow_path_fallback(builder, reason: str):
+    """Requested chunked device frontend is unavailable for this config:
+    warn once and count every scan that pays the host-path cost
+    (mapping_frontend_slow_path_scans) so the ~6x throughput cliff is
+    visible in metrics rather than silent."""
+    import logging
+
+    logging.warning(
+        "use_chunked_device_frontend requested but unsupported: %s; "
+        "falling back to the per-scan host path (~6x slower). Scans on "
+        "the slow path are counted by mapping_frontend_slow_path_scans.",
+        reason,
+    )
+    orig = builder.add_range_data
+
+    def counted_add_range_data(*args, **kwargs):
+        from cartographer_tpu import metrics
+
+        metrics.frontend_slow_path_scans.increment()
+        return orig(*args, **kwargs)
+
+    builder.add_range_data = counted_add_range_data
+    return builder
+
+
 class MapBuilder:
     def __init__(self, options: MapBuilderOptions, mesh=None):
         """mesh: optional jax.sharding.Mesh — the pose-graph backend's
@@ -208,15 +233,27 @@ class MapBuilder:
             if trajectory_options.use_chunked_device_frontend:
                 from cartographer_tpu.mapping import chunked_frontend_2d
 
-                assert chunked_frontend_2d.supports(opts2d), (
-                    "use_chunked_device_frontend requires the no-IMU/"
-                    "no-odometry probability-grid 2D configuration"
-                )
-                local_builder = chunked_frontend_2d.ChunkedLocalTrajectoryBuilder2D(
-                    opts2d,
-                    range_ids,
-                    chunk_size=trajectory_options.device_frontend_chunk_size,
-                )
+                if chunked_frontend_2d.supports(opts2d):
+                    local_builder = (
+                        chunked_frontend_2d.ChunkedLocalTrajectoryBuilder2D(
+                            opts2d,
+                            range_ids,
+                            chunk_size=trajectory_options.device_frontend_chunk_size,
+                        )
+                    )
+                else:
+                    # Configuration outside the chunked frontend's scope
+                    # (TSDF, num_accumulated_range_data > 1, imu-based
+                    # extrapolator): fall back to the per-scan host path
+                    # (~6x slower) OBSERVABLY — warning + per-scan counter
+                    # instead of a silent perf cliff.
+                    local_builder = _slow_path_fallback(
+                        LocalTrajectoryBuilder2D(opts2d, range_ids),
+                        "2D configuration outside the chunked device "
+                        "frontend's scope (needs probability grid, "
+                        "num_accumulated_range_data == 1, constant-velocity "
+                        "extrapolator)",
+                    )
             else:
                 local_builder = LocalTrajectoryBuilder2D(opts2d, range_ids)
         else:
@@ -231,15 +268,21 @@ class MapBuilder:
             if trajectory_options.use_chunked_device_frontend:
                 from cartographer_tpu.mapping import chunked_frontend_3d
 
-                assert chunked_frontend_3d.supports(opts3d), (
-                    "use_chunked_device_frontend requires the IMU/"
-                    "constant-velocity no-intensity 3D configuration"
-                )
-                local_builder = chunked_frontend_3d.ChunkedLocalTrajectoryBuilder3D(
-                    opts3d,
-                    range_ids,
-                    chunk_size=trajectory_options.device_frontend_chunk_size,
-                )
+                if chunked_frontend_3d.supports(opts3d):
+                    local_builder = (
+                        chunked_frontend_3d.ChunkedLocalTrajectoryBuilder3D(
+                            opts3d,
+                            range_ids,
+                            chunk_size=trajectory_options.device_frontend_chunk_size,
+                        )
+                    )
+                else:
+                    local_builder = _slow_path_fallback(
+                        LocalTrajectoryBuilder3D(opts3d, range_ids),
+                        "3D configuration outside the chunked device "
+                        "frontend's scope (needs IMU, constant-velocity "
+                        "extrapolator, no intensity grids)",
+                    )
             else:
                 local_builder = LocalTrajectoryBuilder3D(opts3d, range_ids)
         if trajectory_options.pure_localization_trimmer is not None:

@@ -432,21 +432,40 @@ class PoseGraph2D:
             self._handle_work_queue()
 
     def wait_for_all_computations(self, timeout: float = 600.0) -> None:
-        """Reference WaitForAllComputations (pose_graph_2d.cc:546-620)."""
+        """Reference WaitForAllComputations (pose_graph_2d.cc:546-620):
+        block until the in-flight drain completes and no constraint
+        searches remain, waiting on task completion (not a poll) and
+        logging progress while the backend is still busy."""
         if self._thread_pool is None:
             return  # Synchronous mode: nothing in flight.
+        import logging
         import time as _t
 
         from cartographer_tpu.common.task import TaskState
 
         deadline = _t.monotonic() + timeout
+        last_log = _t.monotonic()
         while _t.monotonic() < deadline:
             task = self._pending_task
-            if task is None or task.state == TaskState.COMPLETED:
-                if self._constraint_builder.num_pending() == 0:
-                    return
-                self._dispatch_work_queue()
-            _t.sleep(0.01)
+            if task is not None and task.state != TaskState.COMPLETED:
+                # Block on completion (progress-logging slices, matching
+                # the reference's periodic "constraints still being
+                # computed" report).
+                if not task.wait(
+                    timeout=min(5.0, max(0.0, deadline - _t.monotonic()))
+                ):
+                    pending = self._constraint_builder.num_pending()
+                    if _t.monotonic() - last_log >= 5.0:
+                        logging.info(
+                            "Waiting for the pose graph drain: %d constraint "
+                            "searches pending.",
+                            pending,
+                        )
+                        last_log = _t.monotonic()
+                    continue
+            if self._constraint_builder.num_pending() == 0:
+                return
+            self._dispatch_work_queue()
 
     def _compute_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
         submap_data = self._submap_data.at(submap_id)

@@ -46,6 +46,78 @@ class TestAsyncPoseGraph:
         assert any(c.tag == "INTER_SUBMAP" for c in mb.pose_graph.constraints)
 
 
+class TestAsyncPoseGraphStress:
+    def test_concurrent_feed_and_queries(self):
+        """Stress the concurrent drain: the frontend hammers add_node
+        (via add_sensor_data) while background pool threads drain loop
+        closure + optimization and a second thread issues the public
+        queries that take the work lock. Catches lock-ordering and
+        data-race regressions in the async path (reference: thread-safety
+        annotations + ASAN over pose_graph_2d.cc:174-190,520-544)."""
+        import threading
+
+        options = map_builder_options()
+        options.async_pose_graph = True
+        options.num_background_threads = 4
+        # Optimize often so drains overlap the feed.
+        options.pose_graph.optimize_every_n_nodes = 5
+        mb = MapBuilder(options)
+        tid = mb.add_trajectory_builder({"range"}, trajectory_options())
+        builder = mb.get_trajectory_builder(tid)
+
+        errors = []
+        stop = threading.Event()
+
+        def query_loop():
+            try:
+                while not stop.is_set():
+                    pg = mb.pose_graph
+                    pg.get_local_to_global_transform(tid)
+                    list(pg.constraints)
+                    nodes = pg.get_trajectory_nodes()
+                    for node_id, node in nodes.items(NodeId):
+                        np.asarray(node.global_pose)
+                    pg.get_all_submap_data()
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        query_threads = [
+            threading.Thread(target=query_loop, daemon=True) for _ in range(2)
+        ]
+        for t in query_threads:
+            t.start()
+        direction = np.array([2.0, 1.0, 0.0])
+        direction /= np.linalg.norm(direction)
+        travel = 1.2
+        try:
+            for m in generate_fake_range_measurements(
+                translation=direction * travel, duration=6.0, time_step=0.05
+            ):
+                builder.add_sensor_data("range", m)
+            mb.finish_trajectory(tid)
+            mb.pose_graph.run_final_optimization()
+        finally:
+            stop.set()
+            for t in query_threads:
+                t.join(timeout=30)
+        assert not errors, errors
+        assert all(not t.is_alive() for t in query_threads)
+
+        velocity = direction * travel / 6.0
+        nodes = mb.pose_graph.get_trajectory_nodes()
+        errs = []
+        for node_id, node in nodes.items(NodeId):
+            t = node.constant_data.time
+            expected = rigid3.translation((t - FAKE_START_TIME) * velocity)
+            errs.append(
+                np.linalg.norm(
+                    rigid3.trans(node.global_pose) - rigid3.trans(expected)
+                )
+            )
+        assert len(errs) > 20
+        assert max(errs) < 0.1 * travel
+
+
 class TestAsyncPoseGraph3D:
     def test_async_3d_matches_ground_truth(self):
         import tests.test_map_builder_3d as t3d

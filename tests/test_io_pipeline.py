@@ -116,11 +116,13 @@ class TestPipeline:
 
 class TestDetectFloors:
     def test_two_floors(self):
+        # Spans must exceed the 25 m short-span threshold to count as real
+        # floors (detect_floors.cc kMaxShortSpanLengthMeters).
         times, poses = [], []
         t = 0.0
         for z in [0.0] * 50 + [2.8] * 50:
             times.append(t)
-            poses.append(rigid3.translation(np.array([t * 0.1, 0.0, z])))
+            poses.append(rigid3.translation(np.array([t * 0.6, 0.0, z])))
             t += 1.0
         floors = detect_floors(times, poses)
         assert len(floors) == 2
@@ -129,5 +131,8 @@ class TestDetectFloors:
 
     def test_single_floor(self):
         times = list(range(20))
-        poses = [rigid3.translation(np.array([i * 0.1, 0.0, 0.02 * (i % 3)])) for i in range(20)]
+        poses = [
+            rigid3.translation(np.array([i * 2.0, 0.0, 0.02 * (i % 3)]))
+            for i in range(20)
+        ]
         assert len(detect_floors(times, poses)) == 1

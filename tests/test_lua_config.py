@@ -192,3 +192,38 @@ class TestRealLuaEvaluator:
                 f.write('include "mid.lua"\nTOP = { v = BASE.value * 10 }\n')
             table = load_lua_file("top.lua", [d])
             assert table["TOP"]["v"] == 20.0
+
+    def test_integer_fields_coerced_from_lua_floats(self):
+        """Lua numbers are all floats; integer config fields coerce like
+        the reference's LuaParameterDictionary::GetInt — and a fractional
+        value for an int field is a hard error."""
+        import os
+        import tempfile
+
+        import pytest
+
+        from cartographer_tpu.common.lua_config import load_map_builder_options
+
+        with tempfile.TemporaryDirectory() as d:
+            with open(os.path.join(d, "ints.lua"), "w") as f:
+                f.write(
+                    'include "map_builder.lua"\n'
+                    "MAP_BUILDER.use_trajectory_builder_2d = true\n"
+                    "MAP_BUILDER.num_background_threads = 4\n"
+                    "MAP_BUILDER.pose_graph.optimize_every_n_nodes = 90\n"
+                )
+            opts = load_map_builder_options("ints.lua", include_dirs=[d])
+            assert isinstance(opts.num_background_threads, int)
+            assert isinstance(opts.pose_graph.optimize_every_n_nodes, int)
+            fc = opts.pose_graph.constraint_builder.fast_correlative_scan_matcher
+            assert isinstance(fc.branch_and_bound_depth, int)
+            assert fc.branch_and_bound_depth == 7
+
+            with open(os.path.join(d, "frac.lua"), "w") as f:
+                f.write(
+                    'include "map_builder.lua"\n'
+                    "MAP_BUILDER.use_trajectory_builder_2d = true\n"
+                    "MAP_BUILDER.num_background_threads = 4.5\n"
+                )
+            with pytest.raises(ValueError, match="num_background_threads"):
+                load_map_builder_options("frac.lua", include_dirs=[d])

@@ -42,8 +42,10 @@ def map_builder_options():
     )
 
 
-def trajectory_options():
-    return TrajectoryBuilderOptions(
+def trajectory_options(grid_type="PROBABILITY_GRID"):
+    # Parameterized by grid type like the reference test matrix
+    # (mapping/map_builder_test.cc:135-150).
+    options = TrajectoryBuilderOptions(
         trajectory_builder_2d=TrajectoryBuilder2DOptions(
             use_imu_data=False,
             max_range=10.0,
@@ -52,10 +54,22 @@ def trajectory_options():
             motion_filter=MotionFilterOptions(max_distance_meters=0.04),
             submaps=SubmapsOptions2D(
                 num_range_data=8,
-                grid_options_2d=GridOptions2D(resolution=0.05, grid_size=512),
+                grid_options_2d=GridOptions2D(
+                    grid_type=grid_type, resolution=0.05, grid_size=512
+                ),
             ),
         )
     )
+    if grid_type == "TSDF":
+        # TSD residuals are weight-normalized and much smaller than
+        # probability-grid ones; the reference raises the occupied-space
+        # weight for TSDF (map_builder_test.cc SetOptionsToTSDF2D:75-92).
+        opts2d = options.trajectory_builder_2d
+        opts2d.submaps.range_data_inserter.range_data_inserter_type = (
+            "TSDF_INSERTER_2D"
+        )
+        opts2d.ceres_scan_matcher.occupied_space_weight = 10.0
+    return options
 
 
 class LocalSlamObserver:
@@ -67,11 +81,18 @@ class LocalSlamObserver:
 
 
 class TestMapBuilder2D:
-    def test_global_slam_consistency(self):
+    @pytest.mark.parametrize("grid_type", ["PROBABILITY_GRID", "TSDF"])
+    def test_global_slam_consistency(self, grid_type):
         observer = LocalSlamObserver()
-        map_builder = MapBuilder(map_builder_options())
+        options = map_builder_options()
+        if grid_type == "TSDF":
+            # map_builder_test.cc SetOptionsToTSDF2D:88-91.
+            options.pose_graph.constraint_builder.ceres_scan_matcher.occupied_space_weight = (
+                50.0
+            )
+        map_builder = MapBuilder(options)
         trajectory_id = map_builder.add_trajectory_builder(
-            {"range"}, trajectory_options(), observer
+            {"range"}, trajectory_options(grid_type), observer
         )
         builder = map_builder.get_trajectory_builder(trajectory_id)
 
@@ -114,3 +135,37 @@ class TestMapBuilder2D:
         constraints = map_builder.pose_graph.constraints
         assert any(c.tag == "INTRA_SUBMAP" for c in constraints)
         assert any(c.tag == "INTER_SUBMAP" for c in constraints)
+
+
+class TestChunkedFallbackObservable:
+    def test_unsupported_chunked_config_falls_back_with_metric(self, caplog):
+        """use_chunked_device_frontend with a TSDF config lands on the
+        per-scan host path OBSERVABLY: a warning at construction and a
+        per-scan counter (mapping_frontend_slow_path_scans) instead of a
+        silent ~6x throughput cliff."""
+        import logging
+
+        from cartographer_tpu import metrics
+
+        metrics.enable_collection()
+        before = metrics.frontend_slow_path_scans.value()
+        options = trajectory_options("TSDF")
+        options.use_chunked_device_frontend = True
+        map_builder = MapBuilder(map_builder_options())
+        with caplog.at_level(logging.WARNING):
+            tid = map_builder.add_trajectory_builder({"range"}, options)
+        assert any(
+            "use_chunked_device_frontend requested but unsupported"
+            in r.message
+            for r in caplog.records
+        )
+        builder = map_builder.get_trajectory_builder(tid)
+        measurements = generate_fake_range_measurements(
+            translation=np.array([0.2, 0.1, 0.0]), duration=1.0, time_step=0.1
+        )
+        for m in measurements:
+            builder.add_sensor_data("range", m)
+        map_builder.finish_trajectory(tid)
+        assert metrics.frontend_slow_path_scans.value() - before == len(
+            measurements
+        )
