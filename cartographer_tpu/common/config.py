@@ -312,9 +312,18 @@ class SubmapsOptions3D(ConfigBase):
     sparse_grids: bool = True
     sparse_block_bits: int = 4
     sparse_high_table_size: int = 64
-    sparse_high_pool_blocks: int = 4096
-    sparse_low_table_size: int = 32
-    sparse_low_pool_blocks: int = 2048
+    # Pool sizing: sparse updates on TPU are copy-bound in the pool bytes
+    # (measured threshold ~16 MB total across the four scan-loop lanes);
+    # 1024 blocks/lane = 4.2M voxel capacity anywhere inside the virtual
+    # extent — beyond a typical reference submap's content, and overflow
+    # is counted (mapping_grid_out_of_extent_points) + configurable.
+    sparse_high_pool_blocks: int = 1024
+    # Equal low/high table+pool shapes let the chunked device frontend
+    # stack both resolutions x both active slots into ONE batched
+    # gather/scatter lane axis; virtual low extent 1024 cells = +-230 m
+    # at 0.45 m.
+    sparse_low_table_size: int = 64
+    sparse_low_pool_blocks: int = 1024
 
 
 @dataclass

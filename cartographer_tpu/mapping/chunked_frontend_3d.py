@@ -34,6 +34,7 @@ from cartographer_tpu.mapping.hybrid_grid import (
     Grid3D,
     quantize_log_odds_delta,
 )
+from cartographer_tpu.mapping.paged_grid_3d import PagedGrid3D, to_dense
 from cartographer_tpu.mapping.local_trajectory_builder_3d import (
     InsertionResult,
     MatchingResult,
@@ -122,6 +123,15 @@ class ChunkedLocalTrajectoryBuilder3D:
             imu_gravity_time_constant=(
                 options.pose_extrapolator.constant_velocity.imu_gravity_time_constant
             ),
+            # Block-sparse active submaps in the device scan loop (default):
+            # virtual extent beyond reference submap ranges, HBM bounded by
+            # the block pools, dropped writes observable.
+            paged=sub.sparse_grids,
+            block_bits=sub.sparse_block_bits,
+            high_table_size=sub.sparse_high_table_size,
+            high_pool_blocks=sub.sparse_high_pool_blocks,
+            low_table_size=sub.sparse_low_table_size,
+            low_pool_blocks=sub.sparse_low_pool_blocks,
         )
         self._state: Optional[frontend_3d.FrontendState3D] = None
         self._epoch: Optional[Time] = None
@@ -171,8 +181,7 @@ class ChunkedLocalTrajectoryBuilder3D:
             )
             tracker.advance(imu_data.time)
             self._state = frontend_3d.init_state(
-                self._cfg.high_grid_size,
-                self._cfg.low_grid_size,
+                self._cfg,
                 0.0,
                 initial_q=tracker.orientation(),
                 tracker_grav=tracker._gravity_vector,
@@ -445,8 +454,79 @@ class ChunkedLocalTrajectoryBuilder3D:
             )
             self._update_metrics(s["time"])
 
+        # Surface dropped grid writes (the reference grows its HybridGrid;
+        # here the fixed virtual extent / block pool makes the loss
+        # observable instead of silent — 2D analog:
+        # chunked_frontend_2d oob_hits surfacing).
+        oob_total = int(
+            np.sum(sc[:, S["oob_high"]]) + np.sum(sc[:, S["oob_low"]])
+        )
+        if oob_total:
+            metrics.grid_oob_points.increment(oob_total)
+            if not getattr(self, "_extent_overflow_warned", False):
+                self._extent_overflow_warned = True
+                import logging
+
+                what = (
+                    "virtual extent/block pool (raise submaps.sparse_* "
+                    "table/pool sizes)"
+                    if cfg.paged
+                    else "grid extent (raise submaps.*_resolution_grid_size)"
+                )
+                logging.getLogger(__name__).warning(
+                    "3D submap grid overflow: %d dropped write(s) this "
+                    "chunk; increase the %s",
+                    oob_total, what,
+                )
+
         # Attach end-of-chunk grid snapshots to the live submaps.
         sub = opts.submaps
+        if cfg.paged:
+            def paged_of(source, slot, name):
+                res = (
+                    sub.high_resolution if name == "high" else sub.low_resolution
+                )
+                tsize = (
+                    cfg.high_table_size if name == "high" else cfg.low_table_size
+                )
+                half = 0.5 * (tsize << cfg.block_bits) * res
+                gi = 0 if name == "high" else 1
+                if isinstance(source, dict):  # fin ring: [r, 2(grid), ...]
+                    get = lambda part: source[f"pg_{part}"][slot][gi]
+                else:  # scan-loop state lanes [high_s0, low_s0, high_s1, low_s1]
+                    get = lambda part: getattr(source, f"pg_{part}")[
+                        2 * slot + gi
+                    ]
+                return PagedGrid3D(
+                    table=get("table"),
+                    pool=get("pool"),
+                    num_blocks=get("nblocks"),
+                    dropped=get("dropped"),
+                    origin=jnp.full((3,), -half, jnp.float32),
+                    resolution=res,
+                    block_bits=cfg.block_bits,
+                    table_size=tsize,
+                )
+
+            def attach(submap, source, slot):
+                hi = paged_of(source, slot, "high")
+                lo = paged_of(source, slot, "low")
+                if submap.insertion_finished:
+                    # Finished submaps densify cropped to content — the
+                    # form the BnB pyramid and serialization consume.
+                    # (Dropped writes were already surfaced per chunk
+                    # above, so no re-counting via Submap3D.finish.)
+                    hi = to_dense(hi)
+                    lo = to_dense(lo)
+                submap.high_resolution_grid = hi
+                submap.low_resolution_grid = lo
+
+            for slot, submap in enumerate(self._submaps):
+                attach(submap, state, slot)
+            for slot, submap in enumerate(self._popped_submaps):
+                attach(submap, fin, slot)
+            self._popped_submaps = []
+            return results
         half_high = jnp.float32(
             -0.5 * sub.high_resolution_grid_size * sub.high_resolution
         ) * jnp.ones(3, jnp.float32)
@@ -513,7 +593,13 @@ class ChunkedLocalTrajectoryBuilder3D:
                 + rotational_histogram.rotate_histogram(histogram, float(yaw))
             )
         if sc_row[S["finished"]] > 0.5:
-            self._submaps[0].finish()
+            if self._cfg.paged:
+                # The attached grid is last chunk's snapshot; flag only —
+                # the end-of-chunk attachment densifies from the CURRENT
+                # device state (drops already surfaced per chunk).
+                self._submaps[0].insertion_finished = True
+            else:
+                self._submaps[0].finish()
         return InsertionResult(
             constant_data=TrajectoryNodeData(
                 time=s["time"],

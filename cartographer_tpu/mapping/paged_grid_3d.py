@@ -15,15 +15,17 @@ Representation (SURVEY §7.4's "fixed block pool" design):
 * `pool` is an int8 [P, B^3] array of cell blocks (value semantics
   identical to hybrid_grid.Grid3D: 0 = unknown, v = log-odds
   v * LOG_ODDS_SCALE).
-* Blocks are allocated inside the jitted insert via sort-based
-  deduplication of touched cells; exhausting the pool or leaving the
-  virtual extent DROPS the write and counts it in `dropped` (the
-  reference would grow; here the failure is observable instead of
-  silent).
+* Blocks are allocated inside the jitted insert by flagging touched
+  blocks in table space and ranking new ones with one cumsum over the
+  1 MB table; exhausting the pool or leaving the virtual extent DROPS
+  the write and counts it in `dropped` (the reference would grow; here
+  the failure is observable instead of silent).
 
-Reads are a two-gather chain (table then pool). Writes are
-sort-deduplicated scatters whose cost scales with the touched-cell count
-(~5k/scan), not the volume — unlike dense boolean-mask updates.
+Reads are a two-gather chain (table then pool). Writes scatter int8
+deltas into a pool-shaped buffer (ordered scatters give hits priority
+and set-semantics dedups to one update per cell per scan) followed by a
+fused elementwise pass over the pool — the dense-path update pattern at
+pool size instead of virtual-volume size, with no sorts.
 
 At submap finish the paged grid converts to a dense `Grid3D` cropped to
 the occupied block bounding box (`to_dense`), which is what the BnB
@@ -163,26 +165,34 @@ def gather_probability(vol, zi, yi, xi) -> jax.Array:
     return jnp.where(oob, pv.MIN_PROBABILITY, vals)
 
 
-@functools.partial(jax.jit, static_argnames=("num_free_space_voxels",))
-def insert_scan_3d_paged(
-    grid: PagedGrid3D,
-    origin_cell: jax.Array,  # i32 [3] sensor origin cell
+def insert_cells_paged(
+    table: jax.Array,  # i32 [T^3]
+    pool: jax.Array,  # i8 [P, B^3]
+    num_blocks: jax.Array,  # i32
+    dropped: jax.Array,  # i32
+    origin_cell: jax.Array,  # i32 [3]
     hit_cells: jax.Array,  # i32 [N, 3]
     valid: jax.Array,  # bool [N]
-    hit_delta: int,
-    miss_delta: int,
+    hit_delta,
+    miss_delta,
     num_free_space_voxels: int,
-) -> PagedGrid3D:
-    """Same semantics as raycast_3d.insert_scan_3d (bounded free space,
-    hit priority, one update per voxel per scan —
-    range_data_inserter_3d.cc:27-116), with block allocation on demand.
-
-    Cost scales with touched cells (N * (1 + num_free_space_voxels) sort
-    + two small scatters), independent of the virtual extent."""
-    b_edge = grid.block_edge
+    *,
+    block_bits: int,
+    table_size: int,
+):
+    """Raw-array core of insert_scan_3d_paged (vmappable across slot/grid
+    lanes — hit_delta/miss_delta may be traced per-lane scalars). Sort-free:
+    block allocation = scatter-min leader election in table space + a cumsum
+    over the M touched cells; cell updates = two ordered sparse scatters on
+    the pool (duplicates of the same type write identical values, so
+    scatter-set is exact one-update-per-cell dedup with hits winning shared
+    cells). Returns (table, pool, num_blocks, dropped)."""
+    b_edge = 1 << block_bits
     b3 = b_edge**3
-    v = grid.virtual_size
-    p_blocks = grid.pool_blocks
+    v = table_size << block_bits
+    t = table_size
+    t3 = table.shape[0]
+    p_blocks = pool.shape[0]
     n = hit_cells.shape[0]
     k = num_free_space_voxels
 
@@ -201,66 +211,99 @@ def insert_scan_3d_paged(
     is_hit = jnp.concatenate(
         [jnp.ones(n, bool), jnp.zeros(n * k, bool)]
     )
+    sel_base = jnp.concatenate([valid, pos_valid.reshape(-1)])
     in_extent = jnp.all((cells >= 0) & (cells < v), axis=-1)
-    sel = jnp.concatenate([valid, pos_valid.reshape(-1)]) & in_extent
-    oob_dropped = jnp.sum(
-        jnp.concatenate([valid, pos_valid.reshape(-1)]) & ~in_extent
-    )
+    sel = sel_base & in_extent
+    oob_dropped = jnp.sum(sel_base & ~in_extent)
 
-    key = jnp.where(sel, cell_key(grid, cells), _I32_MAX)
-    inv_hit = (~is_hit).astype(jnp.int32)
-    skey, sinv = jax.lax.sort([key, inv_hit], num_keys=2)
-    m = skey.shape[0]
-    valid_key = skey != _I32_MAX
-    first = (
-        jnp.concatenate(
-            [jnp.ones(1, bool), skey[1:] != skey[:-1]]
-        )
-        & valid_key
-    )
-    bkey = skey // b3  # block index per sorted cell
-    bfirst = (
-        jnp.concatenate([jnp.ones(1, bool), bkey[1:] != bkey[:-1]])
-        & valid_key
-    )
+    bits = block_bits
+    b = cells >> bits
+    o = cells & (b_edge - 1)
+    bf = (b[:, 2] * t + b[:, 1]) * t + b[:, 0]  # [M] block index
+    of = (o[:, 2] * b_edge + o[:, 1]) * b_edge + o[:, 0]  # [M] in-block
+    bf_c = jnp.clip(bf, 0, t3 - 1)
 
-    # Allocate new blocks: one slot per first-seen unallocated block.
-    t3 = grid.table.shape[0]
-    bkey_c = jnp.clip(bkey, 0, t3 - 1)
-    slot0 = grid.table[bkey_c]
-    need = bfirst & (slot0 < 0)
-    rank = jnp.cumsum(need.astype(jnp.int32)) - 1
-    new_slot = grid.num_blocks + rank
-    ok_alloc = need & (new_slot < p_blocks)
-    table = grid.table.at[jnp.where(ok_alloc, bkey, t3)].set(
-        jnp.where(ok_alloc, new_slot, 0), mode="drop"
+    # Allocate: elect one leader cell per first-seen unallocated block
+    # (scatter-min of cell positions into table space), rank leaders with
+    # a cumsum over the M touched cells (cheap — table-space cumsums cost
+    # ~0.3 ms each on TPU), scatter the new slots sparsely.
+    m_cells = cells.shape[0]
+    iota = jnp.arange(m_cells, dtype=jnp.int32)
+    unalloc = sel & (table[bf_c] < 0)
+    first_buf = (
+        jnp.full(t3, m_cells, jnp.int32)
+        .at[jnp.where(unalloc, bf, t3)]
+        .min(iota, mode="drop")
     )
+    leader = unalloc & (first_buf[bf_c] == iota)
+    rank = jnp.cumsum(leader.astype(jnp.int32)) - 1
+    new_slot = num_blocks + rank
+    ok_alloc = leader & (new_slot < p_blocks)
+    table = table.at[jnp.where(ok_alloc, bf, t3)].set(new_slot, mode="drop")
     num_blocks = jnp.minimum(
-        grid.num_blocks + jnp.sum(need.astype(jnp.int32)), p_blocks
+        num_blocks + jnp.sum(leader.astype(jnp.int32)), p_blocks
     )
 
-    # Apply one update per first-seen cell (hits sort before misses for
-    # the same cell, so the first occurrence carries the priority).
-    slot = table[bkey_c]
-    upd = first & (slot >= 0)
-    pool_dropped = jnp.sum(first & (slot < 0))
-    off = skey % b3
-    vidx = jnp.clip(slot, 0, p_blocks - 1) * b3 + off
-    pool_flat = grid.pool.reshape(-1)
-    old = pool_flat[jnp.where(upd, vidx, 0)].astype(jnp.int32)
-    dv = jnp.where(sinv == 0, jnp.int32(hit_delta), jnp.int32(miss_delta))
+    # Update: every duplicate of a cell with the same type computes the
+    # SAME value old + delta (old read from the pre-scan pool), so plain
+    # scatter-set is exact one-update-per-cell dedup; scattering misses
+    # first and hits second makes hits win shared cells (sequential
+    # scatters are ordered). O(touched) gather/scatter traffic — no sort
+    # (costs ~ms/scan inside the frontend's lax.scan) and no pool-wide
+    # temporaries.
+    slot = table[bf_c]
+    ok_cell = sel & (slot >= 0)
+    pool_dropped = jnp.sum(sel & (slot < 0))
+    sidx = jnp.clip(slot, 0, p_blocks - 1)
+    old = pool[sidx, of].astype(jnp.int16)  # pre-scan values [M]
+    dv = jnp.where(
+        is_hit, jnp.int16(hit_delta), jnp.int16(miss_delta)
+    ) * jnp.ones((), jnp.int16)
     new = jnp.clip(old + dv, -127, 127)
     # Keep the unknown sentinel unambiguous: a touched voxel never lands
     # on 0 (hybrid_grid.py semantics).
-    new = jnp.where(new == 0, jnp.where(dv > 0, 1, -1), new)
-    pool_flat = pool_flat.at[jnp.where(upd, vidx, p_blocks * b3)].set(
-        new.astype(jnp.int8), mode="drop"
+    new = jnp.where(new == 0, jnp.where(dv > 0, 1, -1), new).astype(jnp.int8)
+    drop_s = jnp.full_like(sidx, p_blocks)
+    pool = (
+        pool
+        .at[jnp.where(ok_cell & ~is_hit, sidx, drop_s), of]
+        .set(jnp.where(is_hit, jnp.int8(0), new), mode="drop")
+        .at[jnp.where(ok_cell & is_hit, sidx, drop_s), of]
+        .set(jnp.where(is_hit, new, jnp.int8(0)), mode="drop")
+    )
+    return table, pool, num_blocks, dropped + oob_dropped + pool_dropped
+
+
+@functools.partial(jax.jit, static_argnames=("num_free_space_voxels",))
+def insert_scan_3d_paged(
+    grid: PagedGrid3D,
+    origin_cell: jax.Array,  # i32 [3] sensor origin cell
+    hit_cells: jax.Array,  # i32 [N, 3]
+    valid: jax.Array,  # bool [N]
+    hit_delta: int,
+    miss_delta: int,
+    num_free_space_voxels: int,
+) -> PagedGrid3D:
+    """Same semantics as raycast_3d.insert_scan_3d (bounded free space,
+    hit priority, one update per voxel per scan —
+    range_data_inserter_3d.cc:27-116), with block allocation on demand
+    (see insert_cells_paged and the module docstring)."""
+    table, pool, num_blocks, dropped = insert_cells_paged(
+        grid.table,
+        grid.pool,
+        grid.num_blocks,
+        grid.dropped,
+        origin_cell,
+        hit_cells,
+        valid,
+        hit_delta,
+        miss_delta,
+        num_free_space_voxels,
+        block_bits=grid.block_bits,
+        table_size=grid.table_size,
     )
     return grid.replace(
-        table=table,
-        pool=pool_flat.reshape(p_blocks, b3),
-        num_blocks=num_blocks,
-        dropped=grid.dropped + oob_dropped + pool_dropped,
+        table=table, pool=pool, num_blocks=num_blocks, dropped=dropped
     )
 
 

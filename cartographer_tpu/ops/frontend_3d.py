@@ -35,11 +35,16 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
+from cartographer_tpu.mapping.paged_grid_3d import (
+    PagedGrid3D,
+    insert_cells_paged,
+)
 from cartographer_tpu.ops import frontend_common as fc
 from cartographer_tpu.ops import raycast_3d
 from cartographer_tpu.ops.scan_matching import gauss_newton_3d
@@ -78,17 +83,32 @@ class FrontendState3D:
     mf_q: jax.Array  # [4]
     # Active submaps: slot 0 = older, slot 1 = newer. Grid origins are the
     # fixed -half extent in the submap frame (make_grid_3d at center 0).
-    high_values: jax.Array  # i8 [2, Gh, Gh, Gh]
-    low_values: jax.Array  # i8 [2, Gl, Gl, Gl]
+    # Dense mode (cfg.paged False): int8 volumes. Paged mode: block-sparse
+    # table/pool per slot (mapping/paged_grid_3d.py — fixed block pool +
+    # dense block table, the HybridGrid replacement) and the volumes are
+    # None. Paged is the default on the flagship path: the virtual extent
+    # (table_size * 2^block_bits cells) matches the reference HybridGrid's
+    # growable range instead of being capped by the dense allocation, and
+    # dropped writes (outside extent / pool exhausted) are COUNTED.
     anchor_t: jax.Array  # f32 [2, 3] submap local_pose translation
     anchor_q: jax.Array  # f32 [2, 4] submap local_pose rotation
     counts: jax.Array  # i32 [2]
     slot_valid: jax.Array  # bool [2]
+    high_values: Optional[jax.Array] = None  # i8 [2, Gh, Gh, Gh] (dense)
+    low_values: Optional[jax.Array] = None  # i8 [2, Gl, Gl, Gl] (dense)
+    # Paged mode: ONE stacked 4-lane layout [high_s0, low_s0, high_s1,
+    # low_s1] so insertion and rotation run as single batched
+    # gather/scatter ops across slots AND resolutions (per-op dispatch
+    # overhead dominates these small sparse ops on TPU). Requires equal
+    # table/pool shapes for both resolutions (asserted by the wrapper).
+    pg_table: Optional[jax.Array] = None  # i32 [4, T^3]
+    pg_pool: Optional[jax.Array] = None  # i8 [4, P, B^3]
+    pg_nblocks: Optional[jax.Array] = None  # i32 [4]
+    pg_dropped: Optional[jax.Array] = None  # i32 [4]
 
 
 def init_state(
-    high_grid_size: int,
-    low_grid_size: int,
+    cfg: "FrontendConfig3D",
     t0: float = 0.0,
     initial_q=None,
     tracker_grav=None,
@@ -114,8 +134,30 @@ def init_state(
         if tracker_omega is None
         else jnp.asarray(tracker_omega, jnp.float32)
     )
-    gh, gl = high_grid_size, low_grid_size
+    if cfg.paged:
+        assert cfg.low_table_size == cfg.high_table_size, (
+            "paged device frontend requires equal high/low table sizes "
+            "(stacked 4-lane layout)"
+        )
+        assert cfg.low_pool_blocks == cfg.high_pool_blocks, (
+            "paged device frontend requires equal high/low pool sizes "
+            "(stacked 4-lane layout)"
+        )
+        b3 = 1 << (3 * cfg.block_bits)
+        grids = dict(
+            pg_table=jnp.full((4, cfg.high_table_size**3), -1, jnp.int32),
+            pg_pool=jnp.zeros((4, cfg.high_pool_blocks, b3), jnp.int8),
+            pg_nblocks=jnp.zeros(4, jnp.int32),
+            pg_dropped=jnp.zeros(4, jnp.int32),
+        )
+    else:
+        gh, gl = cfg.high_grid_size, cfg.low_grid_size
+        grids = dict(
+            high_values=jnp.zeros((2, gh, gh, gh), jnp.int8),
+            low_values=jnp.zeros((2, gl, gl, gl), jnp.int8),
+        )
     return FrontendState3D(
+        **grids,
         older_t=f(t0),
         older_xyz=jnp.zeros(3, jnp.float32),
         older_q=q0,
@@ -134,8 +176,6 @@ def init_state(
         mf_t=f(0.0),
         mf_xyz=jnp.zeros(3, jnp.float32),
         mf_q=jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
-        high_values=jnp.zeros((2, gh, gh, gh), jnp.int8),
-        low_values=jnp.zeros((2, gl, gl, gl), jnp.int8),
         anchor_t=jnp.zeros((2, 3), jnp.float32),
         anchor_q=jnp.broadcast_to(
             jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32), (2, 4)
@@ -180,6 +220,18 @@ class FrontendConfig3D:
     imu_gravity_time_constant: float = 10.0
     max_imu_per_scan: int = 16
     use_imu: bool = True  # 3D always fuses IMU (tracker fold contract)
+    # Block-sparse (paged) active-submap grids in the scan-loop state
+    # (mapping/paged_grid_3d.py): virtual extent per axis =
+    # table_size * 2^block_bits cells, memory bounded by the block pool,
+    # dropped writes counted (oob_high/oob_low output scalars). Default on
+    # the production wrapper (SubmapsOptions3D.sparse_grids); dense mode
+    # remains for parity testing.
+    paged: bool = False
+    block_bits: int = 4
+    high_table_size: int = 64
+    high_pool_blocks: int = 4096
+    low_table_size: int = 32
+    low_pool_blocks: int = 2048
     # Whether any scan in the chunk has points beyond max_range (ranges are
     # invariant under the rigid unwarp, so the host knows before dispatch).
     has_misses: bool = True
@@ -200,11 +252,39 @@ class FrontendConfig3D:
     disable: str = ""
 
 
+def _paged_slot(cfg: FrontendConfig3D, state: FrontendState3D, name, slot):
+    """View one active-submap slot of the scan-loop state as a PagedGrid3D
+    (shares the underlying buffers; geometry from cfg). Lane layout:
+    [high_s0, low_s0, high_s1, low_s1]."""
+    res = cfg.high_resolution if name == "high" else cfg.low_resolution
+    tsize = cfg.high_table_size if name == "high" else cfg.low_table_size
+    half = 0.5 * (tsize << cfg.block_bits) * res
+    lane = 2 * slot + (0 if name == "high" else 1)
+    return PagedGrid3D(
+        table=state.pg_table[lane],
+        pool=state.pg_pool[lane],
+        num_blocks=state.pg_nblocks[lane],
+        dropped=state.pg_dropped[lane],
+        origin=jnp.full((3,), -half, jnp.float32),
+        resolution=res,
+        block_bits=cfg.block_bits,
+        table_size=tsize,
+    )
+
+
 def _scan_body(cfg: FrontendConfig3D, carry, x):
     state, fin = carry
     points, pmask, ptimes, t_scan, sensor_origin, imu = x
-    half_high = 0.5 * cfg.high_grid_size * cfg.high_resolution
-    half_low = 0.5 * cfg.low_grid_size * cfg.low_resolution
+    if cfg.paged:
+        half_high = (
+            0.5 * (cfg.high_table_size << cfg.block_bits) * cfg.high_resolution
+        )
+        half_low = (
+            0.5 * (cfg.low_table_size << cfg.block_bits) * cfg.low_resolution
+        )
+    else:
+        half_high = 0.5 * cfg.high_grid_size * cfg.high_resolution
+        half_low = 0.5 * cfg.low_grid_size * cfg.low_resolution
 
     # -- skip gate: scan starts before the newest pose
     # (local_trajectory_builder_3d.cc:141-147).
@@ -300,13 +380,21 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
 
     hi_pts, hi_m = compact(high_mask)
     lo_pts, lo_m = compact(low_mask)
+    if cfg.paged:
+        # gather_probability reads PagedGrid3D directly — the matcher's
+        # corner gathers become table+pool two-gather chains.
+        high_vol0 = _paged_slot(cfg, state, "high", 0)
+        low_vol0 = _paged_slot(cfg, state, "low", 0)
+    else:
+        high_vol0 = state.high_values[0]
+        low_vol0 = state.low_values[0]
     if "match" in cfg.disable:
         gn_t, gn_q = init_t, init_q
     else:
         packed = gauss_newton_3d._match_3d_impl(
-            state.high_values[0],
+            high_vol0,
             high_origin,
-            state.low_values[0],
+            low_vol0,
             low_origin,
             init_t,
             init_q,
@@ -406,23 +494,53 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
     # positions >= final count are never read. This avoids reading and
     # select-merging the 16 MB ring slot every scan.
     cnt = fin["count"]
-    fin = {
-        "count": cnt + pop.astype(jnp.int32),
-        "high": fin["high"].at[cnt].set(state.high_values[0]),
-        "low": fin["low"].at[cnt].set(state.low_values[0]),
-    }
+    if cfg.paged:
+        # Finished-submap snapshot = slot-0 lanes [0:2] ([high, low]).
+        fin = {
+            "count": cnt + pop.astype(jnp.int32),
+            "pg_table": fin["pg_table"].at[cnt].set(state.pg_table[:2]),
+            "pg_pool": fin["pg_pool"].at[cnt].set(state.pg_pool[:2]),
+            "pg_nblocks": fin["pg_nblocks"].at[cnt].set(state.pg_nblocks[:2]),
+            "pg_dropped": fin["pg_dropped"].at[cnt].set(state.pg_dropped[:2]),
+        }
 
-    zero_high = jnp.zeros_like(state.high_values[0])
-    zero_low = jnp.zeros_like(state.low_values[0])
-    # need_first implies slot 0 was never written (still the zero volume
-    # from init), so no explicit zeroing of the volumes is needed — one
-    # fused select per volume covers the rotation.
-    high_values = jnp.where(
-        pop, jnp.stack([state.high_values[1], zero_high]), state.high_values
-    )
-    low_values = jnp.where(
-        pop, jnp.stack([state.low_values[1], zero_low]), state.low_values
-    )
+        def rotate_paged(cur, empty):
+            # Slot rotation in lane space: [s1 lanes, fresh lanes].
+            return jnp.where(
+                pop, jnp.concatenate([cur[2:4], empty], axis=0), cur
+            )
+
+        # Fresh slot-1 lanes on pop match init (empty table = -1).
+        pg_table = rotate_paged(
+            state.pg_table, jnp.full_like(state.pg_table[:2], -1)
+        )
+        pg_pool = rotate_paged(
+            state.pg_pool, jnp.zeros_like(state.pg_pool[:2])
+        )
+        pg_nblocks = rotate_paged(
+            state.pg_nblocks, jnp.zeros_like(state.pg_nblocks[:2])
+        )
+        pg_dropped = rotate_paged(
+            state.pg_dropped, jnp.zeros_like(state.pg_dropped[:2])
+        )
+    else:
+        fin = {
+            "count": cnt + pop.astype(jnp.int32),
+            "high": fin["high"].at[cnt].set(state.high_values[0]),
+            "low": fin["low"].at[cnt].set(state.low_values[0]),
+        }
+
+        zero_high = jnp.zeros_like(state.high_values[0])
+        zero_low = jnp.zeros_like(state.low_values[0])
+        # need_first implies slot 0 was never written (still the zero volume
+        # from init), so no explicit zeroing of the volumes is needed — one
+        # fused select per volume covers the rotation.
+        high_values = jnp.where(
+            pop, jnp.stack([state.high_values[1], zero_high]), state.high_values
+        )
+        low_values = jnp.where(
+            pop, jnp.stack([state.low_values[1], zero_low]), state.low_values
+        )
     anchor_t = jnp.where(
         pop, jnp.stack([state.anchor_t[1], est_xyz]), state.anchor_t
     )
@@ -453,14 +571,19 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
     ins_range = jnp.linalg.norm(hits_local - est_xyz[None, :], axis=1)
     near = ins_range <= cfg.high_resolution_max_range
 
-    def insert_slot(values, a_t, a_q, gate, resolution, half, valid):
-        # Transform into the submap frame and insert.
+    def slot_cells(a_t, a_q, resolution, half):
+        # Transform into the submap frame; cell = round((p - origin)/res)
+        # with origin = -half (same lattice the matcher gathers from).
         hits_sub = fc.qrot(fc.qconj(a_q)[None, :], hits_local - a_t[None, :])
         origin_sub = fc.qrot(fc.qconj(a_q), est_xyz - a_t)
         cells = jnp.floor((hits_sub + half) / resolution + 0.5).astype(jnp.int32)
         origin_cell = jnp.floor((origin_sub + half) / resolution + 0.5).astype(
             jnp.int32
         )
+        return cells, origin_cell
+
+    def insert_slot(values, a_t, a_q, gate, resolution, half, valid):
+        cells, origin_cell = slot_cells(a_t, a_q, resolution, half)
         return raycast_3d.insert_scan_3d.__wrapped__(
             values,
             origin_cell,
@@ -471,35 +594,124 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
             cfg.num_free_space_voxels,
         )
 
+    def insert_lane_paged(
+        table, pool, nblocks, dropped, a_t, a_q, resolution, half, valid
+    ):
+        # One lane = (slot, resolution); vmapping all 4 lanes turns the
+        # sparse insert into single batched gather/scatter ops.
+        cells, origin_cell = slot_cells(a_t, a_q, resolution, half)
+        return insert_cells_paged(
+            table,
+            pool,
+            nblocks,
+            dropped,
+            origin_cell,
+            cells,
+            valid,
+            cfg.hit_delta,
+            cfg.miss_delta,
+            cfg.num_free_space_voxels,
+            block_bits=cfg.block_bits,
+            table_size=cfg.high_table_size,
+        )
+
+    def dense_oob(a_t, a_q, gate, resolution, half, size, valid):
+        # Hit endpoints outside the dense extent are dropped silently by
+        # insert_scan_3d; count them here so a too-small grid_size is
+        # visible (the 2D chunk program's oob_hits analog).
+        cells, _ = slot_cells(a_t, a_q, resolution, half)
+        oob = valid & gate & jnp.any((cells < 0) | (cells >= size), axis=-1)
+        return jnp.sum(oob.astype(jnp.int32))
+
     slot_insert = slot_valid & insert
+    oob_high = jnp.int32(0)
+    oob_low = jnp.int32(0)
     if "insert" not in cfg.disable:
-        high_values = jax.vmap(
-            functools.partial(
-                insert_slot,
-                resolution=cfg.high_resolution,
-                half=half_high,
-                valid=ret_mask & near,
+        if cfg.paged:
+            pre = pg_dropped
+            lane_res = jnp.asarray(
+                [cfg.high_resolution, cfg.low_resolution] * 2, jnp.float32
             )
-        )(high_values, anchor_t, anchor_q, slot_insert)
-        low_values = jax.vmap(
-            functools.partial(
-                insert_slot,
-                resolution=cfg.low_resolution,
-                half=half_low,
-                valid=ret_mask,
+            lane_half = jnp.asarray([half_high, half_low] * 2, jnp.float32)
+            lane_anchor_t = jnp.repeat(anchor_t, 2, axis=0)  # [4, 3]
+            lane_anchor_q = jnp.repeat(anchor_q, 2, axis=0)
+            lane_valid = jnp.stack(
+                [ret_mask & near, ret_mask, ret_mask & near, ret_mask]
+            ) & jnp.repeat(slot_insert, 2)[:, None]
+            pg_table, pg_pool, pg_nblocks, pg_dropped = jax.vmap(
+                insert_lane_paged
+            )(
+                pg_table, pg_pool, pg_nblocks, pg_dropped,
+                lane_anchor_t, lane_anchor_q, lane_res, lane_half,
+                lane_valid,
             )
-        )(low_values, anchor_t, anchor_q, slot_insert)
+            # Per-scan dropped-write deltas (outside virtual extent or pool
+            # exhausted), summed over both slots, per resolution.
+            d = pg_dropped - pre
+            oob_high = d[0] + d[2]
+            oob_low = d[1] + d[3]
+        else:
+            high_values = jax.vmap(
+                functools.partial(
+                    insert_slot,
+                    resolution=cfg.high_resolution,
+                    half=half_high,
+                    valid=ret_mask & near,
+                )
+            )(high_values, anchor_t, anchor_q, slot_insert)
+            low_values = jax.vmap(
+                functools.partial(
+                    insert_slot,
+                    resolution=cfg.low_resolution,
+                    half=half_low,
+                    valid=ret_mask,
+                )
+            )(low_values, anchor_t, anchor_q, slot_insert)
+            oob_high = jnp.sum(
+                jax.vmap(
+                    functools.partial(
+                        dense_oob,
+                        resolution=cfg.high_resolution,
+                        half=half_high,
+                        size=cfg.high_grid_size,
+                        valid=ret_mask & near,
+                    )
+                )(anchor_t, anchor_q, slot_insert)
+            )
+            oob_low = jnp.sum(
+                jax.vmap(
+                    functools.partial(
+                        dense_oob,
+                        resolution=cfg.low_resolution,
+                        half=half_low,
+                        size=cfg.low_grid_size,
+                        valid=ret_mask,
+                    )
+                )(anchor_t, anchor_q, slot_insert)
+            )
     counts = counts + slot_insert.astype(jnp.int32)
     finished = slot_valid[0] & insert & (counts[0] == 2 * cfg.num_range_data)
 
-    state = state.replace(
-        high_values=high_values,
-        low_values=low_values,
-        anchor_t=anchor_t,
-        anchor_q=anchor_q,
-        counts=counts,
-        slot_valid=slot_valid,
-    )
+    if cfg.paged:
+        state = state.replace(
+            pg_table=pg_table,
+            pg_pool=pg_pool,
+            pg_nblocks=pg_nblocks,
+            pg_dropped=pg_dropped,
+            anchor_t=anchor_t,
+            anchor_q=anchor_q,
+            counts=counts,
+            slot_valid=slot_valid,
+        )
+    else:
+        state = state.replace(
+            high_values=high_values,
+            low_values=low_values,
+            anchor_t=anchor_t,
+            anchor_q=anchor_q,
+            counts=counts,
+            slot_valid=slot_valid,
+        )
 
     out = {
         "matched": matched,
@@ -511,6 +723,8 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
         "popped": pop,
         "finished": finished,
         "counts": counts,
+        "oob_high": oob_high,
+        "oob_low": oob_low,
         "hits_track": hits_track,
         "ret_mask": ret_mask,
         "high_mask": high_mask,
@@ -524,12 +738,16 @@ def _scan_body(cfg: FrontendConfig3D, carry, x):
     return (state, fin), out
 
 
-# Per-scan scalar output layout in the packed [C, 18] array.
+# Per-scan scalar output layout in the packed [C, 20] array. oob_high /
+# oob_low count dropped grid writes that scan (dense: hit endpoints
+# outside the fixed extent; paged: outside the virtual extent or block
+# pool exhausted) — surfaced as mapping_grid_out_of_extent_points.
 SCALARS = (
     "matched", "est_x", "est_y", "est_z",
     "est_qw", "est_qx", "est_qy", "est_qz",
     "g_qw", "g_qx", "g_qy", "g_qz",
     "inserted", "created", "popped", "finished", "count0", "count1",
+    "oob_high", "oob_low",
 )
 SIDX = {k: i for i, k in enumerate(SCALARS)}
 
@@ -605,12 +823,24 @@ def run_chunk(
     q_scale = jnp.float32(point_quantization_scale(cfg))
 
     r = c // cfg.num_range_data + 1
-    gh, gl = cfg.high_grid_size, cfg.low_grid_size
-    fin0 = {
-        "count": jnp.int32(0),
-        "high": jnp.zeros((r, gh, gh, gh), jnp.int8),
-        "low": jnp.zeros((r, gl, gl, gl), jnp.int8),
-    }
+    if cfg.paged:
+        b3 = 1 << (3 * cfg.block_bits)
+        fin0 = {
+            "count": jnp.int32(0),
+            "pg_table": jnp.full(
+                (r, 2, cfg.high_table_size**3), -1, jnp.int32
+            ),
+            "pg_pool": jnp.zeros((r, 2, cfg.high_pool_blocks, b3), jnp.int8),
+            "pg_nblocks": jnp.zeros((r, 2), jnp.int32),
+            "pg_dropped": jnp.zeros((r, 2), jnp.int32),
+        }
+    else:
+        gh, gl = cfg.high_grid_size, cfg.low_grid_size
+        fin0 = {
+            "count": jnp.int32(0),
+            "high": jnp.zeros((r, gh, gh, gh), jnp.int8),
+            "low": jnp.zeros((r, gl, gl, gl), jnp.int8),
+        }
     t_scan = scan_meta[:, 0]
     sensor_origin = scan_meta[:, 1:4]
     counts_in = scan_meta[:, 4].astype(jnp.int32)
@@ -672,6 +902,7 @@ def run_chunk(
             f("inserted"), f("created"), f("popped"), f("finished"),
             outs["counts"][:, 0].astype(jnp.float32),
             outs["counts"][:, 1].astype(jnp.float32),
+            f("oob_high"), f("oob_low"),
         ],
         axis=1,
     )

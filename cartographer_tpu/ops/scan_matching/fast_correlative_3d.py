@@ -323,36 +323,56 @@ _MAX_SEARCH_BATCH_3D = 8
 
 def batch_match_device_3d(preps, mesh=None):
     """Run the prepared searches (FastCorrelativeScanMatcher3D._prepare
-    results, all from matchers sharing depth/beam/grid shapes) as vmapped
-    programs in chunks. Returns (packed [K, 7] numpy, ctxs list) aligned
-    with `preps`. With `mesh` the search axis of each chunk is sharded
-    over it (whole BnB searches per device — the reference's ThreadPool
-    fan-out, constraint_builder_3d.cc). Searches whose beam cap bound
-    (column 6) are re-run with a doubled beam up to _MAX_WIDENED_BEAM
-    (see fast_correlative_2d)."""
+    results) as vmapped programs in chunks, GROUPED by grid-shape family:
+    finished 3D submaps densify cropped to content, so different submaps'
+    pyramids legitimately differ in shape and only same-shape searches can
+    stack into one program. Returns (packed [K, 7] numpy, ctxs list)
+    aligned with `preps`. With `mesh` the search axis of each chunk is
+    sharded over it (whole BnB searches per device — the reference's
+    ThreadPool fan-out, constraint_builder_3d.cc). Searches whose beam cap
+    bound (column 6) are re-run with a doubled beam up to
+    _MAX_WIDENED_BEAM (see fast_correlative_2d)."""
     from cartographer_tpu.parallel.partition import fetch
 
     chunk_cap = _MAX_SEARCH_BATCH_3D
     if mesh is not None:
         chunk_cap = max(chunk_cap, mesh.devices.size)
-    packs, ctxs = [], []
-    for i in range(0, len(preps), chunk_cap):
-        p, c = _batch_3d(preps[i: i + chunk_cap], mesh=mesh)
-        packs.append((p, len(c)))
-        ctxs.extend(c)
-    packed = np.concatenate([fetch(p)[:n] for p, n in packs])
+
+    def shape_key(pr):
+        m = pr["matcher"]
+        return (
+            tuple(lvl.shape for lvl in m._pyramid),
+            tuple(m._low_prob.shape),
+        )
+
+    def run_indices(indices, beam_override=None):
+        """Dispatch same-shape groups in chunks; write results into
+        `packed` at the given global indices."""
+        groups = {}
+        for i in indices:
+            groups.setdefault(shape_key(preps[i]), []).append(i)
+        for idx_list in groups.values():
+            for j in range(0, len(idx_list), chunk_cap):
+                idx = np.asarray(idx_list[j: j + chunk_cap])
+                p, c = _batch_3d(
+                    [preps[r] for r in idx],
+                    beam_override=beam_override,
+                    mesh=mesh,
+                )
+                packed[idx] = fetch(p)[: len(idx)]
+                for r, cc in zip(idx, c):
+                    ctxs[r] = cc
+
+    packed = np.zeros((len(preps), 7), np.float32)
+    ctxs = [None] * len(preps)
+    run_indices(range(len(preps)))
     if len(preps):
         beam = preps[0]["matcher"]._options.beam_width
         rows = np.flatnonzero(packed[:, 6] > 0.5)
         while len(rows) and beam < _MAX_WIDENED_BEAM:
             beam = min(2 * beam, _MAX_WIDENED_BEAM)
             metrics.beam_overflow_retries.increment(len(rows))
-            for j in range(0, len(rows), chunk_cap):
-                idx = rows[j: j + chunk_cap]
-                p, _ = _batch_3d(
-                    [preps[r] for r in idx], beam_override=beam, mesh=mesh
-                )
-                packed[idx] = fetch(p)[: len(idx)]
+            run_indices(rows, beam_override=beam)
             rows = rows[packed[rows, 6] > 0.5]
     return packed, ctxs
 

@@ -169,21 +169,32 @@ class TestChunkedParity3D:
         from cartographer_tpu.mapping.paged_grid_3d import as_dense
 
         h_grid = as_dense(h_sub.high_resolution_grid)
-        c_grid = c_sub.high_resolution_grid
-        cv = np.asarray(c_grid.values)
-        # The host side builds paged and densifies cropped; embed the crop
-        # into the chunked grid's (full-extent) cell lattice to compare.
-        hv = np.zeros_like(cv)
-        crop = np.asarray(h_grid.values)
-        off = np.round(
-            (np.asarray(h_grid.origin) - np.asarray(c_grid.origin))
-            / h_grid.resolution
-        ).astype(int)
+        c_grid = as_dense(c_sub.high_resolution_grid)
+        # Both sides build paged and densify cropped to content; embed both
+        # crops into a common cell lattice (union bounding box) to compare.
+        res = h_grid.resolution
+        ho = np.asarray(h_grid.origin, np.float64)
+        co = np.asarray(c_grid.origin, np.float64)
+        h_vals = np.asarray(h_grid.values)
+        c_vals = np.asarray(c_grid.values)
+        lo = np.minimum(ho, co)
+        h_off = np.round((ho - lo) / res).astype(int)
+        c_off = np.round((co - lo) / res).astype(int)
+        shape = np.maximum(
+            h_off[::-1] + h_vals.shape, c_off[::-1] + c_vals.shape
+        )
+        hv = np.zeros(tuple(shape), np.int8)
+        cv = np.zeros(tuple(shape), np.int8)
         hv[
-            off[2]: off[2] + crop.shape[0],
-            off[1]: off[1] + crop.shape[1],
-            off[0]: off[0] + crop.shape[2],
-        ] = crop
+            h_off[2]: h_off[2] + h_vals.shape[0],
+            h_off[1]: h_off[1] + h_vals.shape[1],
+            h_off[0]: h_off[0] + h_vals.shape[2],
+        ] = h_vals
+        cv[
+            c_off[2]: c_off[2] + c_vals.shape[0],
+            c_off[1]: c_off[1] + c_vals.shape[1],
+            c_off[0]: c_off[0] + c_vals.shape[2],
+        ] = c_vals
         # Occupancy agreement: same voxels known, >=98% sign agreement.
         known_h = hv != 0
         known_c = cv != 0
@@ -221,3 +232,69 @@ class TestChunkedParity3D:
         hh, ch = smooth(hh), smooth(ch)
         denom = max(np.linalg.norm(hh) * np.linalg.norm(ch), 1e-6)
         assert float(np.dot(hh, ch)) / denom > 0.92
+
+
+def _drive(options, chunk=8):
+    direction = np.array([2.0, 1.0, 0.0])
+    direction /= np.linalg.norm(direction)
+    measurements = generate_fake_range_measurements(
+        translation=direction * TRAVEL_DISTANCE,
+        duration=DURATION,
+        time_step=TIME_STEP,
+    )
+    imu = imu_stream(FAKE_START_TIME - 0.5, FAKE_START_TIME + DURATION + 0.1)
+    builder = ChunkedLocalTrajectoryBuilder3D(options, {"range"}, chunk_size=chunk)
+    results = []
+    imu_i = 0
+    for m in measurements:
+        while imu_i < len(imu) and imu[imu_i].time <= m.time:
+            builder.add_imu_data(imu[imu_i])
+            imu_i += 1
+        results.extend(builder.add_range_data("range", m))
+    results.extend(builder.flush())
+    return results
+
+
+class TestPagedDeviceGrids:
+    def test_paged_matches_dense_device_path(self):
+        """The block-sparse scan-loop grids (sorted block-dedup insert +
+        table/pool matcher gathers) agree with the dense device path on a
+        world that fits both extents: identical node schedule, near-equal
+        poses."""
+        dense_opts = make_options()
+        dense_opts.submaps.sparse_grids = False
+        paged_opts = make_options()
+        assert paged_opts.submaps.sparse_grids  # default
+
+        dense = _drive(dense_opts)
+        paged = _drive(paged_opts)
+        assert len(dense) == len(paged) > 5
+        for d, p in zip(dense, paged):
+            assert d.time == p.time
+            # Same tolerance as host-vs-device pose parity: the virtual
+            # extent shifts the +half term of the cell rounding, so f32
+            # boundary cells can flip between the two lattices.
+            np.testing.assert_allclose(
+                rigid3.trans(d.local_pose), rigid3.trans(p.local_pose),
+                atol=0.03,
+            )
+            assert (d.insertion_result is None) == (p.insertion_result is None)
+
+    def test_paged_overflow_observable(self):
+        """A too-small virtual extent drops writes OBSERVABLY: the
+        mapping_grid_out_of_extent_points counter advances (dense 3D used
+        to drop silently — VERDICT r2 weakness 3)."""
+        from cartographer_tpu import metrics
+
+        metrics.enable_collection()
+        before = metrics.grid_oob_points.value()
+        opts = make_options()
+        # Virtual extent +-1.6 m at 10 cm (table 2 * block 16 cells): the
+        # 5 m synthetic wall lands far outside.
+        opts.submaps.sparse_high_table_size = 2
+        opts.submaps.sparse_high_pool_blocks = 64
+        opts.submaps.sparse_low_table_size = 2
+        opts.submaps.sparse_low_pool_blocks = 64
+        results = _drive(opts)
+        assert len(results) > 0
+        assert metrics.grid_oob_points.value() > before
