@@ -308,13 +308,9 @@ class ChunkedLocalTrajectoryBuilder2D:
         self._imu_buffer.append(imu_data)
 
     def add_odometry_data(self, odometry_data) -> None:
-        if self._options.use_imu_data:
-            # IMU + odometry interleaving stays on the general path
-            # (LocalTrajectoryBuilder2D).
-            raise NotImplementedError(
-                "chunked device frontend supports odometry only in "
-                "no-IMU configurations; use LocalTrajectoryBuilder2D"
-            )
+        # IMU + odometry interleave on device: the odometry tracker copy
+        # syncs to the gyro-fed main tracker at each add_pose and advances
+        # with the latest gyro rate (ops/frontend_2d._odometry_fold).
         if self._state is None:
             # Extrapolator not yet initialized
             # (local_trajectory_builder_2d.cc AddOdometryData).

@@ -340,17 +340,28 @@ def _odometry_fold(cfg: FrontendConfig2D, state, odom):
         q_delta = _qnorm(_qmul(_qconj(q_o), q2[0]))
         ang_new = _qlog(q_delta) / safe_dt
         lin_tracking = _qrot(_qconj(q_o)[None], (xyz2[0] - xyz_o)[None])[0] / safe_dt
-        # Advance the odometry tracker to the sample time (fake gravity;
-        # omega = odometry angular velocity once available, else poses').
-        om_used = jnp.where(have2, ang_new, state.ang_vel)
+        # Advance the odometry tracker to the sample time. With IMU the
+        # tracker copy was synced to the gyro-fed main tracker at the last
+        # add_pose (odometry_imu_tracker_ = imu_tracker_); advance it with
+        # the latest gyro rate and WITHOUT fake-gravity observations —
+        # matching AdvanceImuTracker over a queue whose newest sample
+        # precedes t_o (pose_extrapolator.cc:201-222). Without IMU: fake
+        # gravity + odometry/pose angular velocity (reference no-IMU mode).
+        if cfg.use_imu:
+            om_used = trk_om
+        else:
+            om_used = jnp.where(have2, ang_new, state.ang_vel)
         to_t = jnp.maximum(t_o, trk_t)
         t1, ori1, grav1 = _tracker_advance(
             trk_t, trk_ori, trk_grav, om_used, to_t
         )
-        ez = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-        ori2, grav2, la1 = _tracker_acc_obs(
-            cfg, t1, ori1, grav1, trk_la, ez
-        )
+        if cfg.use_imu:
+            ori2, grav2, la1 = ori1, grav1, trk_la
+        else:
+            ez = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+            ori2, grav2, la1 = _tracker_acc_obs(
+                cfg, t1, ori1, grav1, trk_la, ez
+            )
         # orientation at the newest odometry time = newest_pose.q *
         # (conj(main tracker ori) * odometry tracker ori).
         rot = _qmul(_qconj(state.tracker_ori), ori2)

@@ -17,8 +17,30 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache makes repeated test runs fast (the env var is
-# not read by this jax version; set the config explicitly).
-jax.config.update("jax_compilation_cache_dir", "/tmp/ctpu_jax_cache")
+# not read by this jax version; set the config explicitly). The cache dir is
+# keyed by this machine's CPU flags: XLA:CPU caches AOT results compiled for
+# the build host's exact feature set, and loading them on a host with
+# different features can SIGSEGV/SIGILL mid-run.
+import hashlib
+import platform
+
+def _machine_tag() -> str:
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+        return hashlib.sha1(
+            (platform.machine() + flags).encode()
+        ).hexdigest()[:12]
+    except OSError:
+        return platform.machine()
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/ctpu_jax_cache_{_machine_tag()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 xla_flags = os.environ.get("XLA_FLAGS", "")

@@ -421,3 +421,212 @@ class TestChunkedOnlineCorrelative:
             for r in results
         ]
         assert max(errs) < 0.1 * np.linalg.norm(translation)
+
+
+class TestChunkedImuOdometryParity:
+    """IMU + odometry together (the common real-robot 2D config): the
+    device odometry tracker copy syncs to the gyro-fed main tracker at
+    each add_pose and advances with the latest gyro rate — matching
+    PoseExtrapolator::AddOdometryData with odometry_imu_tracker_
+    (pose_extrapolator.cc:100-135). Previously this configuration raised
+    NotImplementedError and silently cost ~6x on the host path."""
+
+    def _run_both(self):
+        import tests.test_map_builder_3d as t3d
+        from cartographer_tpu.sensor.data import OdometryData
+
+        def opts():
+            return TrajectoryBuilder2DOptions(
+                use_imu_data=True,
+                max_range=10.0,
+                submaps=SubmapsOptions2D(
+                    num_range_data=20,
+                    grid_options_2d=GridOptions2D(
+                        resolution=0.05, grid_size=512
+                    ),
+                ),
+            )
+
+        direction = np.array([2.0, 1.0, 0.0])
+        direction /= np.linalg.norm(direction)
+        translation = direction * TRAVEL_DISTANCE
+        velocity = translation / DURATION
+        measurements = generate_fake_range_measurements(
+            translation=translation, duration=DURATION, time_step=TIME_STEP
+        )
+        imu = t3d.imu_stream(
+            FAKE_START_TIME - 0.5, FAKE_START_TIME + DURATION + 0.1
+        )
+        rng = np.random.default_rng(11)
+        odom = [
+            OdometryData(
+                time=float(t),
+                pose=rigid3.make(
+                    (t - FAKE_START_TIME) * velocity + rng.normal(0, 1e-4, 3),
+                    np.array([1.0, 0, 0, 0]),
+                ),
+            )
+            for t in np.arange(
+                FAKE_START_TIME + 0.01, FAKE_START_TIME + DURATION, 0.05
+            )
+        ]
+        events = (
+            [("imu", d.time, d) for d in imu]
+            + [("odom", d.time, d) for d in odom]
+            + [("range", m.time, m) for m in measurements]
+        )
+        events.sort(key=lambda e: e[1])
+
+        def feed(builder, chunked):
+            results = []
+            for kind, _, payload in events:
+                if kind == "imu":
+                    builder.add_imu_data(payload)
+                elif kind == "odom":
+                    builder.add_odometry_data(payload)
+                else:
+                    r = builder.add_range_data("range", payload)
+                    if chunked:
+                        results.extend(r)
+                    elif r is not None:
+                        results.append(r)
+            if chunked:
+                results.extend(builder.flush())
+            return results
+
+        host_results = feed(
+            LocalTrajectoryBuilder2D(opts(), {"range"}), chunked=False
+        )
+        dev_results = feed(
+            ChunkedLocalTrajectoryBuilder2D(opts(), {"range"}, chunk_size=16),
+            chunked=True,
+        )
+        return host_results, dev_results, translation
+
+    def test_imu_odometry_parity(self):
+        host_results, dev_results, translation = self._run_both()
+        assert len(dev_results) == len(host_results) > 10
+        host_inserted = [r.insertion_result is not None for r in host_results]
+        dev_inserted = [r.insertion_result is not None for r in dev_results]
+        assert dev_inserted == host_inserted
+        for h, c in zip(host_results, dev_results):
+            assert h.time == c.time
+            err = np.linalg.norm(
+                rigid3.trans(h.local_pose) - rigid3.trans(c.local_pose)
+            )
+            assert err < 0.05, (h.time, err)
+        # Drift bound vs ground truth.
+        velocity = translation / DURATION
+        errs = [
+            np.linalg.norm(
+                rigid3.trans(r.local_pose)
+                - (r.time - FAKE_START_TIME) * velocity
+            )
+            for r in dev_results
+        ]
+        assert max(errs) < 0.1 * TRAVEL_DISTANCE
+
+
+class TestImuDropDeviationBounded:
+    def test_orientation_error_under_sustained_skipping(self):
+        """Known deviation (ops/frontend_2d.py module docstring): IMU
+        samples in the window of a scan that produces no match are
+        dropped, and the gap is bridged by constant-rate extrapolation.
+        The induced orientation error is proportional to the angular
+        ACCELERATION over the dropped windows; this test drives a
+        time-varying yaw rate with every third scan filtered out
+        (all points below min_range) and bounds the device-vs-host yaw
+        deviation."""
+        from cartographer_tpu.sensor.data import ImuData, TimedPointCloudData
+
+        def opts():
+            return TrajectoryBuilder2DOptions(
+                use_imu_data=True,
+                min_range=0.3,
+                max_range=10.0,
+                submaps=SubmapsOptions2D(
+                    num_range_data=20,
+                    grid_options_2d=GridOptions2D(
+                        resolution=0.05, grid_size=512
+                    ),
+                ),
+            )
+
+        measurements = generate_fake_range_measurements(
+            translation=np.zeros(3), duration=DURATION, time_step=TIME_STEP
+        )
+        # Every 3rd scan: points collapsed below min_range -> no match on
+        # either path, but its window's IMU is dropped only on the device.
+        doctored = []
+        for i, m in enumerate(measurements):
+            if i % 3 == 2 and i > 4:
+                pts = m.ranges.points.copy()
+                norms = np.linalg.norm(pts, axis=1, keepdims=True)
+                pts = pts / np.maximum(norms, 1e-9) * 0.05
+                doctored.append(
+                    TimedPointCloudData(
+                        time=m.time,
+                        origin=m.origin,
+                        ranges=type(m.ranges)(pts, m.ranges.times),
+                    )
+                )
+            else:
+                doctored.append(m)
+        # Yaw rate varies during the run: omega(t) = 0.3 sin(t).
+        t_imu = np.arange(
+            FAKE_START_TIME - 0.5, FAKE_START_TIME + DURATION + 0.1, 0.01
+        )
+        imu = [
+            ImuData(
+                time=float(t),
+                linear_acceleration=np.array([0.0, 0.0, 9.8]),
+                angular_velocity=np.array(
+                    [0.0, 0.0, 0.3 * np.sin(t - FAKE_START_TIME)]
+                ),
+            )
+            for t in t_imu
+        ]
+        events = [("imu", d.time, d) for d in imu] + [
+            ("range", m.time, m) for m in doctored
+        ]
+        events.sort(key=lambda e: e[1])
+
+        def feed(builder, chunked):
+            results = []
+            for kind, _, payload in events:
+                if kind == "imu":
+                    builder.add_imu_data(payload)
+                else:
+                    r = builder.add_range_data("range", payload)
+                    if chunked:
+                        results.extend(r)
+                    elif r is not None:
+                        results.append(r)
+            if chunked:
+                results.extend(builder.flush())
+            return results
+
+        host_results = feed(
+            LocalTrajectoryBuilder2D(opts(), {"range"}), chunked=False
+        )
+        dev_results = feed(
+            ChunkedLocalTrajectoryBuilder2D(opts(), {"range"}, chunk_size=16),
+            chunked=True,
+        )
+        assert len(host_results) > 10
+        assert len(dev_results) == len(host_results)
+        yaw_errs = []
+        for h, c in zip(host_results, dev_results):
+            dyaw = abs(
+                rigid3.get_yaw(
+                    rigid3.quat_multiply(
+                        rigid3.quat_conjugate(rigid3.quat(h.local_pose)),
+                        rigid3.quat(c.local_pose),
+                    )
+                )
+            )
+            yaw_errs.append(dyaw)
+        # Sustained skipping with omega_dot <= 0.3 rad/s^2 over 0.1 s
+        # windows: per-window deviation <= ~0.0015 rad; the scan matcher
+        # re-anchors orientation, so the accumulated error stays small.
+        assert max(yaw_errs) < 0.03, max(yaw_errs)
