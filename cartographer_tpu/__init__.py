@@ -15,6 +15,29 @@ handles sensor collation, configuration and pose-graph bookkeeping.
 __version__ = "0.1.0"
 
 
+def _machine_cache_tag() -> str:
+    """Fingerprint of this host's CPU feature set. XLA:CPU caches AOT
+    executables compiled for the build host's exact features; loading them
+    on a machine with different features can SIGSEGV/SIGILL mid-run (the
+    cache directory persists across machine migrations), so the cache is
+    keyed per feature set."""
+    import hashlib
+    import platform
+
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+        return hashlib.sha1(
+            (platform.machine() + flags).encode()
+        ).hexdigest()[:12]
+    except OSError:  # pragma: no cover - non-Linux fallback
+        return platform.machine()
+
+
 def _enable_persistent_compile_cache() -> None:
     """Point JAX at a persistent compilation cache unless the user already
     configured one. TPU programs here are large (whole-pipeline chunk
@@ -28,7 +51,9 @@ def _enable_persistent_compile_cache() -> None:
     try:
         import jax
 
-        cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+        cache_dir = os.path.join(
+            os.path.dirname(__file__), "..", ".jax_cache", _machine_cache_tag()
+        )
         jax.config.update(
             "jax_compilation_cache_dir", os.path.abspath(cache_dir)
         )

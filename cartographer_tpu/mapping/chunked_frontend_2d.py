@@ -124,6 +124,12 @@ class LazyRangeData:
         return self._materialize().crop(min_z, max_z)
 
 
+# Start packed-input uploads from the feed thread (overlap with the
+# previous chunk's compute). Toggle for A/B measurement on links where
+# device_put blocks the caller.
+EAGER_UPLOAD = True
+
+
 def _round_up_pow2(n: int, minimum: int = 256) -> int:
     v = minimum
     while v < n:
@@ -524,6 +530,15 @@ class ChunkedLocalTrajectoryBuilder2D:
             self._prewarmed.add((n, m, planar, linear, use_odom, mo))
         prev_chain = self._chain
         initial_state = self._state
+        # Start the host->device copy of the packed input NOW (device_put
+        # is async): it overlaps the previous chunk's device compute
+        # instead of serializing behind it on the dispatcher thread — on a
+        # remote-attached TPU the upload is a large fraction of the
+        # per-chunk wall time.
+        if EAGER_UPLOAD:
+            import jax as _jax
+
+            buf = _jax.device_put(buf)
 
         def run(prev=prev_chain, cfg=cfg, epoch_shift=epoch_shift, buf=buf):
             state = prev.result()[0] if prev is not None else initial_state

@@ -53,6 +53,12 @@ from cartographer_tpu.sensor.voxel_filter import voxel_filter_indices
 from cartographer_tpu.transform import rigid3
 
 
+# Start packed-input uploads from the feed thread (overlap with the
+# previous chunk's compute). Toggle for A/B measurement on links where
+# device_put blocks the caller.
+EAGER_UPLOAD = True
+
+
 def _round_up_multiple(n: int, multiple: int = 256) -> int:
     return max(multiple, ((n + multiple - 1) // multiple) * multiple)
 
@@ -353,6 +359,12 @@ class ChunkedLocalTrajectoryBuilder3D:
             self._prewarmed.add((n, m, linear))
         prev_chain = self._chain
         initial_state = self._state
+        # Async upload now — overlaps the previous chunk's compute (see
+        # chunked_frontend_2d._dispatch).
+        if EAGER_UPLOAD:
+            import jax as _jax
+
+            buf = _jax.device_put(buf)
 
         def run(prev=prev_chain, cfg=cfg, epoch_shift=epoch_shift, buf=buf):
             state = prev.result()[0] if prev is not None else initial_state

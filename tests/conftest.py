@@ -16,30 +16,16 @@ import jax  # noqa: E402
 # then — it takes effect as long as no backend has been used yet.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache makes repeated test runs fast (the env var is
-# not read by this jax version; set the config explicitly). The cache dir is
-# keyed by this machine's CPU flags: XLA:CPU caches AOT results compiled for
-# the build host's exact feature set, and loading them on a host with
-# different features can SIGSEGV/SIGILL mid-run.
-import hashlib
-import platform
-
-def _machine_tag() -> str:
-    try:
-        flags = ""
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    flags = line
-                    break
-        return hashlib.sha1(
-            (platform.machine() + flags).encode()
-        ).hexdigest()[:12]
-    except OSError:
-        return platform.machine()
+# Persistent compilation cache makes repeated test runs fast. NOTE:
+# importing cartographer_tpu re-points the cache at the repo's
+# .jax_cache/<machine-tag> dir (cartographer_tpu/__init__.py — keyed by
+# CPU features because foreign-machine XLA:CPU AOT entries SIGSEGV on
+# load); the settings here only cover jax use before that import.
+from cartographer_tpu import _machine_cache_tag
 
 jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/ctpu_jax_cache_{_machine_tag()}"
+    "jax_compilation_cache_dir",
+    f"/tmp/ctpu_jax_cache_{_machine_cache_tag()}",
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
