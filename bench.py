@@ -124,11 +124,22 @@ def main() -> None:
 
 
 def _extras(degraded: bool) -> dict:
-    """The remaining BASELINE.md table rows; each isolated and
-    time-budgeted (a metric that cannot complete reports why instead of
-    hanging the driver). Run even on a degraded host link — the 3D/BnB/SPA
-    benches are device-compute-bound with their own budgets; the link
-    state is annotated so a slow number is attributable."""
+    """The remaining BASELINE.md table rows; each isolated in its OWN
+    subprocess and time-budgeted (a metric that cannot complete reports
+    why instead of hanging the driver). Run even on a degraded host link —
+    the 3D/BnB/SPA benches are device-compute-bound with their own
+    budgets; the link state is annotated so a slow number is attributable.
+
+    Process isolation matters beyond hygiene: on the remote-attached
+    (tunneled) TPU backend, async-overlapped dispatches of one large
+    program (the chunked frontend's upload/compute overlap) permanently
+    degrade GATHER throughput for every OTHER program in that process by
+    ~1000x — a dev-harness runtime artifact, measured and documented in
+    docs/STATUS.md. Each metric in a fresh process measures the framework,
+    not the tunnel's cross-program interference."""
+    import json as _json
+    import subprocess
+    import sys
     import time as _t
 
     extras: dict = {}
@@ -138,20 +149,42 @@ def _extras(degraded: bool) -> dict:
             "per-metric budgets"
         )
 
-    def guard(name, fn, budget_s):
+    def guard(name, fn_name, budget_s):
         t0 = _t.perf_counter()
         try:
-            extras[name] = fn()
+            proc = subprocess.run(
+                [sys.executable, __file__, "--extra", fn_name],
+                capture_output=True,
+                text=True,
+                timeout=budget_s + 180.0,
+            )
+            line = next(
+                (
+                    l
+                    for l in reversed(proc.stdout.splitlines())
+                    if l.startswith("{")
+                ),
+                None,
+            )
+            if proc.returncode == 0 and line:
+                extras[name] = _json.loads(line)
+            else:
+                extras[name] = {
+                    "error": f"exit {proc.returncode}: "
+                    + (proc.stderr or "")[-300:]
+                }
+        except subprocess.TimeoutExpired:
+            extras[name] = {"error": f"timed out after {budget_s + 180.0}s"}
         except Exception as e:  # pragma: no cover - defensive
             extras[name] = {"error": f"{type(e).__name__}: {e}"}
         extras[name]["seconds_total"] = round(_t.perf_counter() - t0, 1)
         if _t.perf_counter() - t0 > budget_s:
             extras[name]["note"] = "over budget (cold compile or slow link)"
 
-    guard("local_slam_3d_scans_per_sec", _bench_3d, 600.0)
-    guard("loop_closure_batched_matches_per_sec", _bench_bnb, 420.0)
-    guard("spa_solve_seconds", _bench_spa, 420.0)
-    guard("ate_synthetic_world", _bench_ate, 420.0)
+    guard("local_slam_3d_scans_per_sec", "_bench_3d", 600.0)
+    guard("loop_closure_batched_matches_per_sec", "_bench_bnb", 420.0)
+    guard("spa_solve_seconds", "_bench_spa", 420.0)
+    guard("ate_synthetic_world", "_bench_ate", 420.0)
     return extras
 
 
@@ -279,6 +312,10 @@ def _bench_bnb() -> dict:
         ),
         {"range"},
         chunk_size=32,
+        # Keep this process free of the tunneled backend's
+        # overlap-triggered gather degradation so the loop-closure number
+        # measures the search, not the harness (docs/STATUS.md).
+        serialize_dispatch=True,
     )
     for m in measurements[:256]:
         builder.add_range_data("range", m)
@@ -498,4 +535,19 @@ def _bench_ate() -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) >= 3 and _sys.argv[1] == "--extra":
+        # Subprocess mode: run ONE extras metric in a clean runtime and
+        # print its JSON on the last line.
+        import json as _json
+
+        _fn = {
+            "_bench_3d": _bench_3d,
+            "_bench_bnb": _bench_bnb,
+            "_bench_spa": _bench_spa,
+            "_bench_ate": _bench_ate,
+        }[_sys.argv[2]]
+        print(_json.dumps(_fn()))
+    else:
+        main()

@@ -48,6 +48,12 @@ def _enable_persistent_compile_cache() -> None:
 
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
+    if os.environ.get("CARTOGRAPHER_TPU_DISABLE_COMPILE_CACHE"):
+        # XLA:CPU executable (de)serialization is fragile across CPU
+        # feature sets (segfaults observed in both cache reads of
+        # foreign-machine entries and cache writes on some hosts); CPU
+        # test runs disable the cache entirely.
+        return
     try:
         import jax
 

@@ -160,13 +160,19 @@ class ChunkedLocalTrajectoryBuilder2D:
         options: TrajectoryBuilder2DOptions,
         expected_range_sensor_ids: Set[str],
         chunk_size: int = 64,
+        serialize_dispatch: bool = False,
     ):
+        """serialize_dispatch: block on each chunk before dispatching the
+        next (disables upload/compute overlap). Slower; used by
+        benchmarks that need the process free of the tunneled backend's
+        overlap-triggered gather degradation (docs/STATUS.md)."""
         assert supports(options), (
             "ChunkedLocalTrajectoryBuilder2D supports probability-grid "
             "configurations with the constant-velocity extrapolator; use "
             "LocalTrajectoryBuilder2D otherwise."
         )
         self._options = options
+        self._serialize_dispatch = serialize_dispatch
         self._range_data_collator = RangeDataCollator(expected_range_sensor_ids)
         sub = options.submaps
         grid = sub.grid_options_2d
@@ -524,6 +530,7 @@ class ChunkedLocalTrajectoryBuilder2D:
         cfg = dataclasses.replace(cfg_shape, has_misses=has_misses)
         prewarm = (
             not has_misses
+            and not self._serialize_dispatch
             and (n, m, planar, linear, use_odom, mo) not in self._prewarmed
         )
         if prewarm:
@@ -535,7 +542,7 @@ class ChunkedLocalTrajectoryBuilder2D:
         # instead of serializing behind it on the dispatcher thread — on a
         # remote-attached TPU the upload is a large fraction of the
         # per-chunk wall time.
-        if EAGER_UPLOAD:
+        if EAGER_UPLOAD and not self._serialize_dispatch:
             import jax as _jax
 
             buf = _jax.device_put(buf)
@@ -561,10 +568,15 @@ class ChunkedLocalTrajectoryBuilder2D:
             # Start the host copy of the SMALL packed output now; it
             # overlaps the next chunk's compute. out_points stays
             # device-resident (lazy).
-            try:
-                packed_out.copy_to_host_async()
-            except AttributeError:  # older jax.Array without the method
-                pass
+            if self._serialize_dispatch:
+                import jax as _jx
+
+                _jx.block_until_ready(packed_out)
+            else:
+                try:
+                    packed_out.copy_to_host_async()
+                except AttributeError:  # older jax.Array without the method
+                    pass
             return state, fin, out_points, packed_out
 
         self._chain = self._dispatcher.submit(run)

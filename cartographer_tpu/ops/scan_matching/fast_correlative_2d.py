@@ -182,21 +182,11 @@ def bnb_search(
     best_score = jnp.float32(min_score)
     best = jnp.array([-1, 0, 0], jnp.int32)
     overflowed = jnp.asarray(False)
-    a, x, y, valid = a0, x0, y0, m0
-    for level in range(depth - 1, -1, -1):
-        scores = _score_cands(pyramid[level], ix, iy, pmask, a, x, y, valid)
-        if level == 0:
-            i = jnp.argmax(scores)
-            better = scores[i] > best_score
-            best_score = jnp.where(better, scores[i], best_score)
-            best = jnp.where(
-                better, jnp.stack([a[i], x[i], y[i]]), best
-            )
-            break
-        # Leaf probe: every internal candidate's (x, y) is a valid leaf;
-        # scoring the most promising ones at full resolution gives true
-        # lower bounds that tighten pruning.
-        k_probe = min(leaf_probe, scores.shape[0])
+
+    def probe_and_update(scores, a, x, y, best_score, best, k_probe):
+        """Leaf probe: every internal candidate's (x, y) is a valid leaf;
+        scoring the most promising ones at full resolution gives true
+        lower bounds that tighten pruning."""
         pscores, pidx = jax.lax.top_k(scores, k_probe)
         leaf = _score_cands(
             pyramid[0], ix, iy, pmask, a[pidx], x[pidx], y[pidx],
@@ -210,9 +200,12 @@ def bnb_search(
             jnp.stack([a[pidx[j]], x[pidx[j]], y[pidx[j]]]),
             best,
         )
-        # Prune by the admissible bound, keep the best `beam`, expand 4x.
+        return best_score, best
+
+    def expand(scores, a, x, y, best_score, overflowed, half, k_beam):
+        """Prune by the admissible bound, keep the best k_beam (padded to
+        `beam`), expand 4x."""
         pruned = jnp.where(scores > best_score, scores, -jnp.inf)
-        k_beam = min(beam, pruned.shape[0])
         if k_beam < pruned.shape[0]:
             # The cap binds iff more than k_beam candidates survive the
             # bound prune — dropped candidates could hide the argmax, so
@@ -220,18 +213,79 @@ def bnb_search(
             n_surv = jnp.sum(pruned > -jnp.inf)
             overflowed = overflowed | (n_surv > k_beam)
         top_scores, top_idx = jax.lax.top_k(pruned, k_beam)
-        half = 1 << (level - 1)
+        if k_beam < beam:
+            # Pad to the loop-invariant width (small initial windows).
+            pad = beam - k_beam
+            top_scores = jnp.concatenate(
+                [top_scores, jnp.full((pad,), -jnp.inf, top_scores.dtype)]
+            )
+            top_idx = jnp.concatenate([top_idx, jnp.zeros((pad,), jnp.int32)])
+        xoffs = jnp.stack(
+            [jnp.int32(0), half, jnp.int32(0), half]
+        )
+        yoffs = jnp.stack(
+            [jnp.int32(0), jnp.int32(0), half, half]
+        )
         pa = jnp.repeat(a[top_idx], 4)
-        px = jnp.repeat(x[top_idx], 4) + jnp.tile(
-            jnp.asarray([0, half, 0, half], jnp.int32), k_beam
-        )
-        py = jnp.repeat(y[top_idx], 4) + jnp.tile(
-            jnp.asarray([0, 0, half, half], jnp.int32), k_beam
-        )
+        px = jnp.repeat(x[top_idx], 4) + jnp.tile(xoffs, beam)
+        py = jnp.repeat(y[top_idx], 4) + jnp.tile(yoffs, beam)
         pvalid = jnp.repeat(top_scores > -jnp.inf, 4) & (
             px <= num_linear
         ) & (py <= num_linear)
-        a, x, y, valid = pa, px, py, pvalid
+        return pa, px, py, pvalid, overflowed
+
+    if depth == 1:
+        scores = _score_cands(pyramid[0], ix, iy, pmask, a0, x0, y0, m0)
+        i = jnp.argmax(scores)
+        better = scores[i] > best_score
+        best_score = jnp.where(better, scores[i], best_score)
+        best = jnp.where(better, jnp.stack([a0[i], x0[i], y0[i]]), best)
+        return best_score, best, overflowed
+
+    # Top level (depth-1) on the initial-candidate arrays.
+    scores = _score_cands(
+        pyramid[depth - 1], ix, iy, pmask, a0, x0, y0, m0
+    )
+    best_score, best = probe_and_update(
+        scores, a0, x0, y0, best_score, best,
+        min(leaf_probe, scores.shape[0]),
+    )
+    a, x, y, valid, overflowed = expand(
+        scores, a0, x0, y0, best_score, overflowed,
+        jnp.int32(1 << (depth - 2)), min(beam, scores.shape[0]),
+    )
+
+    # Middle levels depth-2 .. 1: a ROLLED loop on fixed [4*beam] arrays —
+    # unrolling depth-proportional level machinery bloats the executable
+    # (compile time, and program (re)load cost on remote-attached
+    # devices) for no compute benefit.
+    def body(i, carry):
+        a, x, y, valid, best_score, best, overflowed = carry
+        level = depth - 2 - i  # depth-2 down to 1
+        pool = jax.lax.dynamic_index_in_dim(
+            pyramid, level, axis=0, keepdims=False
+        )
+        scores = _score_cands(pool, ix, iy, pmask, a, x, y, valid)
+        best_score, best = probe_and_update(
+            scores, a, x, y, best_score, best,
+            min(leaf_probe, scores.shape[0]),
+        )
+        half = jnp.left_shift(jnp.int32(1), level - 1)
+        a, x, y, valid, overflowed = expand(
+            scores, a, x, y, best_score, overflowed, half, beam
+        )
+        return (a, x, y, valid, best_score, best, overflowed)
+
+    a, x, y, valid, best_score, best, overflowed = jax.lax.fori_loop(
+        0, depth - 2, body, (a, x, y, valid, best_score, best, overflowed)
+    )
+
+    # Final level 0.
+    scores = _score_cands(pyramid[0], ix, iy, pmask, a, x, y, valid)
+    i = jnp.argmax(scores)
+    better = scores[i] > best_score
+    best_score = jnp.where(better, scores[i], best_score)
+    best = jnp.where(better, jnp.stack([a[i], x[i], y[i]]), best)
     return best_score, best, overflowed
 
 
@@ -252,6 +306,62 @@ bnb_search_batch = jax.jit(
     ),
     static_argnums=(13, 14, 15),
 )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "a_pad", "k0_pad", "depth", "beam", "leaf_probe"),
+)
+def _bnb_search_batch_packed(
+    pyr, points, pmask, buf, k, a_pad, k0_pad, depth, beam, leaf_probe
+):
+    """bnb_search_batch fed from ONE packed uint8 buffer holding the ten
+    small per-search arrays (angles/poses/origins/resolutions/candidate
+    grids/window bounds/min scores): a single host->device transfer
+    instead of ten — on a high-latency host link the per-transfer round
+    trips dominate the whole drain (the search program itself runs in
+    ~0.1 ms)."""
+    bc = jax.lax.bitcast_convert_type
+    o = 0
+
+    def f32(shape):
+        nonlocal o
+        n = int(np.prod(shape))
+        out = bc(buf[o: o + 4 * n].reshape(shape + (4,)), jnp.float32)
+        o += 4 * n
+        return out
+
+    def i32(shape):
+        nonlocal o
+        n = int(np.prod(shape))
+        out = bc(buf[o: o + 4 * n].reshape(shape + (4,)), jnp.int32)
+        o += 4 * n
+        return out
+
+    angles = f32((k, a_pad))
+    initial = f32((k, 3))
+    origins = f32((k, 2))
+    res = f32((k,))
+    ms = f32((k,))
+    a0 = i32((k, k0_pad))
+    x0 = i32((k, k0_pad))
+    y0 = i32((k, k0_pad))
+    nl = i32((k,))
+    m0 = buf[o: o + k * k0_pad].reshape(k, k0_pad) > 0
+    score, best, overflowed = jax.vmap(
+        bnb_search.__wrapped__, in_axes=(0,) * 13 + (None, None, None)
+    )(
+        pyr, points, pmask, angles, initial, origins, res,
+        a0, x0, y0, m0, nl, ms, depth, beam, leaf_probe,
+    )
+    return jnp.concatenate(
+        [
+            score[:, None].astype(jnp.float32),
+            best.astype(jnp.float32),
+            overflowed[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
 
 
 _MAX_SEARCH_BATCH = 32  # stacked pyramids cost ~7 MB HBM per search
@@ -432,7 +542,27 @@ def _batch_match_device(
         else preps[0]["m"]._options.beam_width
     )
     if mesh is None:
-        place = jnp.asarray
+        # Single-device: ship the ten small arrays as ONE packed upload
+        # (round trips dominate on a remote-attached TPU).
+        buf = np.concatenate(
+            [
+                angles.ravel().view(np.uint8),
+                initial_poses.ravel().view(np.uint8),
+                origins.ravel().view(np.uint8),
+                resolutions.view(np.uint8),
+                ms.view(np.uint8),
+                a0.ravel().view(np.uint8),
+                x0.ravel().view(np.uint8),
+                y0.ravel().view(np.uint8),
+                nl.view(np.uint8),
+                m0.ravel().astype(np.uint8),
+            ]
+        )
+        packed = _bnb_search_batch_packed(
+            pyr, points_d, pmask_d, jnp.asarray(buf),
+            k, a_pad, k0_pad, depth, beam, _LEAF_PROBE,
+        )
+        return packed, ctxs
     else:
         # Shard the search axis: each device owns k/D whole searches
         # (their pyramids, clouds, and candidate tables); XLA partitions
