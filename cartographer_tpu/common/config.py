@@ -79,9 +79,13 @@ class ConfigBase:
 
 # ---------------------------------------------------------------------------
 # Shared solver options (reference: common/internal/ceres_solver_options.h).
-# The TPU engine uses fixed-iteration Levenberg-Marquardt; max_num_iterations
-# maps directly, use_nonmonotonic_steps keeps its meaning (accept uphill
-# steps), num_threads is ignored (device-parallel).
+# The TPU engine uses Levenberg-Marquardt with Ceres trust-region radius
+# dynamics in the SPA solvers and fixed-iteration LM in the scan matchers;
+# max_num_iterations maps directly, num_threads is ignored
+# (device-parallel), and use_nonmonotonic_steps is accepted for config
+# parity but inert — the fixed-iteration matchers keep monotonic damping
+# (the reference enables it only for the constraint builder's refinement,
+# pose_graph.lua:35, where the fixed LM schedule converges regardless).
 # ---------------------------------------------------------------------------
 
 

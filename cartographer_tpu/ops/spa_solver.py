@@ -7,8 +7,13 @@ nonlinear least squares over (x, y, theta) per submap and node with:
 * consecutive-node local-SLAM and odometry relative-pose residuals,
 * first submap (and frozen trajectories) held constant.
 
-TPU-native replacement for Ceres: matrix-free Levenberg-Marquardt. Each
-outer iteration freezes Huber IRLS weights, then solves the damped normal
+TPU-native replacement for Ceres: matrix-free Levenberg-Marquardt with
+Ceres's exact trust-region dynamics (trust_region_minimizer.cc /
+levenberg_marquardt_strategy.cc — rho = actual/model cost reduction from
+the linearized residuals, accept iff rho > min_relative_decrease, radius
+grown by up to 3x on high-quality steps and shrunk by a doubling
+decrease factor on rejections; damping lambda = 1/radius). Each outer
+iteration freezes Huber IRLS weights, then solves the damped normal
 equations (J^T J + lambda I) dx = -J^T r with conjugate gradients using
 jvp/vjp Hessian-vector products — no materialized Jacobian, all residual
 blocks evaluated as batched gathers. Fixed parameters are handled by
@@ -254,7 +259,8 @@ def solve(
         )
 
     def outer_step(carry):
-        params, lam, cost, it, done = carry
+        params, radius, decrease_factor, cost, it, done = carry
+        lam = 1.0 / radius
 
         def res_flat(pr):
             return jnp.concatenate([r.reshape(-1) for r in weighted_res(pr)])
@@ -285,33 +291,49 @@ def solve(
         dx = project(dx)
         new_params = tuple(a + b for a, b in zip(params, dx))
         new_cost = cost_of(new_params)
-        accept = new_cost < cost
-        # Ceres-style termination: relative cost decrease below the
-        # function tolerance, or the trust region collapsed.
+        # Ceres trust-region step quality (trust_region_minimizer.cc
+        # ComputeCandidatePointAndEvaluateCost / IsStepSuccessful): model
+        # cost change from the linearized residuals r0 + J dx, rho =
+        # actual/model reduction, accept iff rho > min_relative_decrease.
+        _, jdx = jax.jvp(res_flat, (params,), (dx,))
+        model_cost_change = -(jnp.sum(r0 * jdx) + 0.5 * jnp.sum(jdx * jdx))
+        valid = model_cost_change > 0.0
+        rho = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-30)
+        accept = valid & (rho > 1e-3)  # Ceres min_relative_decrease
+        # Radius dynamics (levenberg_marquardt_strategy.cc StepAccepted /
+        # StepRejected): grow by up to 3x on high-quality steps, shrink by
+        # a doubling decrease factor on rejections.
+        radius_acc = jnp.minimum(
+            radius / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+            1e16,
+        )
+        new_radius = jnp.where(accept, radius_acc, radius / decrease_factor)
+        decrease_factor = jnp.where(accept, 2.0, decrease_factor * 2.0)
+        # Termination: relative cost decrease below the function
+        # tolerance, or the trust region collapsed.
         converged = (accept & (cost - new_cost <= 1e-7 * cost)) | (
-            ~accept & (lam > 1e4)
+            new_radius < 1e-5
         )
         params = tuple(
             jnp.where(accept, b, a) for a, b in zip(params, new_params)
         )
         cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8), lam * 5.0)
-        return (params, lam, cost, it + 1, converged)
+        return (params, new_radius, decrease_factor, cost, it + 1, converged)
 
     def outer_cond(carry):
-        _, _, _, it, done = carry
+        it, done = carry[4], carry[5]
         return (it < max_iterations) & ~done
 
     init_params = [p.submap_poses, p.node_poses]
     if has_extras:
         init_params += [extras.l_poses, extras.f_pose]
     init_params = tuple(init_params)
-    params, _, cost, _, _ = jax.lax.while_loop(
+    params, _, _, cost, _, _ = jax.lax.while_loop(
         outer_cond,
         outer_step,
         (
-            init_params, jnp.float32(1e-4), cost_of(init_params),
-            jnp.int32(0), jnp.asarray(False),
+            init_params, jnp.float32(1e4), jnp.float32(2.0),
+            cost_of(init_params), jnp.int32(0), jnp.asarray(False),
         ),
     )
     # Normalize angles on the way out.

@@ -372,7 +372,8 @@ def solve_3d(
         return tuple(out)
 
     def outer_step(carry):
-        params, lam, cost, it, done = carry
+        params, radius, decrease_factor, cost, it, done = carry
+        lam = 1.0 / radius
 
         r0 = res_flat(params)
         _, vjp_fn = jax.vjp(res_flat, params)
@@ -395,21 +396,37 @@ def solve_3d(
         dx = project(dx)
         new_params = jax.tree_util.tree_map(lambda a, b: a + b, params, dx)
         new_cost = cost_of(new_params)
-        accept = new_cost < cost
-        # Ceres-style termination: relative decrease below the function
-        # tolerance, or the trust region collapsed.
+        # Ceres trust-region step quality (trust_region_minimizer.cc):
+        # model cost change from the linearized residuals r0 + J dx,
+        # rho = actual/model reduction, accept iff rho >
+        # min_relative_decrease (1e-3, the Ceres default).
+        _, jdx = jax.jvp(res_flat, (params,), (dx,))
+        model_cost_change = -(jnp.sum(r0 * jdx) + 0.5 * jnp.sum(jdx * jdx))
+        valid = model_cost_change > 0.0
+        rho = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-30)
+        accept = valid & (rho > 1e-3)
+        # Radius dynamics (levenberg_marquardt_strategy.cc StepAccepted /
+        # StepRejected): grow by up to 3x on high-quality steps, shrink
+        # by a doubling decrease factor on rejections.
+        radius_acc = jnp.minimum(
+            radius / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+            1e16,
+        )
+        new_radius = jnp.where(accept, radius_acc, radius / decrease_factor)
+        decrease_factor = jnp.where(accept, 2.0, decrease_factor * 2.0)
+        # Termination: relative decrease below the function tolerance, or
+        # the trust region collapsed.
         converged = (accept & (cost - new_cost <= 1e-7 * cost)) | (
-            ~accept & (lam > 1e4)
+            new_radius < 1e-5
         )
         params = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), params, new_params
         )
         cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8), lam * 5.0)
-        return (params, lam, cost, it + 1, converged)
+        return (params, new_radius, decrease_factor, cost, it + 1, converged)
 
     def outer_cond(carry):
-        _, _, _, it, done = carry
+        it, done = carry[4], carry[5]
         return (it < max_iterations) & ~done
 
     init_params = [
@@ -430,12 +447,12 @@ def solve_3d(
             jnp.zeros((F, 1), jnp.float32),
         ]
     init_params = tuple(init_params)
-    params, _, cost, _, _ = jax.lax.while_loop(
+    params, _, _, cost, _, _ = jax.lax.while_loop(
         outer_cond,
         outer_step,
         (
-            init_params, jnp.float32(1e-4), cost_of(init_params),
-            jnp.int32(0), jnp.asarray(False),
+            init_params, jnp.float32(1e4), jnp.float32(2.0),
+            cost_of(init_params), jnp.int32(0), jnp.asarray(False),
         ),
     )
     poses = poses_of(params)
