@@ -485,25 +485,25 @@ def _batch_match_device(
         [pr["m"]._pyramid for pr in preps]
         + [preps[0]["m"]._pyramid] * (k - len(preps))
     )
+    # Assemble the point batch HOST-side and ship it as ONE upload.
+    # Staged node clouds are pre-padded host arrays (stage_points): a
+    # per-row device splice (`.at[i].set`) compiles + dispatches a
+    # distinct program per row — ~100 ms each on a remote-attached TPU
+    # (measured), dwarfing the ~8 KB/row of re-upload it would save.
     points = np.zeros((k, n_pad, 2), np.float32)
     pmask = np.zeros((k, n_pad), bool)
-    dev_rows = []
     for i, pr in enumerate(preps):
         dp = pr["device_points"]
         if dp is not None:
-            dev_rows.append((i, dp))
+            p_, m_ = np.asarray(dp[0]), np.asarray(dp[1])
+            points[i, : p_.shape[0]] = p_
+            pmask[i, : m_.shape[0]] = m_
         else:
             pts = pr["pts"]
             points[i, : len(pts)] = pts[:, :2]
             pmask[i, : len(pts)] = True
     points_d = jnp.asarray(points)
     pmask_d = jnp.asarray(pmask)
-    # Splice pre-staged device-resident node clouds in with on-device row
-    # updates (no host round trips).
-    for i, (dp_pts, dp_mask) in dev_rows:
-        n_dev = dp_pts.shape[0]
-        points_d = points_d.at[i, :n_dev, :].set(dp_pts)
-        pmask_d = pmask_d.at[i, :n_dev].set(dp_mask)
 
     angles = np.zeros((k, a_pad), np.float32)
     initial_poses = np.zeros((k, 3), np.float32)
@@ -788,10 +788,10 @@ class FastCorrelativeScanMatcher2D:
 
     @staticmethod
     def stage_points(point_cloud: np.ndarray):
-        """Upload a node's cloud once for reuse across many searches
-        (device-resident node clouds). Returns (points [Npad,2] f32 device,
-        mask [Npad] bool device)."""
-        points_p, point_mask = _pad_pow2(
-            np.asarray(point_cloud[:, :2], np.float32), 64
-        )
-        return jnp.asarray(points_p), jnp.asarray(point_mask)
+        """Pre-pad a node's cloud once for reuse across many searches.
+        Returns (points [Npad,2] f32, mask [Npad] bool) as HOST arrays:
+        batch assembly splices rows into one buffer and ships the whole
+        batch as a single upload — per-row device splices each compile +
+        dispatch a distinct program (~100 ms/row measured on a
+        remote-attached TPU), dwarfing the ~8 KB/row re-upload."""
+        return _pad_pow2(np.asarray(point_cloud[:, :2], np.float32), 64)

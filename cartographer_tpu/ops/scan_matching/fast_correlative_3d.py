@@ -453,16 +453,25 @@ def _batch_3d(preps, beam_override: Optional[int] = None, mesh=None):
         ratio[i] = m._resolution / pr["lres"]
         ctxs.append(pr["ctx"])
 
-    points_d = jnp.zeros((k, n_pad, 3), jnp.float32)
-    pmask_d = jnp.zeros((k, n_pad), bool)
-    lpoints_d = jnp.zeros((k, nl_pad, 3), jnp.float32)
-    lmask_d = jnp.zeros((k, nl_pad), bool)
+    # Assemble the point batches HOST-side and ship each as ONE upload.
+    # Staged node clouds are pre-padded host arrays (stage_points): a
+    # per-row device splice (`.at[i].set`) compiles + dispatches a
+    # distinct program per row — ~100 ms each on a remote-attached TPU
+    # (measured), dwarfing the few KB/row of re-upload it would save.
+    points = np.zeros((k, n_pad, 3), np.float32)
+    pmask = np.zeros((k, n_pad), bool)
+    lpoints = np.zeros((k, nl_pad, 3), np.float32)
+    lmask = np.zeros((k, nl_pad), bool)
     for i, pr in enumerate(preps):
-        p_, pm_, lp_, lm_ = pr["device_points"]
-        points_d = points_d.at[i, : p_.shape[0], :].set(p_)
-        pmask_d = pmask_d.at[i, : pm_.shape[0]].set(pm_)
-        lpoints_d = lpoints_d.at[i, : lp_.shape[0], :].set(lp_)
-        lmask_d = lmask_d.at[i, : lm_.shape[0]].set(lm_)
+        p_, pm_, lp_, lm_ = (np.asarray(a) for a in pr["device_points"])
+        points[i, : p_.shape[0]] = p_
+        pmask[i, : pm_.shape[0]] = pm_
+        lpoints[i, : lp_.shape[0]] = lp_
+        lmask[i, : lm_.shape[0]] = lm_
+    points_d = jnp.asarray(points)
+    pmask_d = jnp.asarray(pmask)
+    lpoints_d = jnp.asarray(lpoints)
+    lmask_d = jnp.asarray(lmask)
 
     m0_first = preps[0]["matcher"]
     beam = (
@@ -541,9 +550,12 @@ class FastCorrelativeScanMatcher3D:
 
     @staticmethod
     def stage_points(point_cloud: np.ndarray, low_resolution_point_cloud):
-        """Upload a node's high/low clouds once for reuse across many
-        searches (device-resident node clouds). Returns
-        (points, pmask, low_points, low_mask) device arrays."""
+        """Pre-pad a node's high/low clouds once for reuse across many
+        searches. Returns (points, pmask, low_points, low_mask) HOST
+        arrays: batch assembly splices rows into one buffer per array and
+        ships each as a single upload — per-row device splices each
+        compile + dispatch a distinct program (~100 ms/row measured on a
+        remote-attached TPU), dwarfing the few KB/row re-upload."""
         def pad(cloud):
             pts = np.asarray(cloud[:, :3], np.float32)
             n_pad = 64
@@ -553,7 +565,7 @@ class FastCorrelativeScanMatcher3D:
             out[: pts.shape[0]] = pts
             mask = np.zeros(n_pad, bool)
             mask[: pts.shape[0]] = True
-            return jnp.asarray(out), jnp.asarray(mask)
+            return out, mask
 
         p, m = pad(point_cloud)
         lp, lm = pad(low_resolution_point_cloud)
