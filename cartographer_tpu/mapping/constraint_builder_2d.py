@@ -178,8 +178,12 @@ class ConstraintBuilder2D:
         packed_batch, ctxs = batch_match_device(batch, mesh=self._mesh)
         all_bnb = np.asarray(packed_batch)
 
-        # Phase 2: decode, dispatch every refinement, one fetch for all.
+        # Phase 2: decode, then refine ALL accepted matches as ONE vmapped
+        # device program (match_log_odds_batch_packed) — a drain of K
+        # searches costs two dispatch+fetch round trips total (search
+        # batch + refinement batch) regardless of K.
         refine = []
+        device_jobs = []  # (refine row, search, BnB result)
         for search, ctx, packed in zip(pending, ctxs, all_bnb):
             matcher = self._matcher(search.submap_id)
             result = matcher.decode(packed, ctx)
@@ -195,23 +199,14 @@ class ConstraintBuilder2D:
                 )
                 refine.append((search, refined_pose))
                 continue
-            refine.append(
-                (
-                    search,
-                    self._ceres_matcher.match_device(
-                        result.pose[:2], result.pose, cloud, grid
-                    ),
-                )
-            )
+            device_jobs.append((len(refine), search, result))
+            refine.append((search, None))
+        if device_jobs:
+            for (i, _, __), pose in zip(
+                device_jobs, self._batch_refine(device_jobs)
+            ):
+                refine[i] = (refine[i][0], pose)
         if refine:
-            device_rows = [
-                (i, p) for i, (_, p) in enumerate(refine)
-                if not isinstance(p, np.ndarray)
-            ]
-            if device_rows:
-                fetched = np.asarray(jnp.stack([p for _, p in device_rows]))
-                for (i, _), row in zip(device_rows, fetched):
-                    refine[i] = (refine[i][0], self._ceres_matcher.decode(row)[0])
             for search, refined_pose in refine:
                 submap_local_pose = self._submap_local_pose(search.submap_id)
                 zbar_ij = rigid2.compose(
@@ -231,6 +226,96 @@ class ConstraintBuilder2D:
                 )
         metrics.constraints_found.increment(len(results))
         return results
+
+    def _batch_refine(self, jobs) -> List[np.ndarray]:
+        """Refine every accepted BnB match in ONE device program.
+
+        `jobs`: list of (row, _PendingSearch, MatchResult). Stacks the
+        UNIQUE submap grids involved (device arrays already resident in
+        HBM), packs the small per-match arrays + clouds into one uint8
+        upload, runs the vmapped LM refinement, and fetches all poses in
+        one round trip. The reference refines each match on its own
+        ThreadPool task (constraint_builder_2d.cc:246-249); per-match
+        dispatch here would pay one host link round trip each.
+        """
+        import jax.numpy as jnp
+
+        from cartographer_tpu.ops.scan_matching.gauss_newton_2d import (
+            match_log_odds_batch_packed,
+        )
+
+        opts = self._options.ceres_scan_matcher
+        grid_index: Dict[SubmapId, int] = {}
+        grids = []
+        staged = []
+        n_pad = 64
+        for _, search, _result in jobs:
+            sid = search.submap_id
+            if sid not in grid_index:
+                grid_index[sid] = len(grids)
+                grids.append(self._submap_grids[sid])
+            pts, mask = self._node_clouds[search.node_id]
+            staged.append((pts, mask))
+            while n_pad < pts.shape[0]:
+                n_pad *= 2
+        k = 4
+        while k < len(jobs):
+            k *= 2
+
+        points = np.zeros((k, n_pad, 2), np.float32)
+        pmask = np.zeros((k, n_pad), np.uint8)
+        origins = np.zeros((k, 2), np.float32)
+        initial_poses = np.zeros((k, 3), np.float32)
+        target_translations = np.zeros((k, 2), np.float32)
+        resolutions = np.ones((k,), np.float32)
+        sidx = np.zeros((k,), np.int32)
+        for i, ((_, search, result), (pts, mask)) in enumerate(
+            zip(jobs, staged)
+        ):
+            grid = self._submap_grids[search.submap_id]
+            points[i, : pts.shape[0]] = pts
+            pmask[i, : mask.shape[0]] = mask
+            origins[i] = np.asarray(grid.origin)
+            initial_poses[i] = result.pose
+            target_translations[i] = result.pose[:2]
+            resolutions[i] = grid.resolution
+            sidx[i] = grid_index[search.submap_id]
+        buf = np.concatenate(
+            [
+                points.ravel().view(np.uint8),
+                origins.ravel().view(np.uint8),
+                initial_poses.ravel().view(np.uint8),
+                target_translations.ravel().view(np.uint8),
+                resolutions.view(np.uint8),
+                sidx.view(np.uint8),
+                pmask.ravel(),
+            ]
+        )
+        # Pad the unique-grid axis to a power of two (compile-cache
+        # stability across drains; padding repeats grid 0, never indexed).
+        s_pad = 2
+        while s_pad < len(grids):
+            s_pad *= 2
+        grids = grids + [grids[0]] * (s_pad - len(grids))
+        rows = np.asarray(
+            match_log_odds_batch_packed(
+                jnp.stack([g.log_odds for g in grids]),
+                jnp.stack([g.known for g in grids]),
+                jnp.asarray(buf),
+                k,
+                n_pad,
+                opts.occupied_space_weight,
+                opts.translation_weight,
+                opts.rotation_weight,
+                opts.ceres_solver_options.max_num_iterations,
+            )
+        )
+        poses = []
+        for row in rows[: len(jobs)]:
+            pose = np.asarray(row[:3], np.float64)
+            pose[2] = rigid2.normalize_angle(pose[2])
+            poses.append(pose)
+        return poses
 
     def num_pending(self) -> int:
         return len(self._pending)

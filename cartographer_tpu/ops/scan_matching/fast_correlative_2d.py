@@ -295,17 +295,11 @@ class MatchResult:
     pose: np.ndarray  # SE(2) (3,)
 
 
-# One program for a whole BATCH of independent searches (vmap over the
-# search axis): the constraint builder drains all pending (node, submap)
-# pairs as ONE dispatch + ONE 4-float-per-search fetch — the TPU analog of
-# the reference's thread-pool fan-out (constraint_builder_2d.cc:102-136).
-bnb_search_batch = jax.jit(
-    jax.vmap(
-        bnb_search.__wrapped__,
-        in_axes=(0,) * 13 + (None, None, None),
-    ),
-    static_argnums=(13, 14, 15),
-)
+# The constraint builder drains all pending (node, submap) pairs as ONE
+# vmapped program + ONE 5-float-per-search fetch — the TPU analog of the
+# reference's thread-pool fan-out (constraint_builder_2d.cc:102-136). See
+# _bnb_search_batch_packed (single device, one packed upload) and
+# _bnb_search_batch_gen (mesh-sharded batch axis).
 
 
 @functools.partial(
@@ -315,12 +309,16 @@ bnb_search_batch = jax.jit(
 def _bnb_search_batch_packed(
     pyr, points, pmask, buf, k, a_pad, k0_pad, depth, beam, leaf_probe
 ):
-    """bnb_search_batch fed from ONE packed uint8 buffer holding the ten
-    small per-search arrays (angles/poses/origins/resolutions/candidate
-    grids/window bounds/min scores): a single host->device transfer
-    instead of ten — on a high-latency host link the per-transfer round
-    trips dominate the whole drain (the search program itself runs in
-    ~0.1 ms)."""
+    """bnb_search_batch fed from ONE packed uint8 buffer of per-search
+    SCALARS — the angle ramps and the (angle, x, y) top-level candidate
+    lattices are regenerated on device from (angular step, window counts)
+    instead of being shipped: the lattices alone were ~100 KB/search of
+    host->device transfer, which dominated the whole drain on a
+    high-latency host link (the search program itself runs in ~0.1 ms).
+
+    `buf` packs, per search axis: initial_pose f32 [k, 3], origins f32
+    [k, 2], resolutions f32 [k], min_scores f32 [k], angular steps f32
+    [k], num_angular i32 [k], num_linear i32 [k]."""
     bc = jax.lax.bitcast_convert_type
     o = 0
 
@@ -338,22 +336,23 @@ def _bnb_search_batch_packed(
         o += 4 * n
         return out
 
-    angles = f32((k, a_pad))
     initial = f32((k, 3))
     origins = f32((k, 2))
     res = f32((k,))
     ms = f32((k,))
-    a0 = i32((k, k0_pad))
-    x0 = i32((k, k0_pad))
-    y0 = i32((k, k0_pad))
+    step = f32((k,))
+    na = i32((k,))
     nl = i32((k,))
-    m0 = buf[o: o + k * k0_pad].reshape(k, k0_pad) > 0
+    sidx = i32((k,))
+
     score, best, overflowed = jax.vmap(
-        bnb_search.__wrapped__, in_axes=(0,) * 13 + (None, None, None)
-    )(
-        pyr, points, pmask, angles, initial, origins, res,
-        a0, x0, y0, m0, nl, ms, depth, beam, leaf_probe,
-    )
+        functools.partial(
+            _bnb_search_gen,
+            a_pad=a_pad, k0_pad=k0_pad, depth=depth, beam=beam,
+            leaf_probe=leaf_probe,
+        ),
+        in_axes=(None,) + (0,) * 10,
+    )(pyr, sidx, points, pmask, initial, origins, res, ms, step, na, nl)
     return jnp.concatenate(
         [
             score[:, None].astype(jnp.float32),
@@ -364,12 +363,99 @@ def _bnb_search_batch_packed(
     )
 
 
-_MAX_SEARCH_BATCH = 32  # stacked pyramids cost ~7 MB HBM per search
+def _bnb_search_gen(
+    pyr_stack, sidx_i, pts_i, pm_i, init_i, org_i, res_i, ms_i, step_i,
+    na_i, nl_i,
+    *, a_pad: int, k0_pad: int, depth: int, beam: int, leaf_probe: int,
+):
+    """One search with its angle ramp and top-level candidate lattice
+    generated ON DEVICE from scalars (angular step, window counts) — the
+    same values the host meshgrid produced, without the ~100 KB/search
+    upload. `pyr_stack` is the [S, depth, H, W] stack of the drain's
+    UNIQUE submap pyramids (many searches share a submap); each search
+    gathers its own via `sidx_i` instead of the batch materializing K
+    full copies."""
+    pyr_i = pyr_stack[sidx_i]
+    stride = 1 << (depth - 1)
+    # Angle ramp: (i - num_angular) * step for i < 2*num_angular + 1.
+    ai = jnp.arange(a_pad, dtype=jnp.int32)
+    angles = (ai - na_i).astype(jnp.float32) * step_i
+    # Top-level candidate lattice (angle-major, x, y) with offsets
+    # -num_linear .. num_linear at the top pyramid stride.
+    n_angles = 2 * na_i + 1
+    no = (2 * nl_i) // stride + 1
+    idx = jnp.arange(k0_pad, dtype=jnp.int32)
+    aa = idx // (no * no)
+    r = idx - aa * (no * no)
+    x0 = -nl_i + (r // no) * stride
+    y0 = -nl_i + (r - (r // no) * no) * stride
+    m0 = idx < n_angles * no * no
+    aa = jnp.where(m0, aa, 0)  # keep padded rows' angle gathers in range
+    return bnb_search.__wrapped__(
+        pyr_i, pts_i, pm_i, angles, init_i, org_i, res_i,
+        aa, x0, y0, m0, nl_i, ms_i, depth, beam, leaf_probe,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("a_pad", "k0_pad", "depth", "beam", "leaf_probe")
+)
+def _bnb_search_batch_gen(
+    pyr, sidx, points, pmask, initial, origins, res, ms, step, na, nl,
+    a_pad, k0_pad, depth, beam, leaf_probe,
+):
+    """Mesh-path variant of _bnb_search_batch_packed: separate (tiny)
+    per-search arrays so the batch axis can carry a NamedSharding (the
+    unique-pyramid stack is replicated); the candidate lattices are still
+    generated on device."""
+    return jax.vmap(
+        functools.partial(
+            _bnb_search_gen,
+            a_pad=a_pad, k0_pad=k0_pad, depth=depth, beam=beam,
+            leaf_probe=leaf_probe,
+        ),
+        in_axes=(None,) + (0,) * 10,
+    )(pyr, sidx, points, pmask, initial, origins, res, ms, step, na, nl)
+
+
+# Per-chunk search cap: bounds the [K, 4*beam] beam-frontier arrays (a few
+# hundred KB per search); the pyramid memory is bounded by the number of
+# UNIQUE submaps in the drain (the batch gathers from one stacked copy).
+_MAX_SEARCH_BATCH = 256
+
+# Device-resident stack of the unique pyramids for a drain, memoized across
+# drains (the same finished submaps are searched repeatedly): key = tuple
+# of matcher ids; the value holds strong references to the matchers so the
+# ids stay valid while the entry lives.
+_PYR_STACK_CACHE: "dict[tuple, tuple]" = {}
+_PYR_STACK_CACHE_MAX = 8
+
+
+def _pyramid_stack(matchers):
+    """[S_pad, depth, H, W] device stack of the unique matchers' pyramids
+    (S padded to a power of two with repeats of the first — padding rows
+    are never indexed)."""
+    key = tuple(id(m) for m in matchers)
+    hit = _PYR_STACK_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    s_pad = 2
+    while s_pad < len(matchers):
+        s_pad *= 2
+    stack = jnp.stack(
+        [m._pyramid for m in matchers]
+        + [matchers[0]._pyramid] * (s_pad - len(matchers))
+    )
+    while len(_PYR_STACK_CACHE) >= _PYR_STACK_CACHE_MAX:
+        _PYR_STACK_CACHE.pop(next(iter(_PYR_STACK_CACHE)))
+    _PYR_STACK_CACHE[key] = (stack, tuple(matchers))
+    return stack
 
 
 def batch_match_device(searches, mesh=None):
     """Run K independent searches as one vmapped program (chunks of
-    _MAX_SEARCH_BATCH to bound the stacked-pyramid memory).
+    _MAX_SEARCH_BATCH to bound the beam-frontier memory; pyramid memory
+    is per UNIQUE submap, not per search).
 
     `searches`: list of dicts with keys matcher, initial_pose (None =>
     full submap), device_points ((points, mask) or None), point_cloud,
@@ -443,24 +529,23 @@ def _batch_match_device(
         )
         step = compute_angular_step(m._resolution, max_range)
         num_angular = int(math.ceil(angular / step))
-        angles = (np.arange(2 * num_angular + 1) - num_angular) * step
+        num_angles = 2 * num_angular + 1
+        angles = (np.arange(num_angles) - num_angular) * step
         num_linear = int(math.ceil(linear / m._resolution))
         num_linear = min(num_linear, max(m._shape) + 1)
         top = 1 << (m._depth - 1)
-        offs = np.arange(-num_linear, num_linear + 1, top, dtype=np.int32)
-        a_g, x_g, y_g = np.meshgrid(
-            np.arange(len(angles), dtype=np.int32), offs, offs, indexing="ij"
-        )
+        num_offs = (2 * num_linear) // top + 1
         preps.append(
             dict(
                 m=m, initial=initial, angles=angles.astype(np.float32),
+                step=step, num_angular=num_angular,
                 num_linear=num_linear,
-                cand=(a_g.ravel(), x_g.ravel(), y_g.ravel()),
+                num_candidates=num_angles * num_offs * num_offs,
                 min_score=s["min_score"],
                 pts=pts, device_points=s.get("device_points"),
             )
         )
-        while a_pad < len(angles):
+        while a_pad < num_angles:
             a_pad *= 2
         n_here = (
             preps[-1]["device_points"][0].shape[0]
@@ -471,7 +556,7 @@ def _batch_match_device(
             n_pad *= 2
     k0_pad = 1024
     for pr in preps:
-        while k0_pad < len(pr["cand"][0]):
+        while k0_pad < pr["num_candidates"]:
             k0_pad *= 2
     # Pad the batch axis too (compile-cache stability across drains);
     # padding rows have an all-False candidate mask and decode to None.
@@ -481,10 +566,18 @@ def _batch_match_device(
     while k < len(preps):
         k *= 2
 
-    pyr = jnp.stack(
-        [pr["m"]._pyramid for pr in preps]
-        + [preps[0]["m"]._pyramid] * (k - len(preps))
-    )
+    # Stack only the UNIQUE submap pyramids (device-resident, memoized
+    # across drains); each search row gathers its own by index.
+    uniq_idx: dict = {}
+    uniq_matchers = []
+    for pr in preps:
+        if id(pr["m"]) not in uniq_idx:
+            uniq_idx[id(pr["m"])] = len(uniq_matchers)
+            uniq_matchers.append(pr["m"])
+    pyr = _pyramid_stack(uniq_matchers)
+    sidx = np.zeros((k,), np.int32)
+    for i, pr in enumerate(preps):
+        sidx[i] = uniq_idx[id(pr["m"])]
     # Assemble the point batch HOST-side and ship it as ONE upload.
     # Staged node clouds are pre-padded host arrays (stage_points): a
     # per-row device splice (`.at[i].set`) compiles + dispatches a
@@ -505,29 +598,23 @@ def _batch_match_device(
     points_d = jnp.asarray(points)
     pmask_d = jnp.asarray(pmask)
 
-    angles = np.zeros((k, a_pad), np.float32)
     initial_poses = np.zeros((k, 3), np.float32)
     origins = np.zeros((k, 2), np.float32)
     # Benign values on batch-padding rows (their candidate masks are all
-    # False, but the rotate/discretize preamble still evaluates).
+    # False — num_angular/num_linear 0 with min_score 1e9 — but the
+    # rotate/discretize preamble still evaluates).
     resolutions = np.ones((k,), np.float32)
-    a0 = np.zeros((k, k0_pad), np.int32)
-    x0 = np.zeros((k, k0_pad), np.int32)
-    y0 = np.zeros((k, k0_pad), np.int32)
-    m0 = np.zeros((k, k0_pad), bool)
+    steps = np.ones((k,), np.float32)
+    na = np.zeros((k,), np.int32)
     nl = np.zeros((k,), np.int32)
     ms = np.full((k,), 1e9, np.float32)
     ctxs = []
     for i, pr in enumerate(preps):
-        angles[i, : len(pr["angles"])] = pr["angles"]
         initial_poses[i] = pr["initial"]
         origins[i] = pr["m"]._origin
         resolutions[i] = pr["m"]._resolution
-        ca, cx, cy = pr["cand"]
-        a0[i, : len(ca)] = ca
-        x0[i, : len(cx)] = cx
-        y0[i, : len(cy)] = cy
-        m0[i, : len(ca)] = True
+        steps[i] = pr["step"]
+        na[i] = pr["num_angular"]
         nl[i] = pr["num_linear"]
         ms[i] = pr["min_score"]
         ctxs.append(
@@ -542,20 +629,18 @@ def _batch_match_device(
         else preps[0]["m"]._options.beam_width
     )
     if mesh is None:
-        # Single-device: ship the ten small arrays as ONE packed upload
+        # Single-device: ship the per-search scalars as ONE packed upload
         # (round trips dominate on a remote-attached TPU).
         buf = np.concatenate(
             [
-                angles.ravel().view(np.uint8),
                 initial_poses.ravel().view(np.uint8),
                 origins.ravel().view(np.uint8),
                 resolutions.view(np.uint8),
                 ms.view(np.uint8),
-                a0.ravel().view(np.uint8),
-                x0.ravel().view(np.uint8),
-                y0.ravel().view(np.uint8),
+                steps.view(np.uint8),
+                na.view(np.uint8),
                 nl.view(np.uint8),
-                m0.ravel().astype(np.uint8),
+                sidx.view(np.uint8),
             ]
         )
         packed = _bnb_search_batch_packed(
@@ -565,9 +650,14 @@ def _batch_match_device(
         return packed, ctxs
     else:
         # Shard the search axis: each device owns k/D whole searches
-        # (their pyramids, clouds, and candidate tables); XLA partitions
-        # the vmapped search with no cross-device communication.
-        from cartographer_tpu.parallel.partition import batch_sharding, put
+        # (their pyramids, clouds, and device-generated candidate
+        # lattices); XLA partitions the vmapped search with no
+        # cross-device communication.
+        from cartographer_tpu.parallel.partition import (
+            batch_sharding,
+            put,
+            replicated_sharding,
+        )
 
         metrics.sharded_constraint_batches.increment()
         sharding = batch_sharding(mesh)
@@ -575,17 +665,13 @@ def _batch_match_device(
         def place(arr):
             return put(arr, sharding)
 
-        pyr = place(pyr)
-        points_d = place(points_d)
-        pmask_d = place(pmask_d)
-    score, best, overflowed = bnb_search_batch(
-        pyr, points_d, pmask_d, place(angles),
-        place(initial_poses), place(origins),
-        place(resolutions),
-        place(a0), place(x0), place(y0), place(m0),
-        place(nl), place(ms),
-        depth, beam, _LEAF_PROBE,
-    )
+        score, best, overflowed = _bnb_search_batch_gen(
+            put(pyr, replicated_sharding(mesh)), place(sidx),
+            place(points_d), place(pmask_d),
+            place(initial_poses), place(origins), place(resolutions),
+            place(ms), place(steps), place(na), place(nl),
+            a_pad, k0_pad, depth, beam, _LEAF_PROBE,
+        )
     packed = jnp.concatenate(
         [
             score[:, None].astype(jnp.float32),
@@ -721,9 +807,10 @@ class FastCorrelativeScanMatcher2D:
         beam: Optional[int] = None,
     ):
         """Rotation/discretization happen ON DEVICE (bnb_search): the host
-        uploads only the raw cloud (or reuses `device_points`, a cached
-        [Npad, 2] f32 device array with its mask), and the angle axis is
-        padded to a power of two so the search program compiles once per
+        uploads only the raw cloud (or `device_points` from stage_points —
+        pre-padded HOST arrays uploaded on each dispatch; batch callers
+        splice them into one buffer instead), and the angle axis is padded
+        to a power of two so the search program compiles once per
         (A_pad, N_pad, depth) instead of once per data-dependent angle
         count."""
         initial_rotation = float(initial_pose_estimate[2])

@@ -723,7 +723,9 @@ class FastCorrelativeScanMatcher3D:
         (packed device array [7], decode ctx) or None when the rotational
         histogram prunes every candidate yaw. Callers batching searches
         stack the packed vectors and fetch once. Pass `device_points`
-        (from stage_points) to reuse node clouds already on device."""
+        (from stage_points — pre-padded HOST arrays, uploaded on each
+        dispatch or spliced into the batch upload) to skip re-padding a
+        node's clouds."""
         prep = self._prepare(
             global_node_pose_in_submap, node_histogram, node_gravity_yaw,
             point_cloud, low_resolution_point_cloud, min_score, full_submap,

@@ -329,6 +329,93 @@ def match_log_odds(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "n_pad",
+        "occupied_space_weight",
+        "translation_weight",
+        "rotation_weight",
+        "max_iterations",
+    ),
+)
+def match_log_odds_batch_packed(
+    log_odds: jax.Array,  # f32 [S, H, W] stacked unique submap grids
+    known: jax.Array,  # bool [S, H, W]
+    buf: jax.Array,  # uint8 packed small per-match arrays (see below)
+    k: int,
+    n_pad: int,
+    occupied_space_weight: float,
+    translation_weight: float,
+    rotation_weight: float,
+    max_iterations: int = 20,
+):
+    """ONE device program refining K loop-closure matches: vmapped LM
+    (`match`) over per-match clouds/poses, each gathering its submap's
+    cost grid from the stacked unique set. The constraint builder's drain
+    (constraint_builder_2d.run_pending) calls this once per drain instead
+    of dispatching one refinement per match — on a high-latency host link
+    the per-dispatch round trips dominated the whole loop-closure phase
+    (reference: constraint_builder_2d.cc:246-249 refines each match on
+    its own ThreadPool task).
+
+    `buf` packs, in order: points f32 [k, n_pad, 2], origins f32 [k, 2],
+    initial_poses f32 [k, 3], target_translations f32 [k, 2],
+    resolutions f32 [k], sidx i32 [k], point_masks u8 [k, n_pad].
+    Returns [k, 4] rows (x, y, theta, cost)."""
+    bc = jax.lax.bitcast_convert_type
+    o = 0
+
+    def f32(shape):
+        nonlocal o
+        n = 1
+        for s in shape:
+            n *= s
+        out = bc(buf[o : o + 4 * n].reshape(shape + (4,)), jnp.float32)
+        o += 4 * n
+        return out
+
+    points = f32((k, n_pad, 2))
+    origins = f32((k, 2))
+    initial_poses = f32((k, 3))
+    target_translations = f32((k, 2))
+    resolutions = f32((k,))
+    sidx = bc(buf[o : o + 4 * k].reshape(k, 4), jnp.int32)
+    o += 4 * k
+    point_masks = buf[o : o + k * n_pad].reshape(k, n_pad) > 0
+
+    cost_grids = 1.0 - jnp.where(
+        known, jax.nn.sigmoid(log_odds), pv.MIN_PROBABILITY
+    )
+
+    def one(si, origin, ip, tt, pts, pm, res):
+        return match.__wrapped__(
+            cost_grids[si],
+            origin,
+            ip,
+            tt,
+            pts,
+            pm,
+            res,
+            occupied_space_weight,
+            translation_weight,
+            rotation_weight,
+            max_iterations,
+        )
+
+    poses, costs = jax.vmap(one)(
+        sidx,
+        origins,
+        initial_poses,
+        target_translations,
+        points,
+        point_masks,
+        resolutions,
+    )
+    return jnp.concatenate([poses, costs[:, None]], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
 def match(
     cost_grid: jax.Array,  # f32 [H, W] correspondence cost (unknown -> 0.9)
