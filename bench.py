@@ -113,6 +113,10 @@ def main() -> None:
         "value": round(scans_per_sec, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / REFERENCE_CPU_SCANS_PER_SEC, 3),
+        # Post-run link health: 597-vs-900 scans/s sessions differ by the
+        # tunnel, not the code (docs/STATUS.md); the probe makes that
+        # attributable from this artifact alone.
+        "link": _link_probe(),
     }
     if degraded:
         record["note"] = (
@@ -182,9 +186,10 @@ def _extras(degraded: bool) -> dict:
             extras[name]["note"] = "over budget (cold compile or slow link)"
 
     guard("local_slam_3d_scans_per_sec", "_bench_3d", 600.0)
-    guard("loop_closure_batched_matches_per_sec", "_bench_bnb", 420.0)
+    guard("loop_closure_batched_matches_per_sec", "_bench_bnb", 600.0)
     guard("spa_solve_seconds", "_bench_spa", 420.0)
     guard("ate_synthetic_world", "_bench_ate", 420.0)
+    guard("scaled_world", "_bench_scaled_world", 900.0)
     return extras
 
 
@@ -270,7 +275,29 @@ def _bench_3d() -> dict:
 
 
 def _bench_bnb() -> dict:
+    """Loop-closure row of BASELINE.md, with a MEASURED anchor.
+
+    - CPU anchor: the reference's BnB algorithm (pyramid + DFS) in
+      single-threaded C++ (tools/cpu_anchor, re-derived — agreement with
+      the device matcher is test-asserted) runs on the SAME submap grid,
+      cloud and window on this host's CPU; its matches/s is the
+      vs_baseline denominator. The reference runs one such Match per
+      (node, submap) pair plus a Ceres refinement
+      (constraint_builder_2d.cc:59-343), so the anchor slightly FAVORS
+      the baseline (its refinement cost is excluded).
+    - Drain sweep: wall matches/s of the production constraint-builder
+      drain (ONE batched BnB program + ONE batched GN-refinement
+      program) at drain sizes 16 / 256 / 1024. Production drains at
+      mature-map scale are ~1000 pairs: optimize_every_n_nodes=90 nodes
+      x dozens of finished submaps x sampling_ratio 0.3; the 1024 drain
+      is shaped as 128 nodes x 8 finished submaps. Per-drain host-link
+      latency is ~constant, so the sweep shows the amortization curve.
+    - Link probe: RTT + upload bandwidth recorded so a slow wall number
+      is attributable to the harness link from the artifact alone.
+    """
+    import sys
     import time
+    from pathlib import Path
 
     from cartographer_tpu.common.config import (
         AdaptiveVoxelFilterOptions,
@@ -296,6 +323,7 @@ def _bench_bnb() -> dict:
     from cartographer_tpu.transform import rigid2
     from cartographer_tpu.transform import rigid3 as r3
 
+    t_begin = time.perf_counter()
     direction = np.array([2.0, 1.0, 0.0])
     direction /= np.linalg.norm(direction)
     measurements = generate_fake_range_measurements(
@@ -328,51 +356,140 @@ def _bench_bnb() -> dict:
         ),
     ).points[:, :2]
     center = np.asarray(grid.origin) + 0.5 * 0.05 * 512
+    depth, linear, angular, min_score = 7, 7.0, float(np.radians(30.0)), 0.3
+    out: dict = {"unit": "matches/s"}
 
-    cb_opts = ConstraintBuilderOptions()
-    cb_opts.sampling_ratio = 1.0
-    cb_opts.max_constraint_distance = 1e6
-    cb_opts.min_score = 0.3
-    cb_opts.fast_correlative_scan_matcher = FastCorrelativeScanMatcherOptions2D(
-        branch_and_bound_depth=7,
-        linear_search_window=7.0,
-        angular_search_window=np.radians(30.0),
-    )
-    cb = ConstraintBuilder2D(cb_opts)
-    sid = SubmapId(0, 0)
-    cb.set_submap_local_pose(sid, np.zeros(3))
+    # --- CPU anchor on the same workload (single core, this host). ---
+    try:
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from tools.cpu_anchor.run_anchor import run_anchor
+
+        anchor = run_anchor(
+            np.asarray(grid.probability()),
+            grid.resolution,
+            np.asarray(grid.origin),
+            cloud,
+            rigid2.make(center, 0.1),
+            linear_window=linear,
+            angular_window=angular,
+            min_score=min_score,
+            depth=depth,
+            repeats=40,
+        )
+        out["cpu_anchor_matches_per_sec"] = anchor["matches_per_sec"]
+        out["cpu_anchor_ms_per_match"] = anchor["ms_per_match"]
+    except Exception as e:  # pragma: no cover - toolchain-defensive
+        anchor = None
+        out["cpu_anchor_error"] = f"{type(e).__name__}: {e}"
+
+    out["link"] = _link_probe()
+
     cloud3 = np.concatenate(
         [cloud, np.zeros((len(cloud), 1))], axis=1
     ).astype(np.float32)
-    batch = 16
 
-    def enqueue():
-        for k in range(batch):
-            cb.maybe_add_constraint(
-                sid,
-                grid,
-                NodeId(0, k),
-                TrajectoryNodeData(
-                    time=0.0,
-                    gravity_alignment=np.array([1.0, 0, 0, 0]),
-                    filtered_gravity_aligned_point_cloud=cloud3,
-                    local_pose=r3.identity(),
-                ),
-                rigid2.make(center, 0.1),
+    def make_cb():
+        cb_opts = ConstraintBuilderOptions()
+        cb_opts.sampling_ratio = 1.0
+        cb_opts.max_constraint_distance = 1e6
+        cb_opts.min_score = min_score
+        cb_opts.fast_correlative_scan_matcher = (
+            FastCorrelativeScanMatcherOptions2D(
+                branch_and_bound_depth=depth,
+                linear_search_window=linear,
+                angular_search_window=angular,
             )
+        )
+        return ConstraintBuilder2D(cb_opts)
 
-    enqueue()
-    cb.run_pending()  # warm up / compile
-    enqueue()
-    t0 = time.perf_counter()
-    found = cb.run_pending()
-    dt = time.perf_counter() - t0
-    return {
-        "value": round(batch / dt, 2),
-        "unit": "matches/s",
-        "note": f"batch of {batch} BnB depth-7 searches (7 m/30 deg) + GN "
-        f"refinements, {len(found)} constraints found",
-    }
+    def enqueue(cb, n_nodes, n_submaps):
+        for s in range(n_submaps):
+            cb.set_submap_local_pose(SubmapId(0, s), np.zeros(3))
+        for k in range(n_nodes):
+            node = TrajectoryNodeData(
+                time=0.0,
+                gravity_alignment=np.array([1.0, 0, 0, 0]),
+                filtered_gravity_aligned_point_cloud=cloud3,
+                local_pose=r3.identity(),
+            )
+            for s in range(n_submaps):
+                cb.maybe_add_constraint(
+                    SubmapId(0, s),
+                    grid,
+                    NodeId(0, k),
+                    node,
+                    rigid2.make(center, 0.1),
+                )
+
+    sweep = {}
+    rate_headline = None
+    cb = make_cb()
+    for n_nodes, n_submaps in ((16, 1), (32, 8), (128, 8)):
+        batch = n_nodes * n_submaps
+        enqueue(cb, n_nodes, n_submaps)
+        found = cb.run_pending()  # warm / compile this drain shape
+        if time.perf_counter() - t_begin > 420.0:
+            sweep[f"drain_{batch}"] = "skipped (over budget after warmup)"
+            break
+        enqueue(cb, n_nodes, n_submaps)
+        t0 = time.perf_counter()
+        found = cb.run_pending()
+        dt = time.perf_counter() - t0
+        rate = batch / dt
+        sweep[f"drain_{batch}"] = {
+            "matches_per_sec": round(rate, 2),
+            "drain_seconds": round(dt, 3),
+            "constraints_found": len(found),
+            "shape": f"{n_nodes} nodes x {n_submaps} submaps",
+        }
+        rate_headline = rate
+    out["drain_sweep"] = sweep
+    if rate_headline is not None:
+        out["value"] = round(rate_headline, 2)
+        if anchor is not None:
+            out["vs_baseline"] = round(
+                rate_headline / anchor["matches_per_sec"], 3
+            )
+        out["note"] = (
+            f"largest measured drain (BnB depth-{depth} {linear:.0f} m/30 deg "
+            "searches + GN refinements, 2 device programs per drain); "
+            "vs_baseline anchored to the measured single-core C++ reference "
+            "algorithm on this host (tools/cpu_anchor)"
+        )
+    return out
+
+
+def _link_probe() -> dict:
+    """Host<->device link health: dispatch round-trip latency and upload
+    bandwidth. Recorded in the bench artifact so a degraded tunnel is
+    attributable from the record alone (the TPU here is remote-attached;
+    RTT 50-110 ms and single-digit MB/s have both been observed)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    probe: dict = {}
+    try:
+        x = jnp.ones((8,), jnp.float32)
+        (x + 1).block_until_ready()
+        rtts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            (x + 1).block_until_ready()
+            rtts.append(time.perf_counter() - t0)
+        probe["rtt_ms"] = round(1e3 * float(np.median(rtts)), 2)
+        big = np.ones((4 * 1024 * 1024,), np.float32)  # 16 MB
+        t0 = time.perf_counter()
+        jnp.asarray(big).block_until_ready()
+        probe["upload_MBps"] = round(16.0 / (time.perf_counter() - t0), 1)
+        t0 = time.perf_counter()
+        np.asarray(jnp.zeros((4 * 1024 * 1024,), jnp.float32))
+        probe["download_MBps"] = round(16.0 / (time.perf_counter() - t0), 1)
+        probe["platform"] = jax.devices()[0].platform
+    except Exception as e:  # pragma: no cover - defensive
+        probe["error"] = f"{type(e).__name__}: {e}"
+    return probe
 
 
 def _bench_spa() -> dict:
@@ -534,6 +651,138 @@ def _bench_ate() -> dict:
     }
 
 
+def _bench_scaled_world() -> dict:
+    """Benchmark-scale accuracy + loop-closure-latency evidence: a
+    figure-eight through a pillared hall (~100 m travel, full yaw
+    rotation, ray-cast scans — testing/synthetic.generate_loop_world),
+    full production SLAM IN ONE PROCESS (chunked device frontend + pose
+    graph + batched loop-closure drains + final optimization — the
+    deployed configuration, deliberately NOT subprocess-isolated).
+    Records node/constraint counts, ATE against ground truth, the
+    reference relations metric, per-drain latencies under load, and
+    final-optimization wall time. The tiny reference-faithful world
+    (1.2 m, map_builder_test.cc) stays in the ate_synthetic_world row;
+    this row is the scale that can regress."""
+    import time
+
+    from cartographer_tpu.common.config import (
+        FastCorrelativeScanMatcherOptions2D,
+        GridOptions2D,
+        MapBuilderOptions,
+        MotionFilterOptions,
+        PoseGraphOptions,
+        SubmapsOptions2D,
+        TrajectoryBuilder2DOptions,
+        TrajectoryBuilderOptions,
+    )
+    from cartographer_tpu.evaluation.relations_metric import (
+        compute_relations_metrics,
+        generate_ground_truth,
+    )
+    from cartographer_tpu.mapping.id import NodeId
+    from cartographer_tpu.mapping.map_builder import MapBuilder
+    from cartographer_tpu.testing.synthetic import generate_loop_world
+    from cartographer_tpu.transform import rigid3
+
+    measurements, true_poses = generate_loop_world(
+        half_width=8.0,
+        half_height=6.0,
+        laps=2.0,
+        duration_per_lap=50.0,
+        time_step=0.1,
+        num_beams=512,
+        max_range=12.0,
+        noise_std=0.01,
+    )
+    pose_graph = PoseGraphOptions(optimize_every_n_nodes=40)
+    pose_graph.constraint_builder.sampling_ratio = 0.4
+    pose_graph.constraint_builder.min_score = 0.55
+    pose_graph.constraint_builder.max_constraint_distance = 10.0
+    pose_graph.constraint_builder.fast_correlative_scan_matcher = (
+        FastCorrelativeScanMatcherOptions2D(
+            linear_search_window=4.0,
+            angular_search_window=np.radians(30.0),
+            branch_and_bound_depth=6,
+        )
+    )
+    mb = MapBuilder(
+        MapBuilderOptions(use_trajectory_builder_2d=True, pose_graph=pose_graph)
+    )
+    tid = mb.add_trajectory_builder(
+        {"range"},
+        TrajectoryBuilderOptions(
+            trajectory_builder_2d=TrajectoryBuilder2DOptions(
+                use_imu_data=False,
+                max_range=12.0,
+                motion_filter=MotionFilterOptions(
+                    max_distance_meters=0.15, max_angle_radians=0.08
+                ),
+                submaps=SubmapsOptions2D(
+                    num_range_data=30,
+                    grid_options_2d=GridOptions2D(
+                        resolution=0.05, grid_size=512
+                    ),
+                ),
+            ),
+            use_chunked_device_frontend=True,
+            device_frontend_chunk_size=32,
+        ),
+    )
+    builder = mb.get_trajectory_builder(tid)
+    # Per-call wall times: calls that trigger a pose-graph drain dominate,
+    # so the tail of this distribution IS the loop-closure drain latency
+    # as the caller experiences it (production-shaped, same process).
+    call_times = []
+    t_feed0 = time.perf_counter()
+    for m in measurements:
+        t0 = time.perf_counter()
+        builder.add_sensor_data("range", m)
+        call_times.append(time.perf_counter() - t0)
+    mb.finish_trajectory(tid)
+    feed_seconds = time.perf_counter() - t_feed0
+    t0 = time.perf_counter()
+    mb.pose_graph.run_final_optimization()
+    final_opt_seconds = time.perf_counter() - t0
+
+    time_to_truth = {
+        round(m.time, 6): p for m, p in zip(measurements, true_poses)
+    }
+    truth0 = true_poses[0]
+    times, poses, errs = [], [], []
+    for _, node in mb.pose_graph.get_trajectory_nodes().items(NodeId):
+        t = node.constant_data.time
+        truth = time_to_truth[round(t, 6)]
+        est = rigid3.compose(truth0, np.asarray(node.global_pose, np.float64))
+        times.append(t)
+        poses.append(np.asarray(est))
+        errs.append(
+            float(np.linalg.norm(rigid3.trans(est) - rigid3.trans(truth)))
+        )
+    relations = generate_ground_truth(mb.pose_graph, min_covered_distance=2.0)
+    rel = compute_relations_metrics(relations, times, poses)
+    inter = [c for c in mb.pose_graph.constraints if c.tag == "INTER_SUBMAP"]
+    drains = sorted(call_times, reverse=True)[:8]
+    return {
+        "travel_m": round(2.0 * 6.1 * 8.0, 1),
+        "num_nodes": len(errs),
+        "num_inter_constraints": len(inter),
+        "ate_mean_m": round(float(np.mean(errs)), 4),
+        "ate_max_m": round(float(np.max(errs)), 4),
+        "relations_abs_translational_error_m": round(
+            rel.abs_translational_error_mean, 4
+        ),
+        "relations_abs_rotational_error_deg": round(
+            rel.abs_rotational_error_deg_mean, 4
+        ),
+        "num_relations": rel.num_relations,
+        "feed_seconds_total": round(feed_seconds, 2),
+        "final_optimization_seconds": round(final_opt_seconds, 2),
+        "drain_latencies_s_top8": [round(d, 3) for d in drains],
+        "unit": "m / deg / s (figure-eight, ~100 m, production-shaped "
+        "single process)",
+    }
+
+
 if __name__ == "__main__":
     import sys as _sys
 
@@ -547,6 +796,7 @@ if __name__ == "__main__":
             "_bench_bnb": _bench_bnb,
             "_bench_spa": _bench_spa,
             "_bench_ate": _bench_ate,
+            "_bench_scaled_world": _bench_scaled_world,
         }[_sys.argv[2]]
         print(_json.dumps(_fn()))
     else:

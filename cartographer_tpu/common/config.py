@@ -82,10 +82,11 @@ class ConfigBase:
 # The TPU engine uses Levenberg-Marquardt with Ceres trust-region radius
 # dynamics in the SPA solvers and fixed-iteration LM in the scan matchers;
 # max_num_iterations maps directly, num_threads is ignored
-# (device-parallel), and use_nonmonotonic_steps is accepted for config
-# parity but inert — the fixed-iteration matchers keep monotonic damping
-# (the reference enables it only for the constraint builder's refinement,
-# pose_graph.lua:35, where the fixed LM schedule converges regardless).
+# (device-parallel), and use_nonmonotonic_steps enables Ceres's
+# nonmonotonic trust region (TrustRegionStepEvaluator — step quality
+# against a lagging reference cost) in both the scan-match LM loops and
+# the SPA solvers; the reference's default turns it on for the constraint
+# builder's refinement matcher (pose_graph.lua:35), mirrored here.
 # ---------------------------------------------------------------------------
 
 

@@ -166,6 +166,7 @@ class ChunkedLocalTrajectoryBuilder3D:
         self._popped_submaps: List[Submap3D] = []
         self._last_wall_time: Optional[float] = None
         self._last_sensor_time: Optional[Time] = None
+        self._warned_odometry = False
 
     # -- sensor feeds ---------------------------------------------------------
 
@@ -198,9 +199,26 @@ class ChunkedLocalTrajectoryBuilder3D:
         self._imu_buffer.append(imu_data)
 
     def add_odometry_data(self, odometry_data) -> None:
-        raise NotImplementedError(
-            "chunked device frontend runs without odometry"
-        )
+        """Odometry is accepted but not fused by the chunked 3D device
+        frontend (the IMU-driven extrapolator runs inside the chunk
+        program). The reference feeds odometry to its extrapolator at any
+        time (local_trajectory_builder_3d.cc AddOdometryData); odometry
+        presence is not a config field, so `supports()` cannot reject it
+        at construction — a valid sensor stream must degrade OBSERVABLY
+        (warning once + per-sample counter), not kill the trajectory.
+        Configure use_chunked_device_frontend=False for odometry fusion."""
+        del odometry_data
+        if not self._warned_odometry:
+            self._warned_odometry = True
+            import logging
+
+            logging.warning(
+                "chunked 3D device frontend does not fuse odometry; "
+                "dropping samples (counted by "
+                "mapping_frontend_odometry_samples_dropped). Use "
+                "use_chunked_device_frontend=False for odometry fusion."
+            )
+        metrics.frontend_odometry_dropped.increment()
 
     def add_range_data(
         self, sensor_id: str, unsynchronized_data: TimedPointCloudData

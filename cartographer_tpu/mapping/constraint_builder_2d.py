@@ -78,9 +78,12 @@ class ConstraintBuilder2D:
         self._score_histogram = Histogram()
         self._num_finished_nodes = 0
         self._submap_local_poses: Dict[SubmapId, np.ndarray] = {}
-        # Device-resident node clouds: a node is searched against many
-        # submaps (and by MatchFullSubmap), so its cloud is uploaded once.
+        # Staged (pre-padded) node clouds: a node is searched against many
+        # submaps (and by MatchFullSubmap), so its cloud is padded once
+        # and deduplicated inside each batch upload.
         self._node_clouds: Dict[NodeId, tuple] = {}
+        # Memoized device stacks of unique submap grids for _batch_refine.
+        self._grid_stack_cache: Dict[tuple, tuple] = {}
 
     def _sampler(self, submap_id: SubmapId) -> FixedRatioSampler:
         if submap_id not in self._samplers:
@@ -232,11 +235,12 @@ class ConstraintBuilder2D:
 
         `jobs`: list of (row, _PendingSearch, MatchResult). Stacks the
         UNIQUE submap grids involved (device arrays already resident in
-        HBM), packs the small per-match arrays + clouds into one uint8
-        upload, runs the vmapped LM refinement, and fetches all poses in
-        one round trip. The reference refines each match on its own
-        ThreadPool task (constraint_builder_2d.cc:246-249); per-match
-        dispatch here would pay one host link round trip each.
+        HBM, stack memoized across drains) and the UNIQUE node clouds,
+        packs the small per-match arrays into one uint8 upload, runs the
+        vmapped LM refinement, and fetches all poses in one round trip.
+        The reference refines each match on its own ThreadPool task
+        (constraint_builder_2d.cc:246-249); per-match dispatch here would
+        pay one host link round trip each.
         """
         import jax.numpy as jnp
 
@@ -247,67 +251,68 @@ class ConstraintBuilder2D:
         opts = self._options.ceres_scan_matcher
         grid_index: Dict[SubmapId, int] = {}
         grids = []
-        staged = []
+        cloud_index: Dict[NodeId, int] = {}
+        clouds = []
         n_pad = 64
         for _, search, _result in jobs:
             sid = search.submap_id
             if sid not in grid_index:
                 grid_index[sid] = len(grids)
                 grids.append(self._submap_grids[sid])
-            pts, mask = self._node_clouds[search.node_id]
-            staged.append((pts, mask))
-            while n_pad < pts.shape[0]:
-                n_pad *= 2
+            nid = search.node_id
+            if nid not in cloud_index:
+                cloud_index[nid] = len(clouds)
+                clouds.append(self._node_clouds[nid])
+                while n_pad < clouds[-1][0].shape[0]:
+                    n_pad *= 2
         k = 4
         while k < len(jobs):
             k *= 2
+        u_pad = 4
+        while u_pad < len(clouds):
+            u_pad *= 2
 
-        points = np.zeros((k, n_pad, 2), np.float32)
-        pmask = np.zeros((k, n_pad), np.uint8)
+        points = np.zeros((u_pad, n_pad, 2), np.float32)
+        pmask = np.zeros((u_pad, n_pad), bool)
+        for r, (pts, mask) in enumerate(clouds):
+            points[r, : pts.shape[0]] = pts
+            pmask[r, : mask.shape[0]] = mask
         origins = np.zeros((k, 2), np.float32)
         initial_poses = np.zeros((k, 3), np.float32)
         target_translations = np.zeros((k, 2), np.float32)
         resolutions = np.ones((k,), np.float32)
         sidx = np.zeros((k,), np.int32)
-        for i, ((_, search, result), (pts, mask)) in enumerate(
-            zip(jobs, staged)
-        ):
+        rows_idx = np.zeros((k,), np.int32)
+        for i, (_, search, result) in enumerate(jobs):
             grid = self._submap_grids[search.submap_id]
-            points[i, : pts.shape[0]] = pts
-            pmask[i, : mask.shape[0]] = mask
             origins[i] = np.asarray(grid.origin)
             initial_poses[i] = result.pose
             target_translations[i] = result.pose[:2]
             resolutions[i] = grid.resolution
             sidx[i] = grid_index[search.submap_id]
+            rows_idx[i] = cloud_index[search.node_id]
         buf = np.concatenate(
             [
-                points.ravel().view(np.uint8),
                 origins.ravel().view(np.uint8),
                 initial_poses.ravel().view(np.uint8),
                 target_translations.ravel().view(np.uint8),
                 resolutions.view(np.uint8),
                 sidx.view(np.uint8),
-                pmask.ravel(),
+                rows_idx.view(np.uint8),
             ]
         )
-        # Pad the unique-grid axis to a power of two (compile-cache
-        # stability across drains; padding repeats grid 0, never indexed).
-        s_pad = 2
-        while s_pad < len(grids):
-            s_pad *= 2
-        grids = grids + [grids[0]] * (s_pad - len(grids))
         rows = np.asarray(
             match_log_odds_batch_packed(
-                jnp.stack([g.log_odds for g in grids]),
-                jnp.stack([g.known for g in grids]),
+                *self._grid_stack(grids),
+                jnp.asarray(points),
+                jnp.asarray(pmask),
                 jnp.asarray(buf),
                 k,
-                n_pad,
                 opts.occupied_space_weight,
                 opts.translation_weight,
                 opts.rotation_weight,
                 opts.ceres_solver_options.max_num_iterations,
+                bool(opts.ceres_solver_options.use_nonmonotonic_steps),
             )
         )
         poses = []
@@ -316,6 +321,29 @@ class ConstraintBuilder2D:
             pose[2] = rigid2.normalize_angle(pose[2])
             poses.append(pose)
         return poses
+
+    def _grid_stack(self, grids):
+        """Memoized [S_pad, H, W] device stacks (log_odds, known) of the
+        drain's unique submap grids — padded to a power of two with
+        repeats of the first (padding rows are never indexed)."""
+        import jax.numpy as jnp
+
+        key = tuple(id(g) for g in grids)
+        hit = self._grid_stack_cache.get(key)
+        if hit is not None:
+            return hit[0]
+        s_pad = 2
+        while s_pad < len(grids):
+            s_pad *= 2
+        padded = grids + [grids[0]] * (s_pad - len(grids))
+        stacks = (
+            jnp.stack([g.log_odds for g in padded]),
+            jnp.stack([g.known for g in padded]),
+        )
+        while len(self._grid_stack_cache) >= 8:
+            self._grid_stack_cache.pop(next(iter(self._grid_stack_cache)))
+        self._grid_stack_cache[key] = (stacks, tuple(grids))
+        return stacks
 
     def num_pending(self) -> int:
         return len(self._pending)

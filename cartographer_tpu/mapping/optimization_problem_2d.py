@@ -293,6 +293,9 @@ class OptimizationProblem2D:
             huber_scale=self._options.huber_scale,
             max_iterations=self._max_num_iterations,
             extras=extras,
+            use_nonmonotonic_steps=bool(
+                self._options.ceres_solver_options.use_nonmonotonic_steps
+            ),
         )
         from cartographer_tpu.parallel.partition import fetch
 

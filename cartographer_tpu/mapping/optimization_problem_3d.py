@@ -446,6 +446,9 @@ class OptimizationProblem3D:
             huber_scale=opts.huber_scale,
             max_iterations=self._max_num_iterations,
             extras=extras,
+            use_nonmonotonic_steps=bool(
+                opts.ceres_solver_options.use_nonmonotonic_steps
+            ),
         )
         from cartographer_tpu.parallel.partition import fetch
 

@@ -142,6 +142,7 @@ class CeresScanMatcher2D:
                 opts.translation_weight,
                 opts.rotation_weight,
                 opts.ceres_solver_options.max_num_iterations,
+                bool(opts.ceres_solver_options.use_nonmonotonic_steps),
             )
             pose = np.asarray(pose, np.float64)
             pose[2] = rigid2.normalize_angle(pose[2])
@@ -159,6 +160,7 @@ class CeresScanMatcher2D:
             opts.translation_weight,
             opts.rotation_weight,
             opts.ceres_solver_options.max_num_iterations,
+            bool(opts.ceres_solver_options.use_nonmonotonic_steps),
         )
         pose, cost = jax.device_get((pose, cost))
         pose = np.asarray(pose, np.float64)
@@ -190,6 +192,7 @@ class CeresScanMatcher2D:
             opts.translation_weight,
             opts.rotation_weight,
             opts.ceres_solver_options.max_num_iterations,
+            bool(opts.ceres_solver_options.use_nonmonotonic_steps),
         )
         return jnp.concatenate([pose, cost[None]])
 

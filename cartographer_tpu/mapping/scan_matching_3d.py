@@ -160,6 +160,7 @@ class CeresScanMatcher3D:
                 opts.rotation_weight,
                 opts.ceres_solver_options.max_num_iterations,
                 opts.only_optimize_yaw,
+                bool(opts.ceres_solver_options.use_nonmonotonic_steps),
             )
             packed = np.asarray(packed, np.float64)  # single round trip
             return packed[:7], float(packed[7])
@@ -183,6 +184,7 @@ class CeresScanMatcher3D:
             opts.rotation_weight,
             opts.ceres_solver_options.max_num_iterations,
             opts.only_optimize_yaw,
+            bool(opts.ceres_solver_options.use_nonmonotonic_steps),
         )
         packed = np.asarray(packed, np.float64)  # single round trip
         return packed[:7], float(packed[7])
@@ -222,6 +224,7 @@ class CeresScanMatcher3D:
             opts.rotation_weight,
             opts.ceres_solver_options.max_num_iterations,
             opts.only_optimize_yaw,
+            bool(opts.ceres_solver_options.use_nonmonotonic_steps),
         )
 
     @staticmethod

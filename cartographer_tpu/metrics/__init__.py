@@ -191,6 +191,13 @@ sharded_spa_solves = _factory.counter("parallel_sharded_spa_solves")
 frontend_slow_path_scans = _factory.counter(
     "mapping_frontend_slow_path_scans"
 )
+# Odometry samples the chunked 3D device frontend cannot fuse (it drops
+# them with a warning instead of killing the trajectory; the reference
+# feeds them to the extrapolator, local_trajectory_builder_3d.cc
+# AddOdometryData).
+frontend_odometry_dropped = _factory.counter(
+    "mapping_frontend_odometry_samples_dropped"
+)
 
 
 def _register_all() -> None:
@@ -200,7 +207,7 @@ def _register_all() -> None:
     global constraint_scores, constraints_found, constraints_searched
     global optimization_runs, beam_overflow_retries, grid_oob_points
     global sharded_constraint_batches, sharded_spa_solves
-    global frontend_slow_path_scans
+    global frontend_slow_path_scans, frontend_odometry_dropped
     local_slam_latency = _factory.gauge("mapping_2d_local_trajectory_builder_latency")
     local_slam_real_time_ratio = _factory.gauge(
         "mapping_2d_local_trajectory_builder_real_time_ratio"
@@ -230,4 +237,7 @@ def _register_all() -> None:
     sharded_spa_solves = _factory.counter("parallel_sharded_spa_solves")
     frontend_slow_path_scans = _factory.counter(
         "mapping_frontend_slow_path_scans"
+    )
+    frontend_odometry_dropped = _factory.counter(
+        "mapping_frontend_odometry_samples_dropped"
     )

@@ -316,9 +316,14 @@ def _bnb_search_batch_packed(
     host->device transfer, which dominated the whole drain on a
     high-latency host link (the search program itself runs in ~0.1 ms).
 
+    `points`/`pmask` hold the batch's UNIQUE node clouds (one node is
+    searched against many submaps per drain); each search gathers its
+    row on device via the packed row index.
+
     `buf` packs, per search axis: initial_pose f32 [k, 3], origins f32
     [k, 2], resolutions f32 [k], min_scores f32 [k], angular steps f32
-    [k], num_angular i32 [k], num_linear i32 [k]."""
+    [k], num_angular i32 [k], num_linear i32 [k], pyramid index i32 [k],
+    cloud row i32 [k]."""
     bc = jax.lax.bitcast_convert_type
     o = 0
 
@@ -344,6 +349,7 @@ def _bnb_search_batch_packed(
     na = i32((k,))
     nl = i32((k,))
     sidx = i32((k,))
+    row = i32((k,))
 
     score, best, overflowed = jax.vmap(
         functools.partial(
@@ -351,8 +357,8 @@ def _bnb_search_batch_packed(
             a_pad=a_pad, k0_pad=k0_pad, depth=depth, beam=beam,
             leaf_probe=leaf_probe,
         ),
-        in_axes=(None,) + (0,) * 10,
-    )(pyr, sidx, points, pmask, initial, origins, res, ms, step, na, nl)
+        in_axes=(None, None, None) + (0,) * 9,
+    )(pyr, points, pmask, sidx, row, initial, origins, res, ms, step, na, nl)
     return jnp.concatenate(
         [
             score[:, None].astype(jnp.float32),
@@ -364,18 +370,22 @@ def _bnb_search_batch_packed(
 
 
 def _bnb_search_gen(
-    pyr_stack, sidx_i, pts_i, pm_i, init_i, org_i, res_i, ms_i, step_i,
-    na_i, nl_i,
+    pyr_stack, cloud_pts, cloud_msk, sidx_i, row_i, init_i, org_i, res_i,
+    ms_i, step_i, na_i, nl_i,
     *, a_pad: int, k0_pad: int, depth: int, beam: int, leaf_probe: int,
 ):
     """One search with its angle ramp and top-level candidate lattice
     generated ON DEVICE from scalars (angular step, window counts) — the
     same values the host meshgrid produced, without the ~100 KB/search
     upload. `pyr_stack` is the [S, depth, H, W] stack of the drain's
-    UNIQUE submap pyramids (many searches share a submap); each search
-    gathers its own via `sidx_i` instead of the batch materializing K
-    full copies."""
+    UNIQUE submap pyramids and `cloud_pts`/`cloud_msk` the [U, N, 2]
+    stack of its UNIQUE node clouds (many searches share a submap, and a
+    node is searched against many submaps); each search gathers its own
+    via `sidx_i`/`row_i` instead of the batch materializing K full
+    copies."""
     pyr_i = pyr_stack[sidx_i]
+    pts_i = cloud_pts[row_i]
+    pm_i = cloud_msk[row_i]
     stride = 1 << (depth - 1)
     # Angle ramp: (i - num_angular) * step for i < 2*num_angular + 1.
     ai = jnp.arange(a_pad, dtype=jnp.int32)
@@ -401,21 +411,21 @@ def _bnb_search_gen(
     jax.jit, static_argnames=("a_pad", "k0_pad", "depth", "beam", "leaf_probe")
 )
 def _bnb_search_batch_gen(
-    pyr, sidx, points, pmask, initial, origins, res, ms, step, na, nl,
+    pyr, points, pmask, sidx, row, initial, origins, res, ms, step, na, nl,
     a_pad, k0_pad, depth, beam, leaf_probe,
 ):
     """Mesh-path variant of _bnb_search_batch_packed: separate (tiny)
     per-search arrays so the batch axis can carry a NamedSharding (the
-    unique-pyramid stack is replicated); the candidate lattices are still
-    generated on device."""
+    unique pyramid/cloud stacks are replicated); the candidate lattices
+    are still generated on device."""
     return jax.vmap(
         functools.partial(
             _bnb_search_gen,
             a_pad=a_pad, k0_pad=k0_pad, depth=depth, beam=beam,
             leaf_probe=leaf_probe,
         ),
-        in_axes=(None,) + (0,) * 10,
-    )(pyr, sidx, points, pmask, initial, origins, res, ms, step, na, nl)
+        in_axes=(None, None, None) + (0,) * 9,
+    )(pyr, points, pmask, sidx, row, initial, origins, res, ms, step, na, nl)
 
 
 # Per-chunk search cap: bounds the [K, 4*beam] beam-frontier arrays (a few
@@ -578,23 +588,41 @@ def _batch_match_device(
     sidx = np.zeros((k,), np.int32)
     for i, pr in enumerate(preps):
         sidx[i] = uniq_idx[id(pr["m"])]
-    # Assemble the point batch HOST-side and ship it as ONE upload.
-    # Staged node clouds are pre-padded host arrays (stage_points): a
-    # per-row device splice (`.at[i].set`) compiles + dispatches a
-    # distinct program per row — ~100 ms each on a remote-attached TPU
-    # (measured), dwarfing the ~8 KB/row of re-upload it would save.
-    points = np.zeros((k, n_pad, 2), np.float32)
-    pmask = np.zeros((k, n_pad), bool)
+    # Assemble the UNIQUE node clouds HOST-side and ship them as ONE
+    # upload; each search row gathers its cloud by index on device. A
+    # node is searched against many submaps per drain, so deduplicating
+    # by the staged-tuple identity (stage_points results are cached per
+    # node) cuts the dominant upload by the sharing factor. Per-row
+    # device splices (`.at[i].set`) are NOT an alternative: each compiles
+    # + dispatches a distinct program (~100 ms on a remote-attached TPU).
+    uniq_cloud: dict = {}
+    cloud_list = []
+    rows = np.zeros((k,), np.int32)
     for i, pr in enumerate(preps):
         dp = pr["device_points"]
+        key = id(dp) if dp is not None else None
+        if key is not None and key in uniq_cloud:
+            rows[i] = uniq_cloud[key]
+            continue
+        r = len(cloud_list)
         if dp is not None:
-            p_, m_ = np.asarray(dp[0]), np.asarray(dp[1])
-            points[i, : p_.shape[0]] = p_
-            pmask[i, : m_.shape[0]] = m_
+            cloud_list.append((np.asarray(dp[0]), np.asarray(dp[1])))
+            uniq_cloud[key] = r
         else:
             pts = pr["pts"]
-            points[i, : len(pts)] = pts[:, :2]
-            pmask[i, : len(pts)] = True
+            cloud_list.append((pts[:, :2], None))
+        rows[i] = r
+    u_pad = 4
+    while u_pad < len(cloud_list):
+        u_pad *= 2
+    points = np.zeros((u_pad, n_pad, 2), np.float32)
+    pmask = np.zeros((u_pad, n_pad), bool)
+    for r, (p_, m_) in enumerate(cloud_list):
+        points[r, : p_.shape[0]] = p_
+        if m_ is None:
+            pmask[r, : p_.shape[0]] = True
+        else:
+            pmask[r, : m_.shape[0]] = m_
     points_d = jnp.asarray(points)
     pmask_d = jnp.asarray(pmask)
 
@@ -641,6 +669,7 @@ def _batch_match_device(
                 na.view(np.uint8),
                 nl.view(np.uint8),
                 sidx.view(np.uint8),
+                rows.view(np.uint8),
             ]
         )
         packed = _bnb_search_batch_packed(
@@ -665,9 +694,10 @@ def _batch_match_device(
         def place(arr):
             return put(arr, sharding)
 
+        repl = replicated_sharding(mesh)
         score, best, overflowed = _bnb_search_batch_gen(
-            put(pyr, replicated_sharding(mesh)), place(sidx),
-            place(points_d), place(pmask_d),
+            put(pyr, repl), put(points_d, repl), put(pmask_d, repl),
+            place(sidx), place(rows),
             place(initial_poses), place(origins), place(resolutions),
             place(ms), place(steps), place(na), place(nl),
             a_pad, k0_pad, depth, beam, _LEAF_PROBE,

@@ -25,6 +25,49 @@ import jax.numpy as jnp
 from cartographer_tpu.mapping import probability_values as pv
 
 
+# Ceres TrustRegionStepEvaluator (Conn/Gould/Toint Algorithm 10.1.2)
+# state and transitions, shared by the 2D/3D scan-match LM loops. The
+# reference enables use_nonmonotonic_steps for the constraint builder's
+# refinement matcher by default (pose_graph.lua:35).
+_MAX_CONSECUTIVE_NONMONOTONIC_STEPS = 5
+
+
+def nonmonotonic_init(cost0):
+    """(minimum, reference, candidate costs; accumulated reference /
+    candidate model cost changes; consecutive nonmonotonic steps)."""
+    z = jnp.zeros((), jnp.float32)
+    return (cost0, cost0, cost0, z, z, jnp.zeros((), jnp.int32))
+
+
+def nonmonotonic_quality(ev, cost, new_cost, mcc):
+    """Step quality = max(current, historical relative decrease)."""
+    _, reference_cost, _, acc_ref, _, _ = ev
+    relative = (cost - new_cost) / mcc
+    historical = (reference_cost - new_cost) / (acc_ref + mcc)
+    return jnp.maximum(relative, historical)
+
+
+def nonmonotonic_accepted(ev, new_cost, mcc, accept):
+    """Evaluator transition applied on accepted steps (no-op otherwise)."""
+    minimum_cost, reference_cost, candidate_cost, acc_ref, acc_cand, n = ev
+    improved = new_cost < minimum_cost
+    n_new = jnp.where(improved, 0, n + 1)
+    reset_cand = improved | (new_cost > candidate_cost)
+    cand_new = jnp.where(reset_cand, new_cost, candidate_cost)
+    acc_cand_new = jnp.where(reset_cand, 0.0, acc_cand)
+    promote = n_new == _MAX_CONSECUTIVE_NONMONOTONIC_STEPS
+    ref_new = jnp.where(promote, cand_new, reference_cost)
+    acc_ref_new = jnp.where(promote, acc_cand_new, acc_ref)
+    return (
+        jnp.where(accept & improved, new_cost, minimum_cost),
+        jnp.where(accept, ref_new, reference_cost),
+        jnp.where(accept, cand_new, candidate_cost),
+        jnp.where(accept, acc_ref_new + mcc, acc_ref),
+        jnp.where(accept, acc_cand_new + mcc, acc_cand),
+        jnp.where(accept, n_new, n),
+    )
+
+
 def solve_spd_small(a: jax.Array, b: jax.Array) -> jax.Array:
     """Solve a x = b for small SPD a ([n, n], n static) via unrolled
     Cholesky — pure vector ops, far faster on TPU than the general LU path
@@ -212,7 +255,9 @@ def interp_bilinear_tsdf(tsd: jax.Array, weight: jax.Array, u, v, max_cost: floa
     return cost, wt
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "use_nonmonotonic_steps")
+)
 def match_tsdf(
     tsd: jax.Array,  # f32 [H, W]
     weight: jax.Array,  # f32 [H, W]
@@ -227,9 +272,12 @@ def match_tsdf(
     translation_weight: float,
     rotation_weight: float,
     max_iterations: int = 20,
+    use_nonmonotonic_steps: bool = False,
 ):
     """TSDF refinement (tsdf_match_cost_function_2d.cc: weight-normalized
-    interpolated TSD residuals + translation/rotation deltas)."""
+    interpolated TSD residuals + translation/rotation deltas).
+    `use_nonmonotonic_steps`: Ceres nonmonotonic trust region (see
+    nonmonotonic_quality)."""
     num_points = jnp.maximum(jnp.sum(point_mask), 1)
     osw = occupied_space_weight / jnp.sqrt(num_points.astype(jnp.float32))
 
@@ -260,11 +308,11 @@ def match_tsdf(
         return 0.5 * jnp.sum(r * r)
 
     def cond(carry):
-        pose, lam, cost, it, done = carry
+        pose, lam, cost, it, done, ev = carry
         return (it < max_iterations) & ~done
 
     def step(carry):
-        pose, lam, cost, it, done = carry
+        pose, lam, cost, it, done, ev = carry
         r = res_fn(pose)
         jac = jax.jacfwd(res_fn)(pose)
         jtj = jac.T @ jac
@@ -273,29 +321,41 @@ def match_tsdf(
         delta = -solve_spd_small(damped, jtr)
         new_pose = pose + delta
         new_cost = cost_of(new_pose)
-        accept = new_cost < cost
-        # Ceres-style convergence: relative cost decrease below the
+        if use_nonmonotonic_steps:
+            model_cost_change = -(jtr @ delta + 0.5 * delta @ (jtj @ delta))
+            mcc = jnp.maximum(model_cost_change, 1e-30)
+            quality = nonmonotonic_quality(ev, cost, new_cost, mcc)
+            accept = (model_cost_change > 0.0) & (quality > 1e-3)
+            ev = nonmonotonic_accepted(ev, new_cost, mcc, accept)
+        else:
+            accept = new_cost < cost
+        # Ceres-style convergence: relative cost change below the
         # function tolerance, or the trust region collapsed (lambda huge).
-        converged = (accept & (cost - new_cost <= 1e-6 * cost)) | (
-            ~accept & (lam > 1e3)
-        )
+        converged = (
+            accept & (jnp.abs(cost - new_cost) <= 1e-6 * cost)
+        ) | (~accept & (lam > 1e3))
         pose = jnp.where(accept, new_pose, pose)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0)
-        return (pose, lam, cost, it + 1, converged)
+        return (pose, lam, cost, it + 1, converged, ev)
 
+    pose0 = initial_pose.astype(jnp.float32)
+    cost0 = cost_of(pose0)
     init = (
-        initial_pose.astype(jnp.float32),
+        pose0,
         jnp.float32(1e-4),
-        cost_of(initial_pose.astype(jnp.float32)),
+        cost0,
         jnp.int32(0),
         jnp.asarray(False),
+        nonmonotonic_init(cost0),
     )
-    pose, _, cost, _, _ = jax.lax.while_loop(cond, step, init)
+    pose, _, cost, _, _, _ = jax.lax.while_loop(cond, step, init)
     return pose, cost
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "use_nonmonotonic_steps")
+)
 def match_log_odds(
     log_odds: jax.Array,
     known: jax.Array,
@@ -309,6 +369,7 @@ def match_log_odds(
     translation_weight: float,
     rotation_weight: float,
     max_iterations: int = 20,
+    use_nonmonotonic_steps: bool = False,
 ):
     """match() with the log-odds -> correspondence-cost conversion fused
     into the same device program (avoids eager 1M-cell conversions per
@@ -326,6 +387,7 @@ def match_log_odds(
         translation_weight,
         rotation_weight,
         max_iterations,
+        use_nonmonotonic_steps,
     )
 
 
@@ -333,37 +395,38 @@ def match_log_odds(
     jax.jit,
     static_argnames=(
         "k",
-        "n_pad",
         "occupied_space_weight",
         "translation_weight",
         "rotation_weight",
         "max_iterations",
+        "use_nonmonotonic_steps",
     ),
 )
 def match_log_odds_batch_packed(
     log_odds: jax.Array,  # f32 [S, H, W] stacked unique submap grids
     known: jax.Array,  # bool [S, H, W]
+    cloud_pts: jax.Array,  # f32 [U, N, 2] stacked unique node clouds
+    cloud_msk: jax.Array,  # bool [U, N]
     buf: jax.Array,  # uint8 packed small per-match arrays (see below)
     k: int,
-    n_pad: int,
     occupied_space_weight: float,
     translation_weight: float,
     rotation_weight: float,
     max_iterations: int = 20,
+    use_nonmonotonic_steps: bool = False,
 ):
     """ONE device program refining K loop-closure matches: vmapped LM
-    (`match`) over per-match clouds/poses, each gathering its submap's
-    cost grid from the stacked unique set. The constraint builder's drain
-    (constraint_builder_2d.run_pending) calls this once per drain instead
-    of dispatching one refinement per match — on a high-latency host link
-    the per-dispatch round trips dominated the whole loop-closure phase
-    (reference: constraint_builder_2d.cc:246-249 refines each match on
-    its own ThreadPool task).
+    (`match`) over per-match poses, each gathering its submap's cost grid
+    and its node's cloud from the stacked unique sets. The constraint
+    builder's drain (constraint_builder_2d.run_pending) calls this once
+    per drain instead of dispatching one refinement per match — on a
+    high-latency host link the per-dispatch round trips dominated the
+    whole loop-closure phase (reference: constraint_builder_2d.cc:246-249
+    refines each match on its own ThreadPool task).
 
-    `buf` packs, in order: points f32 [k, n_pad, 2], origins f32 [k, 2],
-    initial_poses f32 [k, 3], target_translations f32 [k, 2],
-    resolutions f32 [k], sidx i32 [k], point_masks u8 [k, n_pad].
-    Returns [k, 4] rows (x, y, theta, cost)."""
+    `buf` packs, in order: origins f32 [k, 2], initial_poses f32 [k, 3],
+    target_translations f32 [k, 2], resolutions f32 [k], sidx i32 [k],
+    cloud rows i32 [k]. Returns [k, 4] rows (x, y, theta, cost)."""
     bc = jax.lax.bitcast_convert_type
     o = 0
 
@@ -376,47 +439,53 @@ def match_log_odds_batch_packed(
         o += 4 * n
         return out
 
-    points = f32((k, n_pad, 2))
+    def i32_vec():
+        nonlocal o
+        out = bc(buf[o : o + 4 * k].reshape(k, 4), jnp.int32)
+        o += 4 * k
+        return out
+
     origins = f32((k, 2))
     initial_poses = f32((k, 3))
     target_translations = f32((k, 2))
     resolutions = f32((k,))
-    sidx = bc(buf[o : o + 4 * k].reshape(k, 4), jnp.int32)
-    o += 4 * k
-    point_masks = buf[o : o + k * n_pad].reshape(k, n_pad) > 0
+    sidx = i32_vec()
+    rows = i32_vec()
 
     cost_grids = 1.0 - jnp.where(
         known, jax.nn.sigmoid(log_odds), pv.MIN_PROBABILITY
     )
 
-    def one(si, origin, ip, tt, pts, pm, res):
+    def one(si, row, origin, ip, tt, res):
         return match.__wrapped__(
             cost_grids[si],
             origin,
             ip,
             tt,
-            pts,
-            pm,
+            cloud_pts[row],
+            cloud_msk[row],
             res,
             occupied_space_weight,
             translation_weight,
             rotation_weight,
             max_iterations,
+            use_nonmonotonic_steps,
         )
 
     poses, costs = jax.vmap(one)(
         sidx,
+        rows,
         origins,
         initial_poses,
         target_translations,
-        points,
-        point_masks,
         resolutions,
     )
     return jnp.concatenate([poses, costs[:, None]], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "use_nonmonotonic_steps")
+)
 def match(
     cost_grid: jax.Array,  # f32 [H, W] correspondence cost (unknown -> 0.9)
     origin: jax.Array,  # f32 [2]
@@ -429,6 +498,7 @@ def match(
     translation_weight: float,
     rotation_weight: float,
     max_iterations: int = 20,
+    use_nonmonotonic_steps: bool = False,
 ):
     """Returns (pose [3], final cost). LM with diagonal damping.
 
@@ -437,7 +507,12 @@ def match(
     extracted at the accepted pose: exactly ONE extraction per iteration
     (candidate evaluation) instead of three (residual + Jacobian +
     candidate) — the Jacobian reuses the carried patch, which is what
-    jacfwd through the stop_gradient computes anyway."""
+    jacfwd through the stop_gradient computes anyway.
+
+    `use_nonmonotonic_steps` switches acceptance to Ceres's nonmonotonic
+    trust region (step quality vs a lagging reference cost, see
+    nonmonotonic_quality) — the reference's default for loop-closure
+    refinement (pose_graph.lua:35)."""
     num_points = jnp.maximum(jnp.sum(point_mask), 1)
     osw = occupied_space_weight / jnp.sqrt(num_points.astype(jnp.float32))
 
@@ -480,11 +555,11 @@ def match(
         return 0.5 * jnp.sum(r * r)
 
     def cond(carry):
-        pose, patch, iu, iv, lam, cost, it, done = carry
+        pose, patch, iu, iv, lam, cost, it, done, ev = carry
         return (it < max_iterations) & ~done
 
     def step(carry):
-        pose, patch, iu, iv, lam, cost, it, done = carry
+        pose, patch, iu, iv, lam, cost, it, done, ev = carry
         r = res_given_patch(pose, patch, iu, iv)
         jac = jax.jacfwd(res_given_patch)(pose, patch, iu, iv)  # [R, 3]
         jtj = jac.T @ jac
@@ -494,33 +569,44 @@ def match(
         new_pose = pose + delta
         new_patch, new_iu, new_iv = extract_at(new_pose)
         new_cost = cost_of(res_given_patch(new_pose, new_patch, new_iu, new_iv))
-        accept = new_cost < cost
-        # Ceres-style convergence: relative cost decrease below the
+        if use_nonmonotonic_steps:
+            model_cost_change = -(
+                jtr @ delta + 0.5 * delta @ (jtj @ delta)
+            )
+            mcc = jnp.maximum(model_cost_change, 1e-30)
+            quality = nonmonotonic_quality(ev, cost, new_cost, mcc)
+            accept = (model_cost_change > 0.0) & (quality > 1e-3)
+            ev = nonmonotonic_accepted(ev, new_cost, mcc, accept)
+        else:
+            accept = new_cost < cost
+        # Ceres-style convergence: relative cost change below the
         # function tolerance, or the trust region collapsed (lambda huge).
-        converged = (accept & (cost - new_cost <= 1e-6 * cost)) | (
-            ~accept & (lam > 1e3)
-        )
+        converged = (
+            accept & (jnp.abs(cost - new_cost) <= 1e-6 * cost)
+        ) | (~accept & (lam > 1e3))
         pose = jnp.where(accept, new_pose, pose)
         patch = jnp.where(accept, new_patch, patch)
         iu = jnp.where(accept, new_iu, iu)
         iv = jnp.where(accept, new_iv, iv)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0)
-        return (pose, patch, iu, iv, lam, cost, it + 1, converged)
+        return (pose, patch, iu, iv, lam, cost, it + 1, converged, ev)
 
     pose0 = initial_pose.astype(jnp.float32)
     patch0, iu0, iv0 = extract_at(pose0)
+    cost0 = cost_of(res_given_patch(pose0, patch0, iu0, iv0))
     init = (
         pose0,
         patch0,
         iu0,
         iv0,
         jnp.float32(1e-4),
-        cost_of(res_given_patch(pose0, patch0, iu0, iv0)),
+        cost0,
         jnp.int32(0),
         jnp.asarray(False),
+        nonmonotonic_init(cost0),
     )
-    pose, _, _, _, _, cost, _, _ = jax.lax.while_loop(cond, step, init)
+    pose, _, _, _, _, cost, _, _, _ = jax.lax.while_loop(cond, step, init)
     return pose, cost
 
 

@@ -22,7 +22,12 @@ import jax.numpy as jnp
 
 from cartographer_tpu.mapping import probability_values as pv
 from cartographer_tpu.mapping.paged_grid_3d import gather_probability
-from cartographer_tpu.ops.scan_matching.gauss_newton_2d import solve_spd_small
+from cartographer_tpu.ops.scan_matching.gauss_newton_2d import (
+    nonmonotonic_accepted,
+    nonmonotonic_init,
+    nonmonotonic_quality,
+    solve_spd_small,
+)
 
 
 def _quat_multiply(q1, q2):
@@ -152,7 +157,12 @@ def interp_smoothstep_3d(prob: jax.Array, u, v, w):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iterations", "only_optimize_yaw")
+    jax.jit,
+    static_argnames=(
+        "max_iterations",
+        "only_optimize_yaw",
+        "use_nonmonotonic_steps",
+    ),
 )
 def match_3d_intensity(
     high_prob: jax.Array,
@@ -179,6 +189,7 @@ def match_3d_intensity(
     rotation_weight: float,
     max_iterations: int = 12,
     only_optimize_yaw: bool = False,
+    use_nonmonotonic_steps: bool = False,
 ):
     """match_3d plus the intensity residual block
     (intensity_cost_function_3d.cc: Huber-robustified difference between the
@@ -223,11 +234,17 @@ def match_3d_intensity(
         translation_weight, rotation_weight,
         max_iterations, only_optimize_yaw,
         extra_block=(intensity_extract, intensity_residual),
+        use_nonmonotonic_steps=use_nonmonotonic_steps,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iterations", "only_optimize_yaw")
+    jax.jit,
+    static_argnames=(
+        "max_iterations",
+        "only_optimize_yaw",
+        "use_nonmonotonic_steps",
+    ),
 )
 def match_3d(
     high_prob: jax.Array,
@@ -249,6 +266,7 @@ def match_3d(
     rotation_weight: float,
     max_iterations: int = 12,
     only_optimize_yaw: bool = False,
+    use_nonmonotonic_steps: bool = False,
 ):
     """Returns (translation [3], quaternion [4], cost)."""
     return _match_3d_impl(
@@ -260,6 +278,7 @@ def match_3d(
         translation_weight, rotation_weight,
         max_iterations, only_optimize_yaw,
         extra_block=None,
+        use_nonmonotonic_steps=use_nonmonotonic_steps,
     )
 
 
@@ -284,6 +303,7 @@ def _match_3d_impl(
     max_iterations,
     only_optimize_yaw,
     extra_block=None,
+    use_nonmonotonic_steps=False,
 ):
     """LM loop with carried interpolation corners (see _corners_pack) and
     Ceres-style early exit (function_tolerance 1e-6 / collapsed trust
@@ -344,11 +364,11 @@ def _match_3d_impl(
         return 0.5 * jnp.sum(rr * rr)
 
     def cond(carry):
-        x, packs, lam, cost, it, done = carry
+        x, packs, lam, cost, it, done, ev = carry
         return (it < max_iterations) & ~done
 
     def step(carry):
-        x, packs, lam, cost, it, done = carry
+        x, packs, lam, cost, it, done, ev = carry
         r = residuals_given(x, packs)
         jac = jax.jacfwd(residuals_given)(x, packs)
         jtj = jac.T @ jac
@@ -361,25 +381,35 @@ def _match_3d_impl(
         # branch does not stay conditional after lowering.
         new_packs = extract_all(new_x)
         new_cost = cost_of(new_x, new_packs)
-        accept = new_cost < cost
-        converged = (accept & (cost - new_cost <= 1e-6 * cost)) | (
-            ~accept & (lam > 1e3)
-        )
+        if use_nonmonotonic_steps:
+            # Ceres nonmonotonic trust region (pose_graph.lua:35 enables
+            # it for loop-closure refinement by default).
+            model_cost_change = -(jtr @ delta + 0.5 * delta @ (jtj @ delta))
+            mcc = jnp.maximum(model_cost_change, 1e-30)
+            quality = nonmonotonic_quality(ev, cost, new_cost, mcc)
+            accept = (model_cost_change > 0.0) & (quality > 1e-3)
+            ev = nonmonotonic_accepted(ev, new_cost, mcc, accept)
+        else:
+            accept = new_cost < cost
+        converged = (
+            accept & (jnp.abs(cost - new_cost) <= 1e-6 * cost)
+        ) | (~accept & (lam > 1e3))
         x = jnp.where(accept, new_x, x)
         packs = jax.tree.map(
             lambda new, old: jnp.where(accept, new, old), new_packs, packs
         )
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12), lam * 4.0)
-        return (x, packs, lam, cost, it + 1, converged)
+        return (x, packs, lam, cost, it + 1, converged, ev)
 
     x0 = jnp.concatenate([initial_translation, jnp.zeros(3, jnp.float32)])
     packs0 = extract_all(x0)
+    cost0 = cost_of(x0, packs0)
     init = (
-        x0, packs0, jnp.float32(1e-4), cost_of(x0, packs0),
-        jnp.int32(0), jnp.asarray(False),
+        x0, packs0, jnp.float32(1e-4), cost0,
+        jnp.int32(0), jnp.asarray(False), nonmonotonic_init(cost0),
     )
-    x, _, _, cost, _, _ = jax.lax.while_loop(cond, step, init)
+    x, _, _, cost, _, _, _ = jax.lax.while_loop(cond, step, init)
     t, q, _ = decode(x)
     # One packed result vector: the host pays a single device->host round
     # trip per scan (the link to a remote-attached TPU is latency-bound).

@@ -8,13 +8,15 @@ nonlinear least squares over (x, y, theta) per submap and node with:
 * first submap (and frozen trajectories) held constant.
 
 TPU-native replacement for Ceres: matrix-free Levenberg-Marquardt with
-Ceres's exact trust-region dynamics (trust_region_minimizer.cc /
+Ceres's trust-region dynamics (trust_region_minimizer.cc /
 levenberg_marquardt_strategy.cc — rho = actual/model cost reduction from
 the linearized residuals, accept iff rho > min_relative_decrease, radius
 grown by up to 3x on high-quality steps and shrunk by a doubling
-decrease factor on rejections; damping lambda = 1/radius). Each outer
-iteration freezes Huber IRLS weights, then solves the damped normal
-equations (J^T J + lambda I) dx = -J^T r with conjugate gradients using
+decrease factor on rejections; damping D^T D / radius with D = clamped
+sqrt(diag(J^T J)), i.e. Ceres's Jacobi scaling; optional nonmonotonic
+step acceptance per TrustRegionStepEvaluator). Each outer iteration
+freezes Huber IRLS weights, then solves the damped normal
+equations (J^T J + D^T D/radius) dx = -J^T r with conjugate gradients using
 jvp/vjp Hessian-vector products — no materialized Jacobian, all residual
 blocks evaluated as batched gathers. Fixed parameters are handled by
 projecting the search direction. Scales as O(constraints) per CG step and
@@ -133,16 +135,44 @@ def _weighted(r_c, r_n, p: SpaProblem, huber_scale: float):
     return r_c, r_n
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations", "cg_iterations"))
+# Ceres LevenbergMarquardtStrategy clamps diag(J^T J) into
+# [min_diagonal=1e-6, max_diagonal=1e32] before damping with D^T D/radius.
+_MIN_DIAGONAL = 1e-6
+_MAX_DIAGONAL = 1e32
+# Trust-region collapse termination. Ceres's min_trust_region_radius
+# default is 1e-32; float32 radii underflow far above that, so 1e-10 is
+# the practical equivalent here (documented deviation — consecutive
+# rejections from the 1e4 start take ~46 halvings to reach it, so the
+# solver keeps trying heavily damped steps instead of quitting early).
+_MIN_TRUST_REGION_RADIUS = 1e-10
+# Ceres TrustRegionStepEvaluator default window for nonmonotonic steps.
+_MAX_CONSECUTIVE_NONMONOTONIC_STEPS = 5
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iterations",
+        "cg_iterations",
+        "use_nonmonotonic_steps",
+    ),
+)
 def solve(
     p: SpaProblem,
     huber_scale: float,
     max_iterations: int = 50,
     cg_iterations: int = 64,
     extras: SpaExtras | None = None,
+    use_nonmonotonic_steps: bool = False,
 ):
     """Returns (submap_poses, node_poses, final_cost) — plus, when `extras`
-    is given, landmark poses and fixed-frame poses appended to the tuple."""
+    is given, landmark poses and fixed-frame poses appended to the tuple.
+
+    `use_nonmonotonic_steps` enables Ceres's nonmonotonic trust region
+    (TrustRegionStepEvaluator, Conn/Gould/Toint Algorithm 10.1.2): step
+    quality is the max of the current relative decrease and the decrease
+    against a lagging reference cost, so steps that temporarily worsen
+    the cost within the reference window are accepted."""
 
     free_s = p.free_submap[:, None].astype(jnp.float32)
     free_n = p.free_node[:, None].astype(jnp.float32)
@@ -208,12 +238,15 @@ def solve(
             out.append(params[3] * free_f)
         return tuple(out)
 
-    def diag_precondition(params, lam):
+    def jtj_diag(params):
         """Exact diag(J^T J) via one Hutchinson-free trick: for residual
         r(x) with Jacobian J, diag(J^T J)_k = sum_rows J_rk^2. Computed by
         squaring the per-row parameter-block Jacobians (vmapped jacfwd of
         the row residual over its two incident poses) and scatter-adding
-        into the pose tables — O(rows) work, same as one CG step."""
+        into the pose tables — O(rows) work, same as one CG step. Used
+        both for the Jacobi CG preconditioner and for the Ceres LM
+        damping scale D^T D (levenberg_marquardt_strategy.cc: D =
+        clamped sqrt(diag), damping = D^T D / radius)."""
 
         def row_sq(start_end_fn, idx_a, idx_b, table_a, table_b, z, w3, mask):
             def row(a, b, zz):
@@ -251,16 +284,19 @@ def solve(
         if has_extras:
             diags.append(jnp.zeros_like(extras.l_poses))
             diags.append(jnp.zeros_like(extras.f_pose))
-        # Damped diagonal on the free subspace, identity on the fixed one.
-        frees = [free_s, free_n] + ([free_l, free_f] if has_extras else [])
-        return tuple(
-            jnp.where(fr > 0, d + lam, 1.0)
-            for d, fr in zip(diags, frees)
-        )
+        return tuple(diags)
+
+    frees = [free_s, free_n] + ([free_l, free_f] if has_extras else [])
 
     def outer_step(carry):
-        params, radius, decrease_factor, cost, it, done = carry
-        lam = 1.0 / radius
+        params, radius, decrease_factor, cost, it, done, ev = carry
+        diag = jtj_diag(params)
+        # Ceres LM damping: D^T D / radius with D = clamped sqrt(diag)
+        # (Jacobi scaling — step shape matches Ceres on problems mixing
+        # translation/rotation magnitudes, unlike (1/radius) * I).
+        damp = tuple(
+            jnp.clip(d, _MIN_DIAGONAL, _MAX_DIAGONAL) / radius for d in diag
+        )
 
         def res_flat(pr):
             return jnp.concatenate([r.reshape(-1) for r in weighted_res(pr)])
@@ -276,10 +312,16 @@ def solve(
             # Identity on the fixed subspace keeps the operator SPD (the rhs
             # is zero there, so fixed components stay exactly zero).
             return tuple(
-                a + lam * b + (raw - b) for a, b, raw in zip(jtv, pv_, v)
+                a + dmp * b + (raw - b)
+                for a, b, raw, dmp in zip(jtv, pv_, v, damp)
             )
 
-        pre = diag_precondition(params, lam)
+        # Jacobi preconditioner of the damped operator on the free
+        # subspace, identity on the fixed one.
+        pre = tuple(
+            jnp.where(fr > 0, d + dmp, 1.0)
+            for d, dmp, fr in zip(diag, damp, frees)
+        )
 
         def apply_pre(v):
             return tuple(a / d for a, d in zip(v, pre))
@@ -298,8 +340,41 @@ def solve(
         _, jdx = jax.jvp(res_flat, (params,), (dx,))
         model_cost_change = -(jnp.sum(r0 * jdx) + 0.5 * jnp.sum(jdx * jdx))
         valid = model_cost_change > 0.0
-        rho = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-30)
+        mcc = jnp.maximum(model_cost_change, 1e-30)
+        relative_decrease = (cost - new_cost) / mcc
+        if use_nonmonotonic_steps:
+            # Ceres TrustRegionStepEvaluator::StepQuality: max of the
+            # current and the historical (reference-cost) decrease.
+            minimum_cost, reference_cost, candidate_cost, acc_ref, acc_cand, n_nonmono = ev
+            historical = (reference_cost - new_cost) / (acc_ref + mcc)
+            rho = jnp.maximum(relative_decrease, historical)
+        else:
+            rho = relative_decrease
         accept = valid & (rho > 1e-3)  # Ceres min_relative_decrease
+        if use_nonmonotonic_steps:
+            # Ceres TrustRegionStepEvaluator::StepAccepted (Conn/Gould/
+            # Toint Algorithm 10.1.2): track the best cost, reset the
+            # candidate on new minima, promote the candidate to reference
+            # after max_consecutive_nonmonotonic_steps.
+            improved = new_cost < minimum_cost
+            n_new = jnp.where(improved, 0, n_nonmono + 1)
+            cand_new = jnp.where(
+                improved | (new_cost > candidate_cost), new_cost, candidate_cost
+            )
+            acc_cand_new = jnp.where(
+                improved | (new_cost > candidate_cost), 0.0, acc_cand
+            )
+            promote = n_new == _MAX_CONSECUTIVE_NONMONOTONIC_STEPS
+            ref_new = jnp.where(promote, cand_new, reference_cost)
+            acc_ref_new = jnp.where(promote, acc_cand_new, acc_ref)
+            ev = (
+                jnp.where(accept & improved, new_cost, minimum_cost),
+                jnp.where(accept, ref_new, reference_cost),
+                jnp.where(accept, cand_new, candidate_cost),
+                jnp.where(accept, acc_ref_new + mcc, acc_ref),
+                jnp.where(accept, acc_cand_new + mcc, acc_cand),
+                jnp.where(accept, n_new, n_nonmono),
+            )
         # Radius dynamics (levenberg_marquardt_strategy.cc StepAccepted /
         # StepRejected): grow by up to 3x on high-quality steps, shrink by
         # a doubling decrease factor on rejections.
@@ -309,16 +384,16 @@ def solve(
         )
         new_radius = jnp.where(accept, radius_acc, radius / decrease_factor)
         decrease_factor = jnp.where(accept, 2.0, decrease_factor * 2.0)
-        # Termination: relative cost decrease below the function
-        # tolerance, or the trust region collapsed.
-        converged = (accept & (cost - new_cost <= 1e-7 * cost)) | (
-            new_radius < 1e-5
-        )
+        # Termination: relative cost change below the function tolerance,
+        # or the trust region collapsed (see _MIN_TRUST_REGION_RADIUS).
+        converged = (
+            accept & (jnp.abs(cost - new_cost) <= 1e-7 * cost)
+        ) | (new_radius < _MIN_TRUST_REGION_RADIUS)
         params = tuple(
             jnp.where(accept, b, a) for a, b in zip(params, new_params)
         )
         cost = jnp.where(accept, new_cost, cost)
-        return (params, new_radius, decrease_factor, cost, it + 1, converged)
+        return (params, new_radius, decrease_factor, cost, it + 1, converged, ev)
 
     def outer_cond(carry):
         it, done = carry[4], carry[5]
@@ -328,12 +403,21 @@ def solve(
     if has_extras:
         init_params += [extras.l_poses, extras.f_pose]
     init_params = tuple(init_params)
-    params, _, _, cost, _, _ = jax.lax.while_loop(
+    cost0 = cost_of(init_params)
+    ev0 = (
+        cost0,  # minimum_cost
+        cost0,  # reference_cost
+        cost0,  # candidate_cost
+        jnp.float32(0.0),  # accumulated reference model cost change
+        jnp.float32(0.0),  # accumulated candidate model cost change
+        jnp.int32(0),  # consecutive nonmonotonic steps
+    )
+    params, _, _, cost, _, _, _ = jax.lax.while_loop(
         outer_cond,
         outer_step,
         (
             init_params, jnp.float32(1e4), jnp.float32(2.0),
-            cost_of(init_params), jnp.int32(0), jnp.asarray(False),
+            cost0, jnp.int32(0), jnp.asarray(False), ev0,
         ),
     )
     # Normalize angles on the way out.

@@ -166,17 +166,40 @@ def _qlog(q):
     return q[..., 1:4] * scale[..., None]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations", "cg_iterations"))
+# See ops/spa_solver.py for the Ceres references; float32 radii make
+# Ceres's 1e-32 min_trust_region_radius unreachable, so 1e-10 is the
+# practical equivalent (documented deviation).
+_MIN_TRUST_REGION_RADIUS = 1e-10
+_MAX_CONSECUTIVE_NONMONOTONIC_STEPS = 5
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iterations",
+        "cg_iterations",
+        "use_nonmonotonic_steps",
+    ),
+)
 def solve_3d(
     p: SpaProblem3D,
     huber_scale: float,
     max_iterations: int = 50,
     cg_iterations: int = 64,
     extras: SpaExtras3D | None = None,
+    use_nonmonotonic_steps: bool = False,
 ):
     """Returns (submap_t, submap_q, node_t, node_q, gravity, calib_q, cost)
     — plus, when `extras` is given, (landmark_t, landmark_q, fixed_t,
-    fixed_q) appended before cost."""
+    fixed_q) appended before cost.
+
+    Trust-region dynamics follow Ceres (rho-based acceptance, radius
+    growth/shrink); damping is (1/radius) * I — IDENTITY scaling, not
+    Ceres's Jacobi-scaled D^T D/radius (the 2D solver has the scaled
+    form; here the local-parameterization tangent basis keeps parameter
+    magnitudes comparable, and the deviation is documented rather than
+    claimed exact). `use_nonmonotonic_steps` enables Ceres's
+    TrustRegionStepEvaluator (see ops/spa_solver.py)."""
     S = p.submap_t.shape[0]
     N = p.node_t.shape[0]
     T = p.gravity.shape[0]
@@ -372,7 +395,7 @@ def solve_3d(
         return tuple(out)
 
     def outer_step(carry):
-        params, radius, decrease_factor, cost, it, done = carry
+        params, radius, decrease_factor, cost, it, done, ev = carry
         lam = 1.0 / radius
 
         r0 = res_flat(params)
@@ -403,8 +426,37 @@ def solve_3d(
         _, jdx = jax.jvp(res_flat, (params,), (dx,))
         model_cost_change = -(jnp.sum(r0 * jdx) + 0.5 * jnp.sum(jdx * jdx))
         valid = model_cost_change > 0.0
-        rho = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-30)
+        mcc = jnp.maximum(model_cost_change, 1e-30)
+        relative_decrease = (cost - new_cost) / mcc
+        if use_nonmonotonic_steps:
+            # Ceres TrustRegionStepEvaluator::StepQuality (see the 2D
+            # solver for the full reference notes).
+            minimum_cost, reference_cost, candidate_cost, acc_ref, acc_cand, n_nonmono = ev
+            historical = (reference_cost - new_cost) / (acc_ref + mcc)
+            rho = jnp.maximum(relative_decrease, historical)
+        else:
+            rho = relative_decrease
         accept = valid & (rho > 1e-3)
+        if use_nonmonotonic_steps:
+            improved = new_cost < minimum_cost
+            n_new = jnp.where(improved, 0, n_nonmono + 1)
+            cand_new = jnp.where(
+                improved | (new_cost > candidate_cost), new_cost, candidate_cost
+            )
+            acc_cand_new = jnp.where(
+                improved | (new_cost > candidate_cost), 0.0, acc_cand
+            )
+            promote = n_new == _MAX_CONSECUTIVE_NONMONOTONIC_STEPS
+            ref_new = jnp.where(promote, cand_new, reference_cost)
+            acc_ref_new = jnp.where(promote, acc_cand_new, acc_ref)
+            ev = (
+                jnp.where(accept & improved, new_cost, minimum_cost),
+                jnp.where(accept, ref_new, reference_cost),
+                jnp.where(accept, cand_new, candidate_cost),
+                jnp.where(accept, acc_ref_new + mcc, acc_ref),
+                jnp.where(accept, acc_cand_new + mcc, acc_cand),
+                jnp.where(accept, n_new, n_nonmono),
+            )
         # Radius dynamics (levenberg_marquardt_strategy.cc StepAccepted /
         # StepRejected): grow by up to 3x on high-quality steps, shrink
         # by a doubling decrease factor on rejections.
@@ -414,16 +466,16 @@ def solve_3d(
         )
         new_radius = jnp.where(accept, radius_acc, radius / decrease_factor)
         decrease_factor = jnp.where(accept, 2.0, decrease_factor * 2.0)
-        # Termination: relative decrease below the function tolerance, or
-        # the trust region collapsed.
-        converged = (accept & (cost - new_cost <= 1e-7 * cost)) | (
-            new_radius < 1e-5
-        )
+        # Termination: relative cost change below the function tolerance,
+        # or the trust region collapsed (_MIN_TRUST_REGION_RADIUS).
+        converged = (
+            accept & (jnp.abs(cost - new_cost) <= 1e-7 * cost)
+        ) | (new_radius < _MIN_TRUST_REGION_RADIUS)
         params = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), params, new_params
         )
         cost = jnp.where(accept, new_cost, cost)
-        return (params, new_radius, decrease_factor, cost, it + 1, converged)
+        return (params, new_radius, decrease_factor, cost, it + 1, converged, ev)
 
     def outer_cond(carry):
         it, done = carry[4], carry[5]
@@ -447,12 +499,17 @@ def solve_3d(
             jnp.zeros((F, 1), jnp.float32),
         ]
     init_params = tuple(init_params)
-    params, _, _, cost, _, _ = jax.lax.while_loop(
+    cost0 = cost_of(init_params)
+    ev0 = (
+        cost0, cost0, cost0,
+        jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0),
+    )
+    params, _, _, cost, _, _, _ = jax.lax.while_loop(
         outer_cond,
         outer_step,
         (
             init_params, jnp.float32(1e4), jnp.float32(2.0),
-            cost_of(init_params), jnp.int32(0), jnp.asarray(False),
+            cost0, jnp.int32(0), jnp.asarray(False), ev0,
         ),
     )
     poses = poses_of(params)

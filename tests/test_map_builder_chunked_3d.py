@@ -129,3 +129,51 @@ class TestChunkedMapBuilder3D:
 
         constraints = mb.pose_graph.constraints
         assert any(c.tag == "INTRA_SUBMAP" for c in constraints)
+
+
+def test_odometry_degrades_observably_not_fatally():
+    """A valid odometry stream must not kill a chunked-3D trajectory:
+    samples are dropped with a warning and counted
+    (mapping_frontend_odometry_samples_dropped) — odometry presence is not
+    a config field, so supports() cannot reject it at construction. The
+    reference fuses odometry at any time (local_trajectory_builder_3d.cc
+    AddOdometryData); the host path (use_chunked_device_frontend=False)
+    retains that behavior."""
+    from cartographer_tpu import metrics
+    from cartographer_tpu.sensor.data import OdometryData
+
+    metrics.enable_collection()
+    before = metrics.frontend_odometry_dropped.value()
+    mb = MapBuilder(map_builder_options())
+    tid = mb.add_trajectory_builder(
+        {"range", "imu", "odometry"}, trajectory_options()
+    )
+    builder = mb.get_trajectory_builder(tid)
+    direction = np.array([2.0, 1.0, 0.0])
+    direction /= np.linalg.norm(direction)
+    translation = direction * TRAVEL_DISTANCE
+    measurements = generate_fake_range_measurements(
+        translation=translation, duration=DURATION, time_step=TIME_STEP
+    )
+    imu = imu_stream(FAKE_START_TIME - 0.5, FAKE_START_TIME + DURATION + 0.2)
+    velocity = translation / DURATION
+    odom = [
+        OdometryData(
+            time=t,
+            pose=rigid3.translation((t - FAKE_START_TIME) * velocity),
+        )
+        for t in np.arange(FAKE_START_TIME, FAKE_START_TIME + DURATION, 0.1)
+    ]
+    events = (
+        [("imu", d.time, d) for d in imu]
+        + [("odometry", d.time, d) for d in odom]
+        + [("range", m.time, m) for m in measurements]
+    )
+    events.sort(key=lambda e: e[1])
+    for kind, _, payload in events:
+        builder.add_sensor_data(kind, payload)
+    mb.finish_trajectory(tid)
+    mb.pose_graph.run_final_optimization()
+
+    assert metrics.frontend_odometry_dropped.value() - before >= len(odom) // 2
+    assert len(list(mb.pose_graph.get_trajectory_nodes().items(NodeId))) > 5

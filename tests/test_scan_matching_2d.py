@@ -192,3 +192,74 @@ class TestBandMatcher:
         p2, c2 = gn.match_bands(*args)
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
         assert float(c2) == pytest.approx(float(c1), rel=1e-3)
+
+
+class TestNonmonotonicSteps:
+    """use_nonmonotonic_steps (Ceres TrustRegionStepEvaluator) — the
+    reference's default for loop-closure refinement (pose_graph.lua:35)."""
+
+    def test_converges_with_nonmonotonic_acceptance(self):
+        grid, points = build_world()
+        matcher = CeresScanMatcher2D(
+            CeresScanMatcherOptions2D(
+                occupied_space_weight=1.0,
+                translation_weight=0.1,
+                rotation_weight=0.1,
+                ceres_solver_options=SolverOptions(
+                    max_num_iterations=30, use_nonmonotonic_steps=True
+                ),
+            )
+        )
+        initial = rigid2.make([0.05, -0.04], np.radians(1.0))
+        pose, cost = matcher.match(np.zeros(2), initial, points, grid)
+        np.testing.assert_allclose(pose[:2], [0.0, 0.0], atol=0.045)
+        assert abs(pose[2]) < np.radians(1.0)
+        assert np.isfinite(cost)
+
+    def test_evaluator_accepts_worsening_step_within_window(self):
+        """A step that worsens the current cost but improves on the lagging
+        reference cost has positive quality — the defining property of the
+        nonmonotonic trust region (rejected outright by monotonic
+        acceptance)."""
+        from cartographer_tpu.ops.scan_matching.gauss_newton_2d import (
+            nonmonotonic_accepted,
+            nonmonotonic_init,
+            nonmonotonic_quality,
+        )
+
+        ev = nonmonotonic_init(jnp.float32(100.0))
+        # First accepted step improves: cost 100 -> 50, mcc 40.
+        q1 = nonmonotonic_quality(ev, 100.0, 50.0, 40.0)
+        assert float(q1) > 1e-3
+        ev = nonmonotonic_accepted(ev, jnp.float32(50.0), 40.0, True)
+        # Next candidate WORSENS the current cost (50 -> 60) but still
+        # beats the reference (100): historical quality is positive.
+        q2 = nonmonotonic_quality(ev, 50.0, 60.0, 20.0)
+        assert float(q2) > 1e-3  # accepted nonmonotonically
+        assert (50.0 - 60.0) / 20.0 < 0  # monotonic quality would reject
+        ev = nonmonotonic_accepted(ev, jnp.float32(60.0), 20.0, True)
+        # The minimum cost is retained, not overwritten by the worse step.
+        assert float(ev[0]) == 50.0
+
+    def test_reference_promotion_after_window(self):
+        """After max_consecutive_nonmonotonic_steps accepted nonmonotonic
+        steps, the reference cost drops to the candidate cost, bounding
+        how long the cost may keep worsening."""
+        from cartographer_tpu.ops.scan_matching.gauss_newton_2d import (
+            _MAX_CONSECUTIVE_NONMONOTONIC_STEPS,
+            nonmonotonic_accepted,
+            nonmonotonic_init,
+            nonmonotonic_quality,
+        )
+
+        ev = nonmonotonic_init(jnp.float32(100.0))
+        ev = nonmonotonic_accepted(ev, jnp.float32(50.0), 10.0, True)
+        cost = 50.0
+        for k in range(_MAX_CONSECUTIVE_NONMONOTONIC_STEPS):
+            cost += 1.0  # worsens every step
+            ev = nonmonotonic_accepted(ev, jnp.float32(cost), 10.0, True)
+        # Reference was promoted away from the initial 100 to the worst
+        # accepted candidate; further worsening steps now score against it.
+        assert float(ev[1]) < 100.0
+        q = nonmonotonic_quality(ev, cost, cost + 1.0, 10.0)
+        assert float(q) < 1e-3  # the window is exhausted: step rejected
