@@ -689,8 +689,8 @@ def _bench_scaled_world() -> dict:
         half_height=6.0,
         laps=2.0,
         duration_per_lap=50.0,
-        time_step=0.1,
-        num_beams=512,
+        time_step=0.05,
+        num_beams=1024,
         max_range=12.0,
         noise_std=0.01,
     )

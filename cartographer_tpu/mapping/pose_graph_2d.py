@@ -655,6 +655,22 @@ class TrimmingHandle:
             for i, _ in self._pose_graph._submap_data.trajectory(trajectory_id)
         ]
 
+    def get_optimized_submap_data(self):
+        """Reference TrimmingHandle::GetOptimizedSubmapData
+        (pose_graph_2d.cc): FINISHED submaps with their optimized global
+        poses, as (submap_id, submap, global_pose_2d) tuples — trimmers
+        work through this instead of reaching into pose-graph privates."""
+        out = []
+        pg = self._pose_graph
+        for sid, data in pg._submap_data.items(SubmapId):
+            if data.state != SubmapState.FINISHED:
+                continue
+            spec = pg._optimization_problem.submap_data.get(sid)
+            if spec is None:
+                continue
+            out.append((sid, data.submap, np.asarray(spec.global_pose)))
+        return out
+
     def trim_submap(self, submap_id: SubmapId) -> None:
         """pose_graph_2d.cc TrimmingHandle::TrimSubmap: drop the submap, its
         constraints, and nodes only connected to it."""

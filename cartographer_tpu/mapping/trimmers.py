@@ -34,41 +34,42 @@ class OverlappingSubmapsTrimmer2D(PoseGraphTrimmer):
         self._current_submap_count = 0
 
     def trim(self, trimmable) -> None:
+        """Coverage accounting is fully vectorized: one (cell, submap)
+        row table across all finished submaps, np.unique for the global
+        cell ids, and a lexsort ranking per cell to find each cell's
+        `fresh_submaps_count` freshest covers — O(rows log rows) numpy
+        instead of a Python dict over every cell (the reference builds a
+        per-cell id list the same way, overlapping_submaps_trimmer_2d.cc
+        GenerateGlobalCoverageGrid2D). Works through the Trimmable
+        surface (get_optimized_submap_data / trim_submap) only."""
         import numpy as np
 
         from cartographer_tpu.mapping.grid_2d import compute_cropped
         from cartographer_tpu.transform import rigid2
 
-        pg = trimmable._pose_graph
-        from cartographer_tpu.mapping.id import SubmapId
-        from cartographer_tpu.mapping.pose_graph_2d import SubmapState
-
-        all_ids = []
-        for sid, data in pg._submap_data.items(SubmapId):
-            if data.state == SubmapState.FINISHED:
-                all_ids.append(sid)
+        submap_data = trimmable.get_optimized_submap_data()
         if (
-            len(all_ids) - self._current_submap_count
+            len(submap_data) - self._current_submap_count
             < self._min_added_submaps_count
         ):
             return
-        self._current_submap_count = len(all_ids)
+        self._current_submap_count = len(submap_data)
 
-        # Per-cell (rounded global coords) list of submap ids covering it.
-        coverage = {}
+        # Row table: one (global cell x, y, submap rank) row per known
+        # cell of every finished submap. Rank = position in ascending
+        # submap-id order (fresher submaps have higher ranks).
+        submap_data.sort(key=lambda t: t[0])
+        all_ids = [sid for sid, _, _ in submap_data]
+        cx_all, cy_all, rank_all = [], [], []
         resolution = None
-        for sid in all_ids:
-            data = pg._submap_data.at(sid)
-            cropped = compute_cropped(data.submap.grid)
+        for rank, (sid, submap, global_pose) in enumerate(submap_data):
+            cropped = compute_cropped(submap.grid)
             if cropped.probability.size == 0:
                 continue
             resolution = cropped.resolution
-            spec = pg._optimization_problem.submap_data.get(sid)
-            if spec is None:
-                continue
             to_global = rigid2.compose(
-                np.asarray(spec.global_pose),
-                rigid2.inverse(np.asarray(data.submap.local_pose)),
+                np.asarray(global_pose),
+                rigid2.inverse(np.asarray(submap.local_pose)),
             )
             ys, xs = np.nonzero(cropped.known)
             pts = (
@@ -77,19 +78,47 @@ class OverlappingSubmapsTrimmer2D(PoseGraphTrimmer):
             )
             pts = rigid2.apply(to_global, pts)
             cells = np.floor(pts / cropped.resolution).astype(np.int64)
-            for c in map(tuple, cells):
-                coverage.setdefault(c, []).append(sid)
+            cx_all.append(cells[:, 0])
+            cy_all.append(cells[:, 1])
+            rank_all.append(np.full(len(cells), rank, np.int64))
         if resolution is None:
             return
+        cx = np.concatenate(cx_all)
+        cy = np.concatenate(cy_all)
+        rank = np.concatenate(rank_all)
 
-        # Count cells where each submap is among the freshest K.
-        fresh_cells = {sid: 0 for sid in all_ids}
-        for c, sids in coverage.items():
-            for sid in sorted(sids)[-self._fresh_submaps_count:]:
-                fresh_cells[sid] += 1
+        # Unique global cell ids, then dedup (cell, submap) pairs (a
+        # submap's cells can alias under the global discretization).
+        _, cell_idx = np.unique(
+            np.stack([cx, cy], axis=1), axis=0, return_inverse=True
+        )
+        pair = cell_idx * len(all_ids) + rank
+        pair = np.unique(pair)
+        cell_idx = pair // len(all_ids)
+        rank = pair % len(all_ids)
+
+        # Within each cell, rows sorted by descending rank: position
+        # 0..K-1 = the K freshest covers of that cell.
+        order = np.lexsort((-rank, cell_idx))
+        cell_sorted = cell_idx[order]
+        rank_sorted = rank[order]
+        group_start = np.zeros(len(cell_sorted), np.int64)
+        new_group = np.empty(len(cell_sorted), bool)
+        if len(cell_sorted):
+            new_group[0] = True
+            new_group[1:] = cell_sorted[1:] != cell_sorted[:-1]
+            group_start = np.maximum.accumulate(
+                np.where(new_group, np.arange(len(cell_sorted)), 0)
+            )
+        pos_in_cell = np.arange(len(cell_sorted)) - group_start
+        fresh_rows = pos_in_cell < self._fresh_submaps_count
+        fresh_cells = np.bincount(
+            rank_sorted[fresh_rows], minlength=len(all_ids)
+        )
+
         cell_area = resolution * resolution
-        for sid in all_ids:
-            if fresh_cells[sid] * cell_area < self._min_covered_area:
+        for i, sid in enumerate(all_ids):
+            if fresh_cells[i] * cell_area < self._min_covered_area:
                 trimmable.trim_submap(sid)
 
     def is_finished(self) -> bool:

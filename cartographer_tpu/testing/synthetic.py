@@ -177,8 +177,8 @@ def generate_loop_world(
     half_height: float = 6.0,
     laps: float = 2.0,
     duration_per_lap: float = 60.0,
-    time_step: float = 0.1,
-    num_beams: int = 512,
+    time_step: float = 0.05,
+    num_beams: int = 1024,
     max_range: float = 12.0,
     noise_std: float = 0.005,
     seed: int = 7,

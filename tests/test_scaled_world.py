@@ -27,14 +27,16 @@ from cartographer_tpu.testing.synthetic import generate_loop_world
 from cartographer_tpu.transform import rigid3
 
 
-def run_loop_world(laps=1.15, duration_per_lap=24.0, time_step=0.15):
+def run_loop_world(laps=1.15, duration_per_lap=24.0, time_step=0.05):
     measurements, true_poses = generate_loop_world(
         half_width=5.0,
         half_height=3.5,
         laps=laps,
         duration_per_lap=duration_per_lap,
         time_step=time_step,
-        num_beams=256,
+        # ~1k beams/rev keeps wall samples at or under the 5 cm cell
+        # size out to max range (sparser sampling starves the matchers).
+        num_beams=1024,
         max_range=10.0,
         noise_std=0.01,
     )
@@ -59,6 +61,11 @@ def run_loop_world(laps=1.15, duration_per_lap=24.0, time_step=0.15):
             trajectory_builder_2d=TrajectoryBuilder2DOptions(
                 use_imu_data=False,
                 max_range=10.0,
+                # The figure-eight rotates continuously (unlike the tiny
+                # translating reference world); the online correlative
+                # pre-match keeps the LM refinement inside its basin, as
+                # in the reference for rotation-rich platforms.
+                use_online_correlative_scan_matching=True,
                 motion_filter=MotionFilterOptions(
                     max_distance_meters=0.15, max_angle_radians=0.08
                 ),

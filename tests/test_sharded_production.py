@@ -181,3 +181,76 @@ class TestShardedSpaParity:
             solved["sharded"] - np.stack([t[:3] for t in trues]), axis=1
         )
         assert err.max() < 0.04
+
+
+class TestSharded3DEndToEnd:
+    def test_3d_production_drain_sharded_over_mesh(self):
+        """The 3D MapBuilder with a mesh: the REAL constraint-builder
+        drain runs its BnB search batches sharded
+        (constraint_builder_3d.py -> batch_match_device_3d(mesh)), and
+        the optimized trajectory still tracks ground truth. Parity
+        partner: the unsharded run in
+        test_map_builder_chunked_3d.TestChunkedMapBuilder3D."""
+        from tests.test_map_builder_chunked_3d import (
+            DURATION,
+            TIME_STEP,
+            TRAVEL_DISTANCE,
+            imu_stream,
+            map_builder_options as mb3d_options,
+            trajectory_options as traj3d_options,
+        )
+
+        mesh = sharded.make_mesh()
+        metrics.enable_collection()
+        batches0 = metrics.sharded_constraint_batches.value()
+        searched0 = metrics.constraints_searched.value()
+
+        mb_options = mb3d_options()
+        mb_options.pose_graph.constraint_builder.sampling_ratio = 1.0
+        # Dense nodes + small submaps so submaps FINISH and the drain has
+        # (node, finished submap) pairs to search (the base chunked-3D
+        # options only ever produce INTRA constraints).
+        traj_options = traj3d_options()
+        traj_options.trajectory_builder_3d.motion_filter.max_distance_meters = 0.02
+        traj_options.trajectory_builder_3d.motion_filter.max_angle_radians = 0.02
+        traj_options.trajectory_builder_3d.motion_filter.max_time_seconds = 0.09
+        traj_options.trajectory_builder_3d.submaps.num_range_data = 4
+
+        mb = MapBuilder(mb_options, mesh=mesh)
+        tid = mb.add_trajectory_builder({"range", "imu"}, traj_options)
+        builder = mb.get_trajectory_builder(tid)
+        direction = np.array([2.0, 1.0, 0.0])
+        direction /= np.linalg.norm(direction)
+        translation = direction * TRAVEL_DISTANCE
+        measurements = generate_fake_range_measurements(
+            translation=translation, duration=DURATION, time_step=TIME_STEP
+        )
+        imu = imu_stream(
+            FAKE_START_TIME - 0.5, FAKE_START_TIME + DURATION + 0.2
+        )
+        events = [("imu", d.time, d) for d in imu] + [
+            ("range", m.time, m) for m in measurements
+        ]
+        events.sort(key=lambda e: e[1])
+        for kind, _, payload in events:
+            builder.add_sensor_data(kind, payload)
+        mb.finish_trajectory(tid)
+        mb.pose_graph.run_final_optimization()
+
+        # The sharded 3D search batches actually ran.
+        assert metrics.constraints_searched.value() > searched0
+        assert metrics.sharded_constraint_batches.value() > batches0
+
+        velocity = translation / DURATION
+        nodes = mb.pose_graph.get_trajectory_nodes()
+        errs = []
+        for node_id, node in nodes.items(NodeId):
+            t = node.constant_data.time
+            expected = rigid3.translation((t - FAKE_START_TIME) * velocity)
+            errs.append(
+                np.linalg.norm(
+                    rigid3.trans(node.global_pose) - rigid3.trans(expected)
+                )
+            )
+        assert len(errs) > 5
+        assert max(errs) < 0.1 * TRAVEL_DISTANCE
