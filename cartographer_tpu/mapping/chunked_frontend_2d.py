@@ -281,6 +281,9 @@ class ChunkedLocalTrajectoryBuilder2D:
         self._sticky_planar = True
         self._sticky_linear = True
         self._prewarmed: Set[tuple] = set()
+        # Program signatures already compiled on the FEED thread (XLA:CPU
+        # worker-thread compiles have segfaulted; see _dispatch).
+        self._host_compiled: Set[object] = set()
         self._submaps: List[Submap2D] = []
         self._popped_submaps: List[Submap2D] = []
         self._last_wall_time: Optional[float] = None
@@ -546,6 +549,23 @@ class ChunkedLocalTrajectoryBuilder2D:
             import jax as _jax
 
             buf = _jax.device_put(buf)
+
+        # XLA:CPU has segfaulted compiling large programs on worker
+        # threads in long-lived processes (exit 139 deep into a full test
+        # run); compile each new program signature HERE on the feed
+        # thread — one warmup execution with the initial state — so the
+        # dispatcher thread only ever runs already-compiled programs.
+        # TPU compiles are thread-safe (and cached persistently).
+        import jax as _jax_feed
+
+        if (
+            _jax_feed.default_backend() == "cpu"
+            and cfg not in self._host_compiled
+        ):
+            self._host_compiled.add(cfg)
+            _jax_feed.block_until_ready(
+                frontend_2d.run_chunk(cfg, initial_state, epoch_shift, buf)
+            )
 
         def run(prev=prev_chain, cfg=cfg, epoch_shift=epoch_shift, buf=buf):
             state = prev.result()[0] if prev is not None else initial_state
