@@ -108,15 +108,40 @@ def main() -> None:
     scans_per_sec = count / dt
     assert n > min(count, warmup) // 2, "pipeline produced too few results"
 
+    # Attribution probe: per-chunk wall time WITHOUT upload/compute
+    # overlap (serialize_dispatch) = upload + device compute + fetch for
+    # one chunk. Together with the link probe this decomposes the
+    # headline rate: overlapped steady-state ~= max(compute, upload)
+    # while serialized ~= their sum.
+    probe_builder = ChunkedLocalTrajectoryBuilder2D(
+        make_options(), {"range"}, chunk_size=chunk, serialize_dispatch=True
+    )
+    t_chunks = []
+    done = 0
+    t0p = time.perf_counter()
+    for m in measurements[: 6 * chunk]:
+        got = probe_builder.add_range_data("range", m)
+        done += 1
+        if done % chunk == 0:
+            t_chunks.append(time.perf_counter() - t0p)
+            t0p = time.perf_counter()
+    serialized_chunk_ms = (
+        round(1e3 * float(np.median(t_chunks[2:])), 1)
+        if len(t_chunks) > 2
+        else None
+    )
+
     record = {
         "metric": "local_slam_2d_full_pipeline_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / REFERENCE_CPU_SCANS_PER_SEC, 3),
         # Post-run link health: 597-vs-900 scans/s sessions differ by the
-        # tunnel, not the code (docs/STATUS.md); the probe makes that
+        # tunnel, not the code (docs/STATUS.md); the probes make that
         # attributable from this artifact alone.
         "link": _link_probe(),
+        "serialized_chunk_ms": serialized_chunk_ms,
+        "chunk_size": chunk,
     }
     if degraded:
         record["note"] = (

@@ -102,9 +102,13 @@ def _figure_eight_pose(theta: float, a: float, b: float):
     return np.array([x, y]), yaw
 
 
-def loop_world_segments(a: float, b: float) -> np.ndarray:
-    """Wall segments [S, 2, 2] of the hall: outer rectangle + pillars kept
-    clear of the figure-eight path."""
+def loop_world_segments(a: float, b: float, seed: int = 1234) -> np.ndarray:
+    """Wall segments [S, 2, 2] of the hall: outer rectangle + IRREGULAR
+    pillars (jittered positions/sizes/orientations) kept clear of the
+    figure-eight path. Irregularity matters: a perfectly periodic pillar
+    grid is self-similar at the loop-closure search window scale, which
+    invites aliased (false) constraints no real building would."""
+    rng = np.random.default_rng(seed)
     margin = 5.0
     x0, x1 = -a - margin, a + margin
     y0, y1 = -b - margin, b + margin
@@ -119,17 +123,23 @@ def loop_world_segments(a: float, b: float) -> np.ndarray:
     px = a * np.sin(ts)
     py = b * np.sin(2.0 * ts) * 0.5
     path = np.stack([px, py], axis=1)
-    half = 0.35
-    for cx in np.arange(x0 + 2.5, x1 - 2.4, 3.5):
-        for cy in np.arange(y0 + 2.5, y1 - 2.4, 3.5):
-            if np.min(np.hypot(path[:, 0] - cx, path[:, 1] - cy)) < 1.6:
+    for gx in np.arange(x0 + 2.5, x1 - 2.4, 3.5):
+        for gy in np.arange(y0 + 2.5, y1 - 2.4, 3.5):
+            cx = gx + rng.uniform(-0.8, 0.8)
+            cy = gy + rng.uniform(-0.8, 0.8)
+            half_x = rng.uniform(0.2, 0.55)
+            half_y = rng.uniform(0.2, 0.55)
+            phi = rng.uniform(0.0, np.pi / 2.0)
+            if np.min(np.hypot(path[:, 0] - cx, path[:, 1] - cy)) < 1.7:
                 continue
-            c = np.array([cx, cy])
+            c, s_ = np.cos(phi), np.sin(phi)
+            rot = np.array([[c, -s_], [s_, c]])
+            center = np.array([cx, cy])
             corners = [
-                c + [-half, -half],
-                c + [half, -half],
-                c + [half, half],
-                c + [-half, half],
+                center + rot @ [-half_x, -half_y],
+                center + rot @ [half_x, -half_y],
+                center + rot @ [half_x, half_y],
+                center + rot @ [-half_x, half_y],
             ]
             for k in range(4):
                 segs.append([corners[k], corners[(k + 1) % 4]])

@@ -1,18 +1,20 @@
 """Supported test-suite entry point.
 
-`python tools/run_tests.py` runs the whole suite. By default it runs
-pytest in a SINGLE process (`tests/conftest.py` forces the 8-virtual-
-device CPU mesh); `--split N` runs the test files in N sequential pytest
-processes instead and aggregates the results.
+`python tools/run_tests.py` runs the whole suite — BY DEFAULT split
+into 3 sequential pytest processes (`tests/conftest.py` forces the
+8-virtual-device CPU mesh in each); `--split 1` runs one process.
 
-Why --split exists: XLA:CPU has segfaulted (exit 139) compiling large
-programs on worker threads deep into long single-process runs on this
-fleet. The in-tree mitigation compiles every chunk-program signature on
-the feed thread (chunked_frontend_{2d,3d}._dispatch), which removes the
-diagnosed crash mode; --split is the defense-in-depth fallback if a new
-in-process accumulation mode appears — each group gets a fresh runtime,
-and a crash is contained and reported per group instead of killing the
-certification run.
+Why split is the default: XLA:CPU segfaults (exit 139) inside
+`backend_compile_and_load` deep into long single-process runs on this
+fleet — reproduced both from dispatcher worker threads AND from the
+main thread (e.g. compiling the 3D SPA solve ~110 tests in), so it is a
+long-lived-process compiler failure, not a threading bug in this
+repository. Two in-tree mitigations reduce exposure (feed-thread
+compilation of chunk programs in chunked_frontend_{2d,3d}._dispatch,
+and the disabled XLA:CPU persistent cache, tests/conftest.py); the
+split runner is the certification-grade containment — each group gets a
+fresh runtime, and a crash is contained and reported per group instead
+of killing the run.
 """
 
 from __future__ import annotations
@@ -30,9 +32,9 @@ def main() -> int:
     parser.add_argument(
         "--split",
         type=int,
-        default=0,
-        help="run the suite as N sequential pytest processes (0 = one "
-        "process, the default)",
+        default=3,
+        help="run the suite as N sequential pytest processes (default 3; "
+        "1 = single process)",
     )
     parser.add_argument(
         "pytest_args",
