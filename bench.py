@@ -451,19 +451,29 @@ def _bench_bnb() -> dict:
     cb = make_cb()
     for n_nodes, n_submaps in ((16, 1), (32, 8), (128, 8)):
         batch = n_nodes * n_submaps
-        enqueue(cb, n_nodes, n_submaps)
-        found = cb.run_pending()  # warm / compile this drain shape
-        if time.perf_counter() - t_begin > 420.0:
+        # Warm TWICE: beam is a static program argument, so the automatic
+        # beam-overflow widening in the first drain compiles NEW wider
+        # program variants; the second warm drain hits them compiled. A
+        # timed drain must not pay one-time compilation.
+        for _ in range(2):
+            enqueue(cb, n_nodes, n_submaps)
+            found = cb.run_pending()
+            if time.perf_counter() - t_begin > 480.0:
+                break
+        if time.perf_counter() - t_begin > 480.0:
             sweep[f"drain_{batch}"] = "skipped (over budget after warmup)"
             break
-        enqueue(cb, n_nodes, n_submaps)
-        t0 = time.perf_counter()
-        found = cb.run_pending()
-        dt = time.perf_counter() - t0
-        rate = batch / dt
+        best = None
+        for _ in range(2):
+            enqueue(cb, n_nodes, n_submaps)
+            t0 = time.perf_counter()
+            found = cb.run_pending()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        rate = batch / best
         sweep[f"drain_{batch}"] = {
             "matches_per_sec": round(rate, 2),
-            "drain_seconds": round(dt, 3),
+            "drain_seconds": round(best, 3),
             "constraints_found": len(found),
             "shape": f"{n_nodes} nodes x {n_submaps} submaps",
         }

@@ -351,14 +351,24 @@ def _bnb_search_batch_packed(
     sidx = i32((k,))
     row = i32((k,))
 
+    # Materialize per-lane pyramids/clouds OUTSIDE the vmap. Indexing the
+    # shared stacks INSIDE the vmapped search composes with the scoring
+    # gathers into one batched gather on a shared operand, which XLA:TPU
+    # lowers to a ~90 M lookups/s serial path (measured; the fully
+    # batched form runs >20 G lookups/s — a 500x difference that
+    # dominated whole drains). jnp.take here is a fast un-vmapped block
+    # gather; the vmapped body then only ever gathers per-lane operands.
+    pyr_lanes = jnp.take(pyr, sidx, axis=0)
+    pts_lanes = jnp.take(points, row, axis=0)
+    msk_lanes = jnp.take(pmask, row, axis=0)
+
     score, best, overflowed = jax.vmap(
         functools.partial(
             _bnb_search_gen,
             a_pad=a_pad, k0_pad=k0_pad, depth=depth, beam=beam,
             leaf_probe=leaf_probe,
         ),
-        in_axes=(None, None, None) + (0,) * 9,
-    )(pyr, points, pmask, sidx, row, initial, origins, res, ms, step, na, nl)
+    )(pyr_lanes, pts_lanes, msk_lanes, initial, origins, res, ms, step, na, nl)
     return jnp.concatenate(
         [
             score[:, None].astype(jnp.float32),
@@ -370,22 +380,18 @@ def _bnb_search_batch_packed(
 
 
 def _bnb_search_gen(
-    pyr_stack, cloud_pts, cloud_msk, sidx_i, row_i, init_i, org_i, res_i,
+    pyr_i, pts_i, pm_i, init_i, org_i, res_i,
     ms_i, step_i, na_i, nl_i,
     *, a_pad: int, k0_pad: int, depth: int, beam: int, leaf_probe: int,
 ):
     """One search with its angle ramp and top-level candidate lattice
     generated ON DEVICE from scalars (angular step, window counts) — the
     same values the host meshgrid produced, without the ~100 KB/search
-    upload. `pyr_stack` is the [S, depth, H, W] stack of the drain's
-    UNIQUE submap pyramids and `cloud_pts`/`cloud_msk` the [U, N, 2]
-    stack of its UNIQUE node clouds (many searches share a submap, and a
-    node is searched against many submaps); each search gathers its own
-    via `sidx_i`/`row_i` instead of the batch materializing K full
-    copies."""
-    pyr_i = pyr_stack[sidx_i]
-    pts_i = cloud_pts[row_i]
-    pm_i = cloud_msk[row_i]
+    upload. `pyr_i`/`pts_i`/`pm_i` are this lane's pyramid and cloud,
+    materialized by the caller from the unique stacks with jnp.take
+    BEFORE the vmap (indexing shared stacks inside the vmapped body
+    composes into a catastrophically slow shared-operand batched gather
+    on TPU — see _bnb_search_batch_packed)."""
     stride = 1 << (depth - 1)
     # Angle ramp: (i - num_angular) * step for i < 2*num_angular + 1.
     ai = jnp.arange(a_pad, dtype=jnp.int32)
@@ -416,16 +422,20 @@ def _bnb_search_batch_gen(
 ):
     """Mesh-path variant of _bnb_search_batch_packed: separate (tiny)
     per-search arrays so the batch axis can carry a NamedSharding (the
-    unique pyramid/cloud stacks are replicated); the candidate lattices
-    are still generated on device."""
+    unique pyramid/cloud stacks are replicated; per-lane copies are
+    materialized with jnp.take before the vmap — see
+    _bnb_search_batch_packed); the candidate lattices are still
+    generated on device."""
+    pyr_lanes = jnp.take(pyr, sidx, axis=0)
+    pts_lanes = jnp.take(points, row, axis=0)
+    msk_lanes = jnp.take(pmask, row, axis=0)
     return jax.vmap(
         functools.partial(
             _bnb_search_gen,
             a_pad=a_pad, k0_pad=k0_pad, depth=depth, beam=beam,
             leaf_probe=leaf_probe,
         ),
-        in_axes=(None, None, None) + (0,) * 9,
-    )(pyr, points, pmask, sidx, row, initial, origins, res, ms, step, na, nl)
+    )(pyr_lanes, pts_lanes, msk_lanes, initial, origins, res, ms, step, na, nl)
 
 
 # Per-chunk search cap: bounds the [K, 4*beam] beam-frontier arrays (a few

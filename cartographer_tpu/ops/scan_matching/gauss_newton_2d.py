@@ -455,15 +455,23 @@ def match_log_odds_batch_packed(
     cost_grids = 1.0 - jnp.where(
         known, jax.nn.sigmoid(log_odds), pv.MIN_PROBABILITY
     )
+    # Materialize per-lane grids/clouds OUTSIDE the vmap: indexing the
+    # shared stacks inside the vmapped body composes into a
+    # shared-operand batched gather, which XLA:TPU lowers ~500x slower
+    # than the fully batched form (measured; see
+    # fast_correlative_2d._bnb_search_batch_packed).
+    grids_lanes = jnp.take(cost_grids, sidx, axis=0)
+    pts_lanes = jnp.take(cloud_pts, rows, axis=0)
+    msk_lanes = jnp.take(cloud_msk, rows, axis=0)
 
-    def one(si, row, origin, ip, tt, res):
+    def one(grid_i, pts_i, msk_i, origin, ip, tt, res):
         return match.__wrapped__(
-            cost_grids[si],
+            grid_i,
             origin,
             ip,
             tt,
-            cloud_pts[row],
-            cloud_msk[row],
+            pts_i,
+            msk_i,
             res,
             occupied_space_weight,
             translation_weight,
@@ -473,8 +481,9 @@ def match_log_odds_batch_packed(
         )
 
     poses, costs = jax.vmap(one)(
-        sidx,
-        rows,
+        grids_lanes,
+        pts_lanes,
+        msk_lanes,
         origins,
         initial_poses,
         target_translations,

@@ -91,6 +91,12 @@ def run_loop_world(laps=1.15, duration_per_lap=24.0, time_step=0.05):
     return mb, measurements, true_poses, local_results
 
 
+from cartographer_tpu.evaluation.trajectory_metrics import (  # noqa: E402
+    aligned_ate,
+    revisit_relation_errors,
+)
+
+
 def test_loop_closes_after_drift():
     mb, measurements, true_poses, local_results = run_loop_world()
 
@@ -101,36 +107,51 @@ def test_loop_closes_after_drift():
     # back on so estimates and ground truth share a frame.
     truth0 = true_poses[0]
 
-    def err_of(time, pose):
-        truth = time_to_truth[round(time, 6)]
+    def est_xy_of(time, pose):
         est = rigid3.compose(truth0, np.asarray(pose, np.float64))
-        return float(
-            np.linalg.norm(rigid3.trans(est)[:2] - rigid3.trans(truth)[:2])
-        )
+        return rigid3.trans(est)[:2]
 
-    # Pre-closure drift: the raw local-SLAM trajectory over the last
-    # quarter of the run (after a full lap, where drift has accumulated).
-    assert len(local_results) > 40
-    tail = local_results[-len(local_results) // 4 :]
-    local_drift = max(err_of(t, p) for t, p in tail)
-
-    # Post-closure error: optimized global node poses.
-    errs = []
-    for _, node in mb.pose_graph.get_trajectory_nodes().items(NodeId):
-        errs.append(err_of(node.constant_data.time, node.global_pose))
-    final_max = max(errs)
-    final_mean = float(np.mean(errs))
+    nodes = [
+        (n.constant_data.time, n.global_pose)
+        for _, n in mb.pose_graph.get_trajectory_nodes().items(NodeId)
+    ]
+    assert len(nodes) > 100
+    times = np.array([t for t, _ in nodes])
+    est = np.stack([est_xy_of(t, p) for t, p in nodes])
+    tru = np.stack(
+        [rigid3.trans(time_to_truth[round(t, 6)])[:2] for t, _ in nodes]
+    )
 
     inter = [c for c in mb.pose_graph.constraints if c.tag == "INTER_SUBMAP"]
     assert len(inter) >= 3, "expected loop-closure constraints across laps"
-    assert final_mean < 0.15, f"optimized mean error {final_mean:.3f} m"
-    # The closure must actually snap the loop shut: optimized error well
-    # below the accumulated local drift (or the drift itself was already
-    # sub-resolution, in which case the world was too easy — fail loudly
-    # so the scale gets bumped rather than silently testing nothing).
-    assert local_drift > 0.05, (
-        f"local drift {local_drift:.3f} m too small to exercise closure"
+
+    # Gauge-invariant accuracy of the optimized graph.
+    opt_ate = aligned_ate(est, tru)
+    opt_rel = revisit_relation_errors(times, est, tru)
+    assert len(opt_rel) > 50, "world produced too few revisit pairs"
+    assert float(np.mean(opt_ate)) < 0.08, (
+        f"aligned ATE mean {np.mean(opt_ate):.3f} m"
     )
-    assert final_max < 0.75 * local_drift, (
-        f"final max {final_max:.3f} m vs pre-closure drift {local_drift:.3f} m"
+    assert float(np.median(opt_rel)) < 0.10, (
+        f"revisit relation median {np.median(opt_rel):.3f} m"
+    )
+
+    # Loop closure must SNAP the revisits shut: the raw local-SLAM
+    # trajectory accumulated real drift, so its revisit-relation error is
+    # large; the optimized graph's must be several times smaller.
+    lt = np.array([t for t, _ in local_results])
+    lest = np.stack([est_xy_of(t, p) for t, p in local_results])
+    ltru = np.stack(
+        [rigid3.trans(time_to_truth[round(t, 6)])[:2] for t, _ in local_results]
+    )
+    loc_rel = revisit_relation_errors(lt, lest, ltru)
+    assert len(loc_rel) > 50
+    local_median = float(np.median(loc_rel))
+    assert local_median > 0.05, (
+        f"local revisit error {local_median:.3f} m too small to exercise "
+        "closure (world too easy — bump the scale)"
+    )
+    assert float(np.median(opt_rel)) < 0.5 * local_median, (
+        f"closure did not snap revisits: optimized median "
+        f"{np.median(opt_rel):.3f} m vs local {local_median:.3f} m"
     )
