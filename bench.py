@@ -325,61 +325,54 @@ def _bench_bnb() -> dict:
     from pathlib import Path
 
     from cartographer_tpu.common.config import (
-        AdaptiveVoxelFilterOptions,
         ConstraintBuilderOptions,
         FastCorrelativeScanMatcherOptions2D,
-        GridOptions2D,
-        SubmapsOptions2D,
-        TrajectoryBuilder2DOptions,
-    )
-    from cartographer_tpu.mapping.chunked_frontend_2d import (
-        ChunkedLocalTrajectoryBuilder2D,
     )
     from cartographer_tpu.mapping.constraint_builder_2d import (
         ConstraintBuilder2D,
     )
     from cartographer_tpu.mapping.id import NodeId, SubmapId
     from cartographer_tpu.mapping.trajectory_node import TrajectoryNodeData
-    from cartographer_tpu.sensor.data import PointCloud
-    from cartographer_tpu.sensor.voxel_filter import adaptive_voxel_filter
-    from cartographer_tpu.testing.synthetic import (
-        generate_fake_range_measurements,
-    )
     from cartographer_tpu.transform import rigid2
     from cartographer_tpu.transform import rigid3 as r3
 
     t_begin = time.perf_counter()
-    direction = np.array([2.0, 1.0, 0.0])
-    direction /= np.linalg.norm(direction)
-    measurements = generate_fake_range_measurements(
-        translation=direction * 10.0, duration=30.0, time_step=0.05
+    # Build the submap + query cloud in a SUBPROCESS: on the
+    # remote-attached dev backend, running the chunked frontend poisons
+    # the process permanently — every later dispatch of a large program
+    # (the drained search, the SPA solve) pays a ~50 s program-(re)load
+    # (measured; serialized dispatch and jax.clear_caches() do not help).
+    # The drain below must measure the framework, not that harness
+    # artifact; _bench_scaled_world measures the one-process production
+    # shape WITH the artifact, explicitly.
+    import subprocess as _sp
+    import sys as _sys
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as tf:
+        workload_path = tf.name
+    _sp.run(
+        [_sys.executable, __file__, "--extra", "_make_bnb_workload",
+         workload_path],
+        check=True,
+        capture_output=True,
+        timeout=600.0,
     )
-    builder = ChunkedLocalTrajectoryBuilder2D(
-        TrajectoryBuilder2DOptions(
-            use_imu_data=False,
-            max_range=10.0,
-            submaps=SubmapsOptions2D(
-                num_range_data=40,
-                grid_options_2d=GridOptions2D(resolution=0.05, grid_size=512),
-            ),
-        ),
-        {"range"},
-        chunk_size=32,
-        # Keep this process free of the tunneled backend's
-        # overlap-triggered gather degradation so the loop-closure number
-        # measures the search, not the harness (docs/STATUS.md).
-        serialize_dispatch=True,
+    data = np.load(workload_path)
+    import os as _os
+
+    _os.unlink(workload_path)
+    import jax.numpy as jnp
+
+    from cartographer_tpu.mapping.grid_2d import Grid2D
+
+    grid = Grid2D(
+        log_odds=jnp.asarray(data["log_odds"]),
+        known=jnp.asarray(data["known"]),
+        origin=jnp.asarray(data["origin"]),
+        resolution=float(data["resolution"]),
     )
-    for m in measurements[:256]:
-        builder.add_range_data("range", m)
-    builder.flush()
-    grid = builder._submaps[0].grid
-    cloud = adaptive_voxel_filter(
-        PointCloud(measurements[-1].ranges.points),
-        AdaptiveVoxelFilterOptions(
-            max_length=0.9, min_num_points=100, max_range=50.0
-        ),
-    ).points[:, :2]
+    cloud = data["cloud"]
     center = np.asarray(grid.origin) + 0.5 * 0.05 * 512
     depth, linear, angular, min_score = 7, 7.0, float(np.radians(30.0)), 0.3
     out: dict = {"unit": "matches/s"}
@@ -492,6 +485,64 @@ def _bench_bnb() -> dict:
             "algorithm on this host (tools/cpu_anchor)"
         )
     return out
+
+
+def _make_bnb_workload(path: str) -> None:
+    """Subprocess helper for _bench_bnb: drive the chunked frontend over
+    the synthetic world and save the finished submap grid + an
+    adaptive-filtered query cloud. Runs in its own process because the
+    frontend's chunk programs poison subsequent large-program dispatches
+    on the remote-attached dev backend (see _bench_bnb)."""
+    from cartographer_tpu.common.config import (
+        AdaptiveVoxelFilterOptions,
+        GridOptions2D,
+        SubmapsOptions2D,
+        TrajectoryBuilder2DOptions,
+    )
+    from cartographer_tpu.mapping.chunked_frontend_2d import (
+        ChunkedLocalTrajectoryBuilder2D,
+    )
+    from cartographer_tpu.sensor.data import PointCloud
+    from cartographer_tpu.sensor.voxel_filter import adaptive_voxel_filter
+    from cartographer_tpu.testing.synthetic import (
+        generate_fake_range_measurements,
+    )
+
+    direction = np.array([2.0, 1.0, 0.0])
+    direction /= np.linalg.norm(direction)
+    measurements = generate_fake_range_measurements(
+        translation=direction * 10.0, duration=30.0, time_step=0.05
+    )
+    builder = ChunkedLocalTrajectoryBuilder2D(
+        TrajectoryBuilder2DOptions(
+            use_imu_data=False,
+            max_range=10.0,
+            submaps=SubmapsOptions2D(
+                num_range_data=40,
+                grid_options_2d=GridOptions2D(resolution=0.05, grid_size=512),
+            ),
+        ),
+        {"range"},
+        chunk_size=32,
+    )
+    for m in measurements[:256]:
+        builder.add_range_data("range", m)
+    builder.flush()
+    grid = builder._submaps[0].grid
+    cloud = adaptive_voxel_filter(
+        PointCloud(measurements[-1].ranges.points),
+        AdaptiveVoxelFilterOptions(
+            max_length=0.9, min_num_points=100, max_range=50.0
+        ),
+    ).points[:, :2]
+    np.savez(
+        path,
+        log_odds=np.asarray(grid.log_odds),
+        known=np.asarray(grid.known),
+        origin=np.asarray(grid.origin),
+        resolution=np.float32(grid.resolution),
+        cloud=np.asarray(cloud, np.float32),
+    )
 
 
 def _link_probe() -> dict:
@@ -729,7 +780,12 @@ def _bench_scaled_world() -> dict:
         max_range=12.0,
         noise_std=0.01,
     )
-    pose_graph = PoseGraphOptions(optimize_every_n_nodes=40)
+    # Few large drains rather than many small ones: on the remote-attached
+    # dev backend each drain pays the program-(re)load degradation (see
+    # _bench_bnb) — this row deliberately measures the ONE-PROCESS
+    # production shape including that artifact, and the drain cadence
+    # keeps it inside the time budget.
+    pose_graph = PoseGraphOptions(optimize_every_n_nodes=120)
     pose_graph.constraint_builder.sampling_ratio = 0.4
     pose_graph.constraint_builder.min_score = 0.55
     pose_graph.constraint_builder.max_constraint_distance = 10.0
@@ -783,26 +839,44 @@ def _bench_scaled_world() -> dict:
         round(m.time, 6): p for m, p in zip(measurements, true_poses)
     }
     truth0 = true_poses[0]
-    times, poses, errs = [], [], []
+    times, poses, est_xy, true_xy = [], [], [], []
     for _, node in mb.pose_graph.get_trajectory_nodes().items(NodeId):
         t = node.constant_data.time
         truth = time_to_truth[round(t, 6)]
         est = rigid3.compose(truth0, np.asarray(node.global_pose, np.float64))
         times.append(t)
         poses.append(np.asarray(est))
-        errs.append(
-            float(np.linalg.norm(rigid3.trans(est) - rigid3.trans(truth)))
-        )
+        est_xy.append(rigid3.trans(est)[:2])
+        true_xy.append(rigid3.trans(truth)[:2])
+    est_xy = np.stack(est_xy)
+    true_xy = np.stack(true_xy)
+    from cartographer_tpu.evaluation.trajectory_metrics import (
+        align_se2,
+        aligned_ate,
+        revisit_relation_errors,
+    )
+
+    ate = aligned_ate(est_xy, true_xy)
+    _, gauge_yaw = align_se2(est_xy, true_xy)
+    rel_true = revisit_relation_errors(np.asarray(times), est_xy, true_xy)
     relations = generate_ground_truth(mb.pose_graph, min_covered_distance=2.0)
     rel = compute_relations_metrics(relations, times, poses)
     inter = [c for c in mb.pose_graph.constraints if c.tag == "INTER_SUBMAP"]
     drains = sorted(call_times, reverse=True)[:8]
     return {
         "travel_m": round(2.0 * 6.1 * 8.0, 1),
-        "num_nodes": len(errs),
+        "num_nodes": len(times),
         "num_inter_constraints": len(inter),
-        "ate_mean_m": round(float(np.mean(errs)), 4),
-        "ate_max_m": round(float(np.max(errs)), 4),
+        # SE(2)-aligned ATE + gauge: raw ATE on a loop world mostly
+        # measures the map rotation accumulated before the first closure
+        # (evaluation/trajectory_metrics.py).
+        "aligned_ate_mean_m": round(float(np.mean(ate)), 4),
+        "aligned_ate_max_m": round(float(np.max(ate)), 4),
+        "gauge_rotation_deg": round(float(np.degrees(gauge_yaw)), 3),
+        "true_revisit_relation_median_m": round(
+            float(np.median(rel_true)), 4
+        ) if len(rel_true) else None,
+        "num_true_revisit_pairs": int(len(rel_true)),
         "relations_abs_translational_error_m": round(
             rel.abs_translational_error_mean, 4
         ),
@@ -812,6 +886,11 @@ def _bench_scaled_world() -> dict:
         "num_relations": rel.num_relations,
         "feed_seconds_total": round(feed_seconds, 2),
         "final_optimization_seconds": round(final_opt_seconds, 2),
+        # Per-call wall-time tail = loop-closure drain latency under load
+        # in the ONE-PROCESS production shape. On the remote-attached dev
+        # backend these include the documented ~50 s/program-dispatch
+        # degradation (docs/STATUS.md) — deliberately NOT
+        # subprocess-isolated away here.
         "drain_latencies_s_top8": [round(d, 3) for d in drains],
         "unit": "m / deg / s (figure-eight, ~100 m, production-shaped "
         "single process)",
@@ -826,13 +905,16 @@ if __name__ == "__main__":
         # print its JSON on the last line.
         import json as _json
 
-        _fn = {
-            "_bench_3d": _bench_3d,
-            "_bench_bnb": _bench_bnb,
-            "_bench_spa": _bench_spa,
-            "_bench_ate": _bench_ate,
-            "_bench_scaled_world": _bench_scaled_world,
-        }[_sys.argv[2]]
-        print(_json.dumps(_fn()))
+        if _sys.argv[2] == "_make_bnb_workload":
+            _make_bnb_workload(_sys.argv[3])
+        else:
+            _fn = {
+                "_bench_3d": _bench_3d,
+                "_bench_bnb": _bench_bnb,
+                "_bench_spa": _bench_spa,
+                "_bench_ate": _bench_ate,
+                "_bench_scaled_world": _bench_scaled_world,
+            }[_sys.argv[2]]
+            print(_json.dumps(_fn()))
     else:
         main()

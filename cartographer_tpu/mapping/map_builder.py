@@ -148,34 +148,6 @@ class CollatedTrajectoryBuilder:
         self._wrapped.add_sensor_data(sensor_id, queued.payload)
 
 
-def _dispatch_overlap_safe() -> bool:
-    """Whether overlapped chunk dispatch may share a process with other
-    device programs. On the remote-attached dev tunnel backend ('axon'),
-    async-overlapped dispatches of one large program permanently degrade
-    GATHER throughput for every OTHER program in the process by ~1000x (a
-    harness runtime artifact, measured in docs/STATUS.md) — and production
-    MapBuilder runs the chunked frontend and the loop-closure drain in ONE
-    process. There the frontend trades upload/compute overlap for sane
-    drain latency (serialize_dispatch); real TPU/CPU platforms keep the
-    overlap."""
-    import jax
-
-    try:
-        unsafe = jax.devices()[0].platform == "axon"
-    except Exception:  # pragma: no cover - no backend at all
-        return True
-    if unsafe:
-        import logging
-
-        logging.info(
-            "remote-attached backend detected: chunked frontends run with "
-            "serialize_dispatch=True inside MapBuilder so overlapped "
-            "dispatch cannot degrade the loop-closure drain sharing this "
-            "process (docs/STATUS.md)."
-        )
-    return not unsafe
-
-
 def _slow_path_fallback(builder, reason: str):
     """Requested chunked device frontend is unavailable for this config:
     warn once and count every scan that pays the host-path cost
@@ -267,7 +239,6 @@ class MapBuilder:
                             opts2d,
                             range_ids,
                             chunk_size=trajectory_options.device_frontend_chunk_size,
-                            serialize_dispatch=not _dispatch_overlap_safe(),
                         )
                     )
                 else:

@@ -198,6 +198,14 @@ frontend_slow_path_scans = _factory.counter(
 frontend_odometry_dropped = _factory.counter(
     "mapping_frontend_odometry_samples_dropped"
 )
+# Consecutive loop-closure drains whose per-search wall time exceeded the
+# degradation threshold (dev-harness runtime artifact: on the
+# remote-attached tunnel backend, running the chunked frontend makes
+# every later dispatch of a LARGE program pay a ~50 s program-(re)load;
+# real platforms are unaffected — docs/STATUS.md).
+dispatch_degradation_detected = _factory.counter(
+    "runtime_dispatch_degradation_detected"
+)
 
 
 def _register_all() -> None:
@@ -208,6 +216,7 @@ def _register_all() -> None:
     global optimization_runs, beam_overflow_retries, grid_oob_points
     global sharded_constraint_batches, sharded_spa_solves
     global frontend_slow_path_scans, frontend_odometry_dropped
+    global dispatch_degradation_detected
     local_slam_latency = _factory.gauge("mapping_2d_local_trajectory_builder_latency")
     local_slam_real_time_ratio = _factory.gauge(
         "mapping_2d_local_trajectory_builder_real_time_ratio"
@@ -240,4 +249,7 @@ def _register_all() -> None:
     )
     frontend_odometry_dropped = _factory.counter(
         "mapping_frontend_odometry_samples_dropped"
+    )
+    dispatch_degradation_detected = _factory.counter(
+        "runtime_dispatch_degradation_detected"
     )

@@ -493,8 +493,11 @@ def batch_match_device(searches, mesh=None):
     re-run with a doubled beam up to _MAX_WIDENED_BEAM, preserving the
     reference DFS's exactness guarantee; every widening pass increments
     the beam_overflow_retries metric."""
+    import time as _time
+
     from cartographer_tpu.parallel.partition import fetch
 
+    t_drain0 = _time.perf_counter()
     # A sharded chunk should fill every device; scale the chunk cap to a
     # multiple of the mesh so small drains still spread.
     chunk_cap = _MAX_SEARCH_BATCH
@@ -520,7 +523,46 @@ def batch_match_device(searches, mesh=None):
                 )
                 packed[idx] = fetch(p)[: len(idx)]
             rows = rows[packed[rows, 4] > 0.5]
+    _note_drain_wall(_time.perf_counter() - t_drain0, len(searches))
     return packed, ctxs
+
+
+# Degradation detector state: number of consecutive slow drains seen.
+_SLOW_DRAINS = [0]
+_DEGRADATION_WARNED = [False]
+
+
+def _note_drain_wall(wall: float, n_searches: int) -> None:
+    """Detect the dev-harness program-(re)load degradation: on the
+    remote-attached tunnel backend, once the chunked frontend has run in
+    a process, EVERY later dispatch of a large program (this search, the
+    SPA solve) pays a ~50 s reload — measured, process-permanent, not
+    fixed by serialized dispatch or jax.clear_caches(). A warm drain
+    costs milliseconds per search; two consecutive drains over 1 s/search
+    cannot be compilation, so warn once and count
+    (runtime_dispatch_degradation_detected). Real platforms (local
+    TPU/CPU) never trigger this."""
+    if n_searches < 4:
+        return
+    if wall / n_searches > 1.0:
+        _SLOW_DRAINS[0] += 1
+    else:
+        _SLOW_DRAINS[0] = 0
+        return
+    if _SLOW_DRAINS[0] >= 2:
+        metrics.dispatch_degradation_detected.increment()
+        if not _DEGRADATION_WARNED[0]:
+            _DEGRADATION_WARNED[0] = True
+            import logging
+
+            logging.warning(
+                "loop-closure drains are running >1 s/search on a warm "
+                "program — on the remote-attached dev backend this is the "
+                "program-(re)load degradation triggered by running the "
+                "chunked frontend in the same process (docs/STATUS.md). "
+                "Isolate the frontend in its own process for benchmarks; "
+                "real TPU deployments are unaffected."
+            )
 
 
 def _batch_match_device(
