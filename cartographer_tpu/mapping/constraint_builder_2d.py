@@ -230,8 +230,9 @@ class ConstraintBuilder2D:
         metrics.constraints_found.increment(len(results))
         return results
 
-    def _batch_refine(self, jobs) -> List[np.ndarray]:
-        """Refine every accepted BnB match in ONE device program.
+    def _batch_refine_dispatch(self, jobs):
+        """Dispatch ONE device program refining every accepted BnB match;
+        returns the [k, 4] device rows (callers fetch).
 
         `jobs`: list of (row, _PendingSearch, MatchResult). Stacks the
         UNIQUE submap grids involved (device arrays already resident in
@@ -301,20 +302,22 @@ class ConstraintBuilder2D:
                 rows_idx.view(np.uint8),
             ]
         )
-        rows = np.asarray(
-            match_log_odds_batch_packed(
-                *self._grid_stack(grids),
-                jnp.asarray(points),
-                jnp.asarray(pmask),
-                jnp.asarray(buf),
-                k,
-                opts.occupied_space_weight,
-                opts.translation_weight,
-                opts.rotation_weight,
-                opts.ceres_solver_options.max_num_iterations,
-                bool(opts.ceres_solver_options.use_nonmonotonic_steps),
-            )
+        return match_log_odds_batch_packed(
+            *self._grid_stack(grids),
+            jnp.asarray(points),
+            jnp.asarray(pmask),
+            jnp.asarray(buf),
+            k,
+            opts.occupied_space_weight,
+            opts.translation_weight,
+            opts.rotation_weight,
+            opts.ceres_solver_options.max_num_iterations,
+            bool(opts.ceres_solver_options.use_nonmonotonic_steps),
         )
+
+    def _batch_refine(self, jobs) -> List[np.ndarray]:
+        """_batch_refine_dispatch + one fetch + decode."""
+        rows = np.asarray(self._batch_refine_dispatch(jobs))
         poses = []
         for row in rows[: len(jobs)]:
             pose = np.asarray(row[:3], np.float64)

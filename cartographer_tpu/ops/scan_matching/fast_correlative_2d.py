@@ -516,8 +516,13 @@ def batch_match_device(searches, mesh=None):
         while len(rows) and beam < _MAX_WIDENED_BEAM:
             beam = min(2 * beam, _MAX_WIDENED_BEAM)
             metrics.beam_overflow_retries.increment(len(rows))
-            for j in range(0, len(rows), chunk_cap):
-                idx = rows[j: j + chunk_cap]
+            # Widened programs carry 4*beam-wide frontier arrays per lane;
+            # cap the lane count so the retry cannot exhaust device
+            # memory (a 32k-beam retry at the full chunk width has killed
+            # a TPU worker outright).
+            wide_cap = max(4, min(chunk_cap, (8192 * 32) // beam))
+            for j in range(0, len(rows), wide_cap):
+                idx = rows[j: j + wide_cap]
                 p, _ = _batch_match_device(
                     [searches[r] for r in idx], beam_override=beam, mesh=mesh
                 )
