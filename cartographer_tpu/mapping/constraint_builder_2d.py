@@ -84,6 +84,10 @@ class ConstraintBuilder2D:
         self._node_clouds: Dict[NodeId, tuple] = {}
         # Memoized device stacks of unique submap grids for _batch_refine.
         self._grid_stack_cache: Dict[tuple, tuple] = {}
+        # Native-backend state: per-submap C++ pyramids + host origins
+        # (loop_closure_backend="native").
+        self._native_pyramids: Dict[SubmapId, object] = {}
+        self._native_origins: Dict[SubmapId, tuple] = {}
 
     def _sampler(self, submap_id: SubmapId) -> FixedRatioSampler:
         if submap_id not in self._samplers:
@@ -146,50 +150,19 @@ class ConstraintBuilder2D:
         pending, self._pending = self._pending, []
         if not pending:
             return results
-        import jax.numpy as jnp
 
-        # Phase 1: ALL BnB searches as ONE vmapped device program + fetch.
-        from cartographer_tpu.ops.scan_matching.fast_correlative_2d import (
-            batch_match_device,
-        )
+        if self._use_native_backend():
+            decoded = self._run_searches_native(pending)
+        else:
+            decoded = self._run_searches_device(pending)
 
-        batch = []
-        for search in pending:
-            metrics.constraints_searched.increment()
-            matcher = self._matcher(search.submap_id)
-            cloud = search.constant_data.filtered_gravity_aligned_point_cloud
-            staged = self._node_clouds.get(search.node_id)
-            if staged is None or staged[0].shape[0] < cloud.shape[0]:
-                staged = FastCorrelativeScanMatcher2D.stage_points(cloud)
-                self._node_clouds[search.node_id] = staged
-            if search.initial_relative_pose is None:
-                initial_pose = None
-                min_score = self._options.global_localization_min_score
-            else:
-                initial_pose = rigid2.compose(
-                    self._submap_local_pose(search.submap_id),
-                    search.initial_relative_pose,
-                )
-                min_score = self._options.min_score
-            batch.append(
-                dict(
-                    matcher=matcher, initial_pose=initial_pose,
-                    point_cloud=cloud, device_points=staged,
-                    min_score=min_score,
-                )
-            )
-        packed_batch, ctxs = batch_match_device(batch, mesh=self._mesh)
-        all_bnb = np.asarray(packed_batch)
-
-        # Phase 2: decode, then refine ALL accepted matches as ONE vmapped
-        # device program (match_log_odds_batch_packed) — a drain of K
-        # searches costs two dispatch+fetch round trips total (search
-        # batch + refinement batch) regardless of K.
+        # Phase 2: refine ALL accepted matches as ONE vmapped device
+        # program (match_log_odds_batch_packed) — a drain of K searches
+        # costs two device programs total (search batch + refinement
+        # batch) regardless of K.
         refine = []
         device_jobs = []  # (refine row, search, BnB result)
-        for search, ctx, packed in zip(pending, ctxs, all_bnb):
-            matcher = self._matcher(search.submap_id)
-            result = matcher.decode(packed, ctx)
+        for search, result in decoded:
             if result is None:
                 continue
             self._score_histogram.add(result.score)
@@ -229,6 +202,144 @@ class ConstraintBuilder2D:
                 )
         metrics.constraints_found.increment(len(results))
         return results
+
+    def _use_native_backend(self) -> bool:
+        if self._options.loop_closure_backend != "native":
+            return False
+        from cartographer_tpu.native import bnb as native_bnb
+
+        if not native_bnb.available():
+            if not getattr(self, "_warned_no_native", False):
+                self._warned_no_native = True
+                import logging
+
+                logging.warning(
+                    "loop_closure_backend='native' requested but no C++ "
+                    "toolchain produced the library; falling back to the "
+                    "device search."
+                )
+            return False
+        return True
+
+    def _run_searches_device(self, pending):
+        """Phase 1 on device: ALL BnB searches as ONE vmapped program +
+        one fetch. Returns [(search, MatchResult | None)]."""
+        from cartographer_tpu.ops.scan_matching.fast_correlative_2d import (
+            batch_match_device,
+        )
+
+        batch = []
+        for search in pending:
+            metrics.constraints_searched.increment()
+            matcher = self._matcher(search.submap_id)
+            cloud = search.constant_data.filtered_gravity_aligned_point_cloud
+            staged = self._node_clouds.get(search.node_id)
+            if staged is None or staged[0].shape[0] < cloud.shape[0]:
+                staged = FastCorrelativeScanMatcher2D.stage_points(cloud)
+                self._node_clouds[search.node_id] = staged
+            if search.initial_relative_pose is None:
+                initial_pose = None
+                min_score = self._options.global_localization_min_score
+            else:
+                initial_pose = rigid2.compose(
+                    self._submap_local_pose(search.submap_id),
+                    search.initial_relative_pose,
+                )
+                min_score = self._options.min_score
+            batch.append(
+                dict(
+                    matcher=matcher, initial_pose=initial_pose,
+                    point_cloud=cloud, device_points=staged,
+                    min_score=min_score,
+                )
+            )
+        packed_batch, ctxs = batch_match_device(batch, mesh=self._mesh)
+        all_bnb = np.asarray(packed_batch)
+        out = []
+        for search, ctx, packed in zip(pending, ctxs, all_bnb):
+            out.append(
+                (search, self._matcher(search.submap_id).decode(packed, ctx))
+            )
+        return out
+
+    def _run_searches_native(self, pending):
+        """Phase 1 on host cores: the threaded C++ BnB
+        (native/bnb_native.cc) fans the drained searches across threads —
+        hybrid placement, see ConstraintBuilderOptions.loop_closure_backend.
+        Returns [(search, MatchResult | None)]."""
+        import math
+
+        from cartographer_tpu.native import bnb as native_bnb
+        from cartographer_tpu.ops.scan_matching.fast_correlative_2d import (
+            MatchResult,
+        )
+
+        opts = self._options.fast_correlative_scan_matcher
+        depth = opts.branch_and_bound_depth
+        pyramids = []
+        clouds = []
+        params = np.zeros((len(pending), 9), np.float32)
+        for i, search in enumerate(pending):
+            metrics.constraints_searched.increment()
+            sid = search.submap_id
+            pyr = self._native_pyramids.get(sid)
+            if pyr is None:
+                grid = self._submap_grids[sid]
+                # One host fetch per FINISHED submap grid (it no longer
+                # changes); probability computed host-side.
+                log_odds = np.asarray(grid.log_odds)
+                known = np.asarray(grid.known)
+                prob = np.where(
+                    known, 1.0 / (1.0 + np.exp(-log_odds)), 0.1
+                ).astype(np.float32)
+                pyr = native_bnb.NativePyramid(prob, depth)
+                self._native_pyramids[sid] = pyr
+                self._native_origins[sid] = (
+                    np.asarray(grid.origin, np.float64),
+                    float(grid.resolution),
+                )
+            origin, resolution = self._native_origins[sid]
+            cloud = search.constant_data.filtered_gravity_aligned_point_cloud
+            clouds.append(np.asarray(cloud[:, :2], np.float32))
+            staged = self._node_clouds.get(search.node_id)
+            if staged is None or staged[0].shape[0] < cloud.shape[0]:
+                # The device-batched refinement phase reads staged clouds.
+                self._node_clouds[search.node_id] = (
+                    FastCorrelativeScanMatcher2D.stage_points(cloud)
+                )
+            if search.initial_relative_pose is None:
+                center = origin + 0.5 * resolution * np.array(
+                    [pyr.w, pyr.h]
+                )
+                initial = rigid2.make(center, 0.0)
+                linear, angular = 1e6 * resolution, math.pi
+                min_score = self._options.global_localization_min_score
+            else:
+                initial = rigid2.compose(
+                    self._submap_local_pose(sid),
+                    search.initial_relative_pose,
+                )
+                linear = opts.linear_search_window
+                angular = opts.angular_search_window
+                min_score = self._options.min_score
+            params[i] = [
+                origin[0], origin[1], resolution,
+                initial[0], initial[1], initial[2],
+                linear, angular, min_score,
+            ]
+            pyramids.append(pyr)
+        out_rows, found = native_bnb.match_batch(pyramids, clouds, params)
+        out = []
+        for search, row, ok in zip(pending, out_rows, found):
+            if not ok:
+                out.append((search, None))
+                continue
+            pose = np.array(
+                [row[1], row[2], rigid2.normalize_angle(float(row[3]))],
+                np.float64,
+            )
+            out.append((search, MatchResult(score=float(row[0]), pose=pose)))
+        return out
 
     def _batch_refine_dispatch(self, jobs):
         """Dispatch ONE device program refining every accepted BnB match;

@@ -1,0 +1,100 @@
+"""Native (threaded C++) loop-closure backend: build + agreement.
+
+The hybrid-placement backend (ConstraintBuilderOptions.loop_closure_backend
+= "native", native/bnb_native.cc) must find the same constraints as the
+device search on identical inputs — the same agreement strategy as
+tests/test_cpu_anchor.py, but through the PRODUCT path
+(ConstraintBuilder2D.run_pending) end to end, including the shared
+device-batched GN refinement.
+"""
+
+import math
+
+import numpy as np
+
+from cartographer_tpu.common.config import (
+    ConstraintBuilderOptions,
+    FastCorrelativeScanMatcherOptions2D,
+)
+from cartographer_tpu.mapping.constraint_builder_2d import ConstraintBuilder2D
+from cartographer_tpu.mapping.id import NodeId, SubmapId
+from cartographer_tpu.mapping.trajectory_node import TrajectoryNodeData
+from cartographer_tpu.native import bnb as native_bnb
+from cartographer_tpu.transform import rigid2, rigid3
+from tests.test_cpu_anchor import _make_workload
+
+
+def _builder(backend: str) -> ConstraintBuilder2D:
+    opts = ConstraintBuilderOptions()
+    opts.sampling_ratio = 1.0
+    opts.max_constraint_distance = 1e6
+    opts.min_score = 0.2
+    opts.loop_closure_backend = backend
+    opts.fast_correlative_scan_matcher = FastCorrelativeScanMatcherOptions2D(
+        branch_and_bound_depth=5,
+        linear_search_window=1.0,
+        angular_search_window=math.radians(15.0),
+    )
+    return ConstraintBuilder2D(opts)
+
+
+def test_native_library_builds():
+    assert native_bnb.available()
+
+
+def test_native_backend_agrees_with_device_backend():
+    grid, scan, center = _make_workload()
+    cloud3 = np.concatenate(
+        [scan[:, :2], np.zeros((len(scan), 1))], axis=1
+    ).astype(np.float32)
+    node = TrajectoryNodeData(
+        time=0.0,
+        gravity_alignment=np.array([1.0, 0, 0, 0]),
+        filtered_gravity_aligned_point_cloud=cloud3,
+        local_pose=rigid3.identity(),
+    )
+    found = {}
+    for backend in ("device", "native"):
+        cb = _builder(backend)
+        sid = SubmapId(0, 0)
+        cb.set_submap_local_pose(sid, np.zeros(3))
+        cb.maybe_add_constraint(
+            sid,
+            grid,
+            NodeId(0, 0),
+            node,
+            rigid2.make(np.asarray(center) + [0.35, -0.25], 0.05),
+        )
+        out = cb.run_pending()
+        assert len(out) == 1, f"{backend} backend found no constraint"
+        found[backend] = np.asarray(out[0].pose.zbar_ij)
+    # Same search lattice + same refinement: agreement within one cell /
+    # a hundredth of a radian absorbs float32-vs-double discretization.
+    np.testing.assert_allclose(
+        found["native"][:2], found["device"][:2], atol=grid.resolution
+    )
+    assert abs(
+        rigid2.normalize_angle(found["native"][2] - found["device"][2])
+    ) < 0.01
+
+
+def test_native_backend_respects_min_score():
+    grid, scan, center = _make_workload()
+    # An empty-ish query cloud far from the wall scores ~MIN_PROBABILITY:
+    # below min_score the native backend must report no constraint.
+    cloud3 = np.zeros((32, 3), np.float32)
+    cloud3[:, 0] = np.linspace(0.5, 1.0, 32)
+    node = TrajectoryNodeData(
+        time=0.0,
+        gravity_alignment=np.array([1.0, 0, 0, 0]),
+        filtered_gravity_aligned_point_cloud=cloud3,
+        local_pose=rigid3.identity(),
+    )
+    cb = _builder("native")
+    cb._options.min_score = 0.95
+    sid = SubmapId(0, 0)
+    cb.set_submap_local_pose(sid, np.zeros(3))
+    cb.maybe_add_constraint(
+        sid, grid, NodeId(0, 0), node, rigid2.make(np.asarray(center), 0.0)
+    )
+    assert cb.run_pending() == []
