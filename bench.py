@@ -807,13 +807,12 @@ def _bench_scaled_world() -> dict:
         max_range=12.0,
         noise_std=0.01,
     )
-    # Few large drains rather than many small ones: on the remote-attached
-    # dev backend each drain pays the program-(re)load degradation (see
-    # _bench_bnb) — this row deliberately measures the ONE-PROCESS
-    # production shape including that artifact, and the drain cadence
-    # keeps it inside the time budget.
-    pose_graph = PoseGraphOptions(optimize_every_n_nodes=120)
+    pose_graph = PoseGraphOptions(optimize_every_n_nodes=40)
     pose_graph.constraint_builder.sampling_ratio = 0.4
+    # Production hybrid placement: threaded C++ BnB on the host cores,
+    # frontend + SPA + batched GN refinement on the TPU (the device
+    # search path is measured by _bench_bnb's device row).
+    pose_graph.constraint_builder.loop_closure_backend = "native"
     pose_graph.constraint_builder.min_score = 0.55
     pose_graph.constraint_builder.max_constraint_distance = 10.0
     pose_graph.constraint_builder.fast_correlative_scan_matcher = (
@@ -913,11 +912,8 @@ def _bench_scaled_world() -> dict:
         "num_relations": rel.num_relations,
         "feed_seconds_total": round(feed_seconds, 2),
         "final_optimization_seconds": round(final_opt_seconds, 2),
-        # Per-call wall-time tail = loop-closure drain latency under load
-        # in the ONE-PROCESS production shape. On the remote-attached dev
-        # backend these include the documented ~50 s/program-dispatch
-        # degradation (docs/STATUS.md) — deliberately NOT
-        # subprocess-isolated away here.
+        # Per-call wall-time tail = loop-closure drain latency under
+        # load in the ONE-PROCESS production shape (hybrid backend).
         "drain_latencies_s_top8": [round(d, 3) for d in drains],
         "unit": "m / deg / s (figure-eight, ~100 m, production-shaped "
         "single process)",
