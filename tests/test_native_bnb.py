@@ -98,3 +98,39 @@ def test_native_backend_respects_min_score():
         sid, grid, NodeId(0, 0), node, rigid2.make(np.asarray(center), 0.0)
     )
     assert cb.run_pending() == []
+
+
+def test_native_global_localization_agrees_with_device():
+    """MatchFullSubmap parity: the native backend's full-submap search
+    (window covering the whole grid, +-pi yaw) must localize the scan at
+    the same pose as the device search, through maybe_add_global_constraint
+    (reference: fast_correlative_scan_matcher_2d.cc MatchFullSubmap via
+    constraint_builder_2d.cc MaybeAddGlobalConstraint)."""
+    grid, scan, center = _make_workload()
+    cloud3 = np.concatenate(
+        [scan[:, :2], np.zeros((len(scan), 1))], axis=1
+    ).astype(np.float32)
+    node = TrajectoryNodeData(
+        time=0.0,
+        gravity_alignment=np.array([1.0, 0, 0, 0]),
+        filtered_gravity_aligned_point_cloud=cloud3,
+        local_pose=rigid3.identity(),
+    )
+    found = {}
+    for backend in ("device", "native"):
+        cb = _builder(backend)
+        cb._options.global_localization_min_score = 0.3
+        sid = SubmapId(0, 0)
+        cb.set_submap_local_pose(sid, np.zeros(3))
+        cb.maybe_add_global_constraint(sid, grid, NodeId(0, 0), node)
+        out = cb.run_pending()
+        assert len(out) == 1, f"{backend} global localization found nothing"
+        found[backend] = np.asarray(out[0].pose.zbar_ij)
+    np.testing.assert_allclose(
+        found["native"][:2], found["device"][:2], atol=2 * grid.resolution
+    )
+    assert abs(
+        rigid2.normalize_angle(found["native"][2] - found["device"][2])
+    ) < 0.02
+    # And it actually localized at the true placement.
+    np.testing.assert_allclose(found["native"][:2], center, atol=0.15)
