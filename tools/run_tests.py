@@ -65,11 +65,35 @@ def main() -> int:
             [sys.executable, "-m", "pytest", *group, "-q", *args.pytest_args]
         )
         if rc != 0:
-            failures.append((i, rc, group))
+            # The XLA:CPU compiler can segfault nondeterministically deep
+            # into a long-lived process (see module docstring). Retry the
+            # group FILE BY FILE in fresh processes: real test failures
+            # reproduce; a crashed group whose files all pass individually
+            # was the compiler artifact, not the code.
+            print(
+                f"-- group {i + 1} exited {rc}; retrying file-by-file --",
+                flush=True,
+            )
+            file_failures = []
+            for f in group:
+                frc = subprocess.call(
+                    [sys.executable, "-m", "pytest", f, "-q",
+                     *args.pytest_args]
+                )
+                if frc != 0:
+                    file_failures.append((f, frc))
+            if file_failures:
+                failures.append((i, rc, [f for f, _ in file_failures]))
+            else:
+                print(
+                    f"-- group {i + 1}: all files pass individually "
+                    "(in-process XLA crash contained) --",
+                    flush=True,
+                )
     dt = time.perf_counter() - t0
     if failures:
-        for i, rc, group in failures:
-            print(f"group {i + 1} FAILED (exit {rc}): {' '.join(group)}")
+        for i, rc, files in failures:
+            print(f"group {i + 1} FAILED (exit {rc}): {' '.join(files)}")
         print(f"{len(failures)}/{args.split} groups failed in {dt:.0f}s")
         return 1
     print(f"all {args.split} groups passed in {dt:.0f}s")
