@@ -169,3 +169,48 @@ class TestChunkedFallbackObservable:
         assert metrics.frontend_slow_path_scans.value() - before == len(
             measurements
         )
+
+
+class TestMapBuilderNativeLoopClosure:
+    def test_global_slam_with_native_backend(self):
+        """End-to-end 2D SLAM with the hybrid-placement loop-closure
+        backend (ConstraintBuilderOptions.loop_closure_backend="native"):
+        threaded C++ BnB on host cores + device-batched GN refinement,
+        through the full MapBuilder product path. Same consistency bounds
+        as the device-backend test above."""
+        observer = LocalSlamObserver()
+        options = map_builder_options()
+        options.pose_graph.constraint_builder.loop_closure_backend = "native"
+        map_builder = MapBuilder(options)
+        trajectory_id = map_builder.add_trajectory_builder(
+            {"range"}, trajectory_options(), observer
+        )
+        builder = map_builder.get_trajectory_builder(trajectory_id)
+
+        direction = np.array([2.0, 1.0, 0.0])
+        direction /= np.linalg.norm(direction)
+        translation = direction * TRAVEL_DISTANCE
+        for m in generate_fake_range_measurements(
+            translation=translation, duration=DURATION, time_step=TIME_STEP
+        ):
+            builder.add_sensor_data("range", m)
+        map_builder.finish_trajectory(trajectory_id)
+        map_builder.pose_graph.run_final_optimization()
+
+        velocity = translation / DURATION
+        nodes = map_builder.pose_graph.get_trajectory_nodes()
+        from cartographer_tpu.mapping.id import NodeId
+
+        errs = []
+        for node_id, node in nodes.items(NodeId):
+            t = node.constant_data.time
+            expected = rigid3.translation((t - FAKE_START_TIME) * velocity)
+            errs.append(
+                np.linalg.norm(
+                    rigid3.trans(node.global_pose) - rigid3.trans(expected)
+                )
+            )
+        assert len(errs) > 20
+        assert max(errs) < 0.1 * TRAVEL_DISTANCE
+        constraints = map_builder.pose_graph.constraints
+        assert any(c.tag == "INTER_SUBMAP" for c in constraints)
