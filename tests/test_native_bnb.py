@@ -100,6 +100,59 @@ def test_native_backend_respects_min_score():
     assert cb.run_pending() == []
 
 
+def test_native_fast_path_agrees_with_anchor_at_grid_edge():
+    """The windowed fast path (padded levels + margin clamping,
+    bnb_native.cc) must score identically to the branchy scalar anchor
+    when the search window and many cloud points fall OFF the grid —
+    the case the zero margin and the always-out clamp encode."""
+    from tools.cpu_anchor.run_anchor import run_anchor
+
+    grid, scan, _ = _make_workload()
+    prob = np.asarray(
+        np.where(
+            np.asarray(grid.known),
+            1.0 / (1.0 + np.exp(-np.asarray(grid.log_odds))),
+            0.1,
+        ),
+        np.float32,
+    )
+    # Initial pose near the grid corner: a 4 m-radius scan from here puts
+    # whole arcs off-grid for every candidate offset, and the 1 m window
+    # itself crosses the boundary.
+    initial = np.array([0.6, 0.45, 0.1], np.float32)
+    linear, angular, min_score, depth = 1.0, math.radians(15.0), 0.05, 5
+
+    anchor = run_anchor(
+        prob,
+        grid.resolution,
+        np.zeros(2, np.float32),
+        scan[:, :2],
+        initial,
+        linear_window=linear,
+        angular_window=angular,
+        min_score=min_score,
+        depth=depth,
+        repeats=1,
+    )
+
+    pyr = native_bnb.NativePyramid(prob, depth)
+    params = np.array(
+        [[0.0, 0.0, grid.resolution, initial[0], initial[1], initial[2],
+          linear, angular, min_score]],
+        np.float32,
+    )
+    out, found = native_bnb.match_batch([pyr], [scan[:, :2]], params)
+    assert bool(found[0]) == bool(anchor["found"])
+    # Same u8 quantization, same integer sums: scores agree to float eps,
+    # best cell to within one lattice cell (tie order may differ).
+    assert abs(out[0, 0] - anchor["score"]) < 1e-4, (out[0, 0], anchor)
+    np.testing.assert_allclose(
+        out[0, 1:3],
+        np.asarray(anchor["pose"][:2], np.float32),
+        atol=grid.resolution + 1e-6,
+    )
+
+
 def test_native_global_localization_agrees_with_device():
     """MatchFullSubmap parity: the native backend's full-submap search
     (window covering the whole grid, +-pi yaw) must localize the scan at

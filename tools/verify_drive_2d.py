@@ -20,6 +20,10 @@ pg.constraint_builder.fast_correlative_scan_matcher = (
         linear_search_window=2.0, angular_search_window=np.radians(20.0),
         branch_and_bound_depth=4))
 pg.constraint_builder.sampling_ratio = 0.5
+# VERIFY_LOOP_BACKEND=native drives the hybrid-placement C++ BnB backend.
+import os as _os
+pg.constraint_builder.loop_closure_backend = _os.environ.get(
+    "VERIFY_LOOP_BACKEND", "device")
 mb = MapBuilder(MapBuilderOptions(use_trajectory_builder_2d=True, pose_graph=pg))
 topts = TrajectoryBuilderOptions(
     trajectory_builder_2d=TrajectoryBuilder2DOptions(
