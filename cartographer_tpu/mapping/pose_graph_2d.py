@@ -691,6 +691,8 @@ class TrimmingHandle:
         pg._optimization_problem.trim_submap(submap_id)
         pg._constraint_builder._matchers.pop(submap_id, None)
         pg._constraint_builder._submap_grids.pop(submap_id, None)
+        pg._constraint_builder._native_pyramids.pop(submap_id, None)
+        pg._constraint_builder._native_origins.pop(submap_id, None)
         for node_id in orphaned:
             pg._trajectory_nodes.trim(node_id)
             pg._optimization_problem.trim_trajectory_node(node_id)
