@@ -504,14 +504,26 @@ def _bench_bnb() -> dict:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             rate = batch / best
+            timings = getattr(cb, "last_drain_timings", None)
             sweep[f"{backend}_drain_{batch}"] = {
                 "matches_per_sec": round(rate, 2),
                 "drain_seconds": round(best, 3),
+                # Search phase alone (the quantity the CPU anchor
+                # measures; the remainder is the device-batched GN
+                # refinement + constraint assembly).
+                "search_seconds": round(timings["search_s"], 3)
+                if timings
+                else None,
                 "constraints_found": len(found),
                 "shape": f"{n_nodes} nodes x {n_submaps} submaps",
             }
             if backend == "native":
                 rate_headline = rate
+                if timings and timings["search_s"] > 0:
+                    search_rate = batch / timings["search_s"]
+                    sweep[f"{backend}_drain_{batch}"][
+                        "search_matches_per_sec"
+                    ] = round(search_rate, 2)
     out["drain_sweep"] = sweep
     out["host_cores"] = _os2.cpu_count()
     out["link"] = _link_probe()
@@ -522,6 +534,22 @@ def _bench_bnb() -> dict:
             out["vs_baseline"] = round(
                 rate_headline / anchor["matches_per_sec"], 3
             )
+            # Symmetric comparison: the anchor times the BnB search
+            # ALONE (its refinement cost is excluded, see above), so the
+            # search-phase rate is the like-for-like ratio; the full
+            # drain above additionally carries the device GN refinement
+            # + constraint assembly that the anchor number omits.
+            largest = sweep.get("native_drain_1024") or sweep.get(
+                "native_drain_256"
+            )
+            if isinstance(largest, dict) and largest.get(
+                "search_matches_per_sec"
+            ):
+                out["vs_baseline_search_only"] = round(
+                    largest["search_matches_per_sec"]
+                    / anchor["matches_per_sec"],
+                    3,
+                )
         out["note"] = (
             f"largest native-backend drain (threaded C++ BnB depth-{depth} "
             f"{linear:.0f} m/30 deg searches across host cores + "

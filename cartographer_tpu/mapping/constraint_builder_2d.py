@@ -146,15 +146,19 @@ class ConstraintBuilder2D:
         refinements — so a batch of K searches costs two host round trips
         instead of 2K (the searches are independent, the reference runs
         them as concurrent thread-pool tasks)."""
+        import time as _time
+
         results: List[Constraint] = []
         pending, self._pending = self._pending, []
         if not pending:
             return results
 
+        _t0 = _time.perf_counter()
         if self._use_native_backend():
             decoded = self._run_searches_native(pending)
         else:
             decoded = self._run_searches_device(pending)
+        _t_search = _time.perf_counter() - _t0
 
         # Phase 2: refine ALL accepted matches as ONE vmapped device
         # program (match_log_odds_batch_packed) — a drain of K searches
@@ -201,6 +205,13 @@ class ConstraintBuilder2D:
                     )
                 )
         metrics.constraints_found.increment(len(results))
+        # Drain phase timings (observability; bench.py reports the
+        # search-phase rate against the search-only CPU anchor).
+        self.last_drain_timings = {
+            "searches": len(pending),
+            "search_s": _t_search,
+            "total_s": _time.perf_counter() - _t0,
+        }
         return results
 
     def _use_native_backend(self) -> bool:

@@ -3,26 +3,23 @@
 // The reference's fast correlative BnB (pyramid + DFS,
 // internal/2d/scan_matching/fast_correlative_scan_matcher_2d.cc:41-378)
 // is cache-resident pointer-chasing: on this project's measurements a
-// single CPU core runs ~300-500 windowed depth-7 matches/s while the
-// XLA:TPU formulation is gather-bound at ~150 M random lookups/s
-// (~5 matches/s for a 256-search drain). The TPU-native SYSTEM design is
-// therefore hybrid placement: the frontend, SPA solves, and GN
-// refinement run on the TPU; the branch-and-bound search runs here, on
-// the host cores, threaded across the drained (node, submap) pairs —
-// the same fan-out the reference gives its ThreadPool
-// (constraint_builder_2d.cc:102-136).
+// single CPU core runs the scalar algorithm at ~550 windowed depth-7
+// matches/s while the XLA:TPU formulation is gather-bound at ~150 M
+// random lookups/s (~5 matches/s for a 256-search drain). The
+// TPU-native SYSTEM design is therefore hybrid placement: the frontend,
+// SPA solves, and GN refinement run on the TPU; the branch-and-bound
+// search runs here, on the host cores, threaded across the drained
+// (node, submap) pairs — the same fan-out the reference gives its
+// ThreadPool (constraint_builder_2d.cc:102-136).
 //
-// Beyond the reference's scalar DFS, windowed searches take a
-// padded-grid fast path: every pyramid level is embedded in a
-// zero-margin frame wide enough that any candidate offset stays inside
-// the array, so the scoring loop is a single add+load per point with no
-// bounds checks (out-of-grid points score MIN_PROBABILITY via the zero
-// margin, exactly like the branchy path). Sibling candidates are scored
-// in groups of four sharing one pass over the per-angle base-index
-// array, which keeps four independent random loads in flight
-// (memory-level parallelism is the limiter for L2-resident random
-// access). Full-submap (global localization) windows keep the branchy
-// path — padding them would square the working set.
+// Beyond the reference's scalar DFS, candidate scoring vectorizes with
+// AVX-512 masked gathers: 16 points per instruction, with the bounds
+// check folded into the gather mask (masked lanes never touch memory,
+// so out-of-grid points contribute 0 == MIN_PROBABILITY exactly like
+// the scalar loop). The pyramid levels stay in their compact unpadded
+// layout (512^2 level = 256 KB, L2-resident), and sibling candidates
+// score in groups of four sharing one pass over the per-angle
+// discretized coordinates. Scores are bit-identical to the scalar path.
 //
 // Semantics are identical to the device matcher and the bench anchor
 // (tools/cpu_anchor/bnb_anchor.cc): window-start max pooling with
@@ -38,8 +35,6 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
-#include <memory>
-#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -51,39 +46,10 @@ constexpr float kU8Scale = 255.0f / (kMaxProbability - kMinProbability);
 
 struct Pyramid {
   int h = 0, w = 0, depth = 0;
+  // Each level carries 4 bytes of slack: the AVX-512 path gathers
+  // 32-bit words at byte granularity, so the last cell's load overreads
+  // 3 bytes.
   std::vector<std::vector<uint8_t>> levels;
-
-  // Lazily built zero-padded copies of the levels for the windowed
-  // fast path, single-slot cached by pad width (drains share one
-  // window). Shared across search threads.
-  struct Padded {
-    int pad = 0, hp = 0, wp = 0;
-    std::vector<std::vector<uint8_t>> levels;
-  };
-  std::mutex pad_mu;
-  std::shared_ptr<const Padded> padded;
-
-  std::shared_ptr<const Padded> GetPadded(int pad) {
-    std::lock_guard<std::mutex> lock(pad_mu);
-    if (padded && padded->pad == pad) return padded;
-    auto p = std::make_shared<Padded>();
-    p->pad = pad;
-    p->hp = h + 2 * pad;
-    p->wp = w + 2 * pad;
-    p->levels.resize(depth);
-    for (int l = 0; l < depth; ++l) {
-      auto& dst = p->levels[l];
-      // +4 slack: the AVX-512 scoring path gathers 32-bit words at
-      // byte granularity, so the last cell's load overreads 3 bytes.
-      dst.assign(size_t(p->hp) * p->wp + 4, 0);
-      const auto& src = levels[l];
-      for (int y = 0; y < h; ++y)
-        std::memcpy(&dst[size_t(y + pad) * p->wp + pad],
-                    &src[size_t(y) * w], w);
-    }
-    padded = p;
-    return padded;
-  }
 };
 
 struct Candidate {
@@ -92,7 +58,7 @@ struct Candidate {
 };
 
 struct SearchSpec {
-  Pyramid* pyr;
+  const Pyramid* pyr;
   const float* points;  // [n, 2]
   int n;
   float ox, oy, resolution;
@@ -102,15 +68,9 @@ struct SearchSpec {
 
 struct Matcher {
   const SearchSpec& s;
-  std::vector<std::vector<int32_t>> dx, dy;
+  std::vector<std::vector<int32_t>> dx, dy, base;  // base = dy*w + dx
   std::vector<float> angles;
   int num_linear = 0;
-
-  // Windowed fast path (see file comment).
-  bool fast = false;
-  int wp = 0;
-  std::shared_ptr<const Pyramid::Padded> padded;
-  std::vector<std::vector<int32_t>> idx0;  // per angle: clamped base index
 
   explicit Matcher(const SearchSpec& spec) : s(spec) {}
 
@@ -130,6 +90,8 @@ struct Matcher {
     angles.resize(num_scans);
     dx.assign(num_scans, std::vector<int32_t>(s.n));
     dy.assign(num_scans, std::vector<int32_t>(s.n));
+    base.assign(num_scans, std::vector<int32_t>(s.n));
+    const int w = s.pyr->w;
     for (int a = 0; a < num_scans; ++a) {
       angles[a] = (a - num_angular) * step;
       float t = s.itheta + angles[a];
@@ -140,190 +102,85 @@ struct Matcher {
         float wy = sn * px + c * py + s.iy;
         dx[a][i] = (int32_t)std::floor((wx - s.ox) / s.resolution);
         dy[a][i] = (int32_t)std::floor((wy - s.oy) / s.resolution);
+        base[a][i] = dy[a][i] * w + dx[a][i];
       }
     }
     num_linear = (int)std::ceil(s.linear_window / s.resolution);
     num_linear = std::min(num_linear, std::max(s.pyr->h, s.pyr->w) + 1);
-
-    // Windowed fast path: pad 2L+2 keeps every offset in-array and
-    // routes any lookup whose unpadded coordinate is off-grid into the
-    // zero margin. Points off-grid for EVERY offset in an axis clamp to
-    // margin column/row L (its full +-L neighbourhood is margin).
-    // Full-submap windows (num_linear > max(h, w)) stay branchy.
-    fast = num_linear <= std::max(s.pyr->h, s.pyr->w);
-    if (!fast) return;
-    const int L = num_linear, pad = 2 * L + 2;
-    padded = s.pyr->GetPadded(pad);
-    wp = padded->wp;
-    const int h = s.pyr->h, w = s.pyr->w;
-    idx0.assign(angles.size(), std::vector<int32_t>(s.n));
-    for (int a = 0; a < (int)angles.size(); ++a) {
-      const auto& sx = dx[a];
-      const auto& sy = dy[a];
-      auto& base = idx0[a];
-      for (int i = 0; i < s.n; ++i) {
-        int px = (sx[i] < -L || sx[i] > w - 1 + L) ? L : sx[i] + pad;
-        int py = (sy[i] < -L || sy[i] > h - 1 + L) ? L : sy[i] + pad;
-        base[i] = py * wp + px;
-      }
-    }
   }
 
   float Normalize(int sum) const {
     return (float(sum) / s.n) / kU8Scale + kMinProbability;
   }
 
-  float ScoreSafe(int level, const Candidate& c) const {
+  int ScoreScalarTail(int level, const Candidate& c, int i0) const {
     const auto& pool = s.pyr->levels[level];
     const auto& sx = dx[c.angle];
     const auto& sy = dy[c.angle];
     const int h = s.pyr->h, w = s.pyr->w;
     int sum = 0;
-    for (int i = 0; i < s.n; ++i) {
+    for (int i = i0; i < s.n; ++i) {
       int x = sx[i] + c.x, y = sy[i] + c.y;
       if (x >= 0 && x < w && y >= 0 && y < h) sum += pool[size_t(y) * w + x];
     }
-    return Normalize(sum);
+    return sum;
   }
 
   // Score a run of 1-4 candidates sharing one angle in a single pass
-  // over the base-index array (fast path only).
+  // over the discretized coordinates. AVX-512: the in-grid test becomes
+  // the gather mask (unsigned compare catches negatives), so lanes off
+  // the grid never load and contribute 0.
   void ScoreRun(int level, Candidate* cs, int k) const {
-    const uint8_t* pool = padded->levels[level].data();
-    const int32_t* base = idx0[cs[0].angle].data();
-    const int n = s.n;
-    // The pool is L3-resident at padded sizes; software prefetch keeps
-    // ~4x more random loads in flight than the 4 scoring loads alone
-    // (base[] is sequential, so the future indices are already known).
-    constexpr int kPf = 12;
-    if (k == 4) {
-      const int o0 = cs[0].y * wp + cs[0].x, o1 = cs[1].y * wp + cs[1].x;
-      const int o2 = cs[2].y * wp + cs[2].x, o3 = cs[3].y * wp + cs[3].x;
-      int s0 = 0, s1 = 0, s2 = 0, s3 = 0;
-      int i = 0;
+    int sums[4] = {0, 0, 0, 0};
+    int i0 = 0;
 #ifdef __AVX512F__
-      // 16 byte-granular dword gathers per candidate per step; the
-      // low byte of each word is the cell (slack bytes in the pool
-      // cover the 3-byte overread at the last cell).
-      const __m512i m255 = _mm512_set1_epi32(0xFF);
-      __m512i a0 = _mm512_setzero_si512(), a1 = _mm512_setzero_si512();
-      __m512i a2 = _mm512_setzero_si512(), a3 = _mm512_setzero_si512();
-      for (; i + 16 <= n; i += 16) {
-        const __m512i b = _mm512_loadu_si512(base + i);
-        if (i + 32 <= n) {
-          const int32_t bp0 = base[i + 16], bp8 = base[i + 24];
-          __builtin_prefetch(pool + bp0 + o0, 0, 1);
-          __builtin_prefetch(pool + bp8 + o2, 0, 1);
-        }
-        a0 = _mm512_add_epi32(
-            a0, _mm512_and_si512(m255, _mm512_i32gather_epi32(
-                _mm512_add_epi32(b, _mm512_set1_epi32(o0)), pool, 1)));
-        a1 = _mm512_add_epi32(
-            a1, _mm512_and_si512(m255, _mm512_i32gather_epi32(
-                _mm512_add_epi32(b, _mm512_set1_epi32(o1)), pool, 1)));
-        a2 = _mm512_add_epi32(
-            a2, _mm512_and_si512(m255, _mm512_i32gather_epi32(
-                _mm512_add_epi32(b, _mm512_set1_epi32(o2)), pool, 1)));
-        a3 = _mm512_add_epi32(
-            a3, _mm512_and_si512(m255, _mm512_i32gather_epi32(
-                _mm512_add_epi32(b, _mm512_set1_epi32(o3)), pool, 1)));
-      }
-      s0 = _mm512_reduce_add_epi32(a0);
-      s1 = _mm512_reduce_add_epi32(a1);
-      s2 = _mm512_reduce_add_epi32(a2);
-      s3 = _mm512_reduce_add_epi32(a3);
-#endif
-      for (; i < n; ++i) {
-        const int32_t b = base[i];
-        s0 += pool[b + o0];
-        s1 += pool[b + o1];
-        s2 += pool[b + o2];
-        s3 += pool[b + o3];
-      }
-      cs[0].score = Normalize(s0);
-      cs[1].score = Normalize(s1);
-      cs[2].score = Normalize(s2);
-      cs[3].score = Normalize(s3);
-      return;
-    }
-    if (k == 2) {
-      const int o0 = cs[0].y * wp + cs[0].x, o1 = cs[1].y * wp + cs[1].x;
-      int s0 = 0, s1 = 0;
-      int i = 0;
-#ifdef __AVX512F__
-      const __m512i m255 = _mm512_set1_epi32(0xFF);
-      __m512i a0 = _mm512_setzero_si512(), a1 = _mm512_setzero_si512();
-      for (; i + 16 <= n; i += 16) {
-        const __m512i b = _mm512_loadu_si512(base + i);
-        if (i + 32 <= n) {
-          const int32_t bp0 = base[i + 16], bp8 = base[i + 24];
-          __builtin_prefetch(pool + bp0 + o0, 0, 1);
-          __builtin_prefetch(pool + bp8 + o1, 0, 1);
-        }
-        a0 = _mm512_add_epi32(
-            a0, _mm512_and_si512(m255, _mm512_i32gather_epi32(
-                _mm512_add_epi32(b, _mm512_set1_epi32(o0)), pool, 1)));
-        a1 = _mm512_add_epi32(
-            a1, _mm512_and_si512(m255, _mm512_i32gather_epi32(
-                _mm512_add_epi32(b, _mm512_set1_epi32(o1)), pool, 1)));
-      }
-      s0 = _mm512_reduce_add_epi32(a0);
-      s1 = _mm512_reduce_add_epi32(a1);
-#endif
-      for (; i < n; ++i) {
-        const int32_t b = base[i];
-        s0 += pool[b + o0];
-        s1 += pool[b + o1];
-      }
-      cs[0].score = Normalize(s0);
-      cs[1].score = Normalize(s1);
-      return;
-    }
+    const uint8_t* pool = s.pyr->levels[level].data();
+    const int32_t* px = dx[cs[0].angle].data();
+    const int32_t* py = dy[cs[0].angle].data();
+    const int32_t* pb = base[cs[0].angle].data();
+    const int n = s.n, w = s.pyr->w;
+    const __m512i vw = _mm512_set1_epi32(w);
+    const __m512i vh = _mm512_set1_epi32(s.pyr->h);
+    const __m512i m255 = _mm512_set1_epi32(0xFF);
+    const __m512i zero = _mm512_setzero_si512();
+    __m512i ox[4], oy[4], ob[4], acc[4];
     for (int j = 0; j < k; ++j) {
-      const int o = cs[j].y * wp + cs[j].x;
-      int sum = 0;
-      int i = 0;
-#ifdef __AVX512F__
-      const __m512i m255 = _mm512_set1_epi32(0xFF);
-      const __m512i vo = _mm512_set1_epi32(o);
-      __m512i acc = _mm512_setzero_si512();
-      for (; i + 16 <= n; i += 16) {
-        if (i + 32 <= n) {
-          __builtin_prefetch(pool + base[i + 16] + o, 0, 1);
-          __builtin_prefetch(pool + base[i + 24] + o, 0, 1);
-        }
-        const __m512i b = _mm512_loadu_si512(base + i);
-        acc = _mm512_add_epi32(
-            acc, _mm512_and_si512(m255, _mm512_i32gather_epi32(
-                _mm512_add_epi32(b, vo), pool, 1)));
-      }
-      sum = _mm512_reduce_add_epi32(acc);
-#endif
-      for (; i < n; ++i) {
-        if (i + kPf < n) __builtin_prefetch(pool + base[i + kPf] + o, 0, 1);
-        sum += pool[base[i] + o];
-      }
-      cs[j].score = Normalize(sum);
+      ox[j] = _mm512_set1_epi32(cs[j].x);
+      oy[j] = _mm512_set1_epi32(cs[j].y);
+      ob[j] = _mm512_set1_epi32(cs[j].y * w + cs[j].x);
+      acc[j] = zero;
     }
+    for (; i0 + 16 <= n; i0 += 16) {
+      const __m512i x = _mm512_loadu_si512(px + i0);
+      const __m512i y = _mm512_loadu_si512(py + i0);
+      const __m512i b = _mm512_loadu_si512(pb + i0);
+      for (int j = 0; j < k; ++j) {
+        const __mmask16 m = _mm512_cmplt_epu32_mask(
+            _mm512_add_epi32(x, ox[j]), vw)
+            & _mm512_cmplt_epu32_mask(_mm512_add_epi32(y, oy[j]), vh);
+        const __m512i g = _mm512_mask_i32gather_epi32(
+            zero, m, _mm512_add_epi32(b, ob[j]), pool, 1);
+        acc[j] = _mm512_add_epi32(acc[j], _mm512_and_si512(g, m255));
+      }
+    }
+    for (int j = 0; j < k; ++j) sums[j] = _mm512_reduce_add_epi32(acc[j]);
+#endif
+    for (int j = 0; j < k; ++j)
+      cs[j].score = Normalize(sums[j] + ScoreScalarTail(level, cs[j], i0));
   }
 
-  // Score candidates grouped into same-angle runs, then sort by
-  // descending score. `cands` is generated angle-major so runs are
-  // contiguous.
+  // Score candidates grouped into same-angle runs of up to four, then
+  // sort by descending score. `cands` is generated angle-major so runs
+  // are contiguous.
   void ScoreAndSort(int level, std::vector<Candidate>* cands) const {
-    if (fast) {
-      size_t i = 0;
-      const size_t m = cands->size();
-      while (i < m) {
-        size_t j = i + 1;
-        while (j < m && j - i < 4 &&
-               (*cands)[j].angle == (*cands)[i].angle)
-          ++j;
-        ScoreRun(level, cands->data() + i, int(j - i));
-        i = j;
-      }
-    } else {
-      for (auto& c : *cands) c.score = ScoreSafe(level, c);
+    size_t i = 0;
+    const size_t m = cands->size();
+    while (i < m) {
+      size_t j = i + 1;
+      while (j < m && j - i < 4 && (*cands)[j].angle == (*cands)[i].angle)
+        ++j;
+      ScoreRun(level, cands->data() + i, int(j - i));
+      i = j;
     }
     std::sort(cands->begin(), cands->end(),
               [](const Candidate& a, const Candidate& b) {
@@ -350,12 +207,7 @@ struct Matcher {
         if (cx > num_linear || cy > num_linear) continue;
         children[m++] = {c.angle, cx, cy, 0};
       }
-      if (fast) {
-        ScoreRun(level - 1, children, m);
-      } else {
-        for (int j = 0; j < m; ++j)
-          children[j].score = ScoreSafe(level - 1, children[j]);
-      }
+      ScoreRun(level - 1, children, m);
       // Insertion sort, descending (m <= 4).
       for (int j = 1; j < m; ++j) {
         Candidate t = children[j];
@@ -413,17 +265,18 @@ void* bnb_pyramid_create(const float* prob, int h, int w, int depth) {
   p->w = w;
   p->depth = depth;
   p->levels.resize(depth);
-  p->levels[0].resize(size_t(h) * w);
-  for (size_t i = 0; i < p->levels[0].size(); ++i) {
+  const size_t cells = size_t(h) * w;
+  p->levels[0].assign(cells + 4, 0);  // +4: gather overread slack
+  for (size_t i = 0; i < cells; ++i) {
     float q = std::round((prob[i] - kMinProbability) * kU8Scale);
     p->levels[0][i] = (uint8_t)std::min(255.0f, std::max(0.0f, q));
   }
-  std::vector<uint8_t> row(size_t(h) * w);
+  std::vector<uint8_t> row(cells);
   for (int l = 1; l < depth; ++l) {
     const int shift = 1 << (l - 1);
     const auto& prev = p->levels[l - 1];
     auto& cur = p->levels[l];
-    cur.resize(size_t(h) * w);
+    cur.assign(cells + 4, 0);
     for (int y = 0; y < h; ++y)
       for (int x = 0; x < w; ++x) {
         uint8_t a = prev[size_t(y) * w + x];
@@ -461,7 +314,7 @@ void bnb_match_batch(void** pyramids, int n, const float* clouds,
       if (i >= n) return;
       const float* pr = params + size_t(i) * 9;
       SearchSpec spec{
-          (Pyramid*)pyramids[i],
+          (const Pyramid*)pyramids[i],
           clouds + 2 * offsets[i],
           (int)(offsets[i + 1] - offsets[i]),
           pr[0], pr[1], pr[2], pr[3], pr[4], pr[5], pr[6], pr[7], pr[8],
