@@ -396,7 +396,13 @@ def _bench_bnb() -> dict:
         resolution=float(data["resolution"]),
     )
     cloud = data["cloud"]
-    center = np.asarray(grid.origin) + 0.5 * 0.05 * 512
+    # Initial estimate: the query scan's ground-truth pose perturbed by
+    # drift-scale error (well inside the 7 m / 30 deg window) — the
+    # realistic loop-closure shape: strong overlap with the submap, a
+    # sharp in-window peak, initial estimate off by accumulated drift.
+    initial = np.asarray(data["query_pose"], np.float64) + np.array(
+        [1.5, -0.9, 0.12]
+    )
     depth, linear, angular, min_score = 7, 7.0, float(np.radians(30.0)), 0.3
     out: dict = {"unit": "matches/s"}
 
@@ -419,7 +425,7 @@ def _bench_bnb() -> dict:
             grid.resolution,
             np.asarray(grid.origin),
             cloud,
-            rigid2.make(center, 0.1),
+            initial,
             linear_window=linear,
             angular_window=angular,
             min_score=min_score,
@@ -466,7 +472,7 @@ def _bench_bnb() -> dict:
                     grid,
                     NodeId(0, k),
                     node,
-                    rigid2.make(center, 0.1),
+                    initial,
                 )
 
     # --- Drain measurements. Two backends:
@@ -603,8 +609,18 @@ def _make_bnb_workload(path: str) -> None:
         builder.add_range_data("range", m)
     builder.flush()
     grid = builder._submaps[0].grid
+    # Query: a scan whose true pose OVERLAPS submap 0 — the shape the
+    # reference's drain actually searches (constraint_builder_2d.cc
+    # gates candidates by max_constraint_distance, so far-field queries
+    # never reach the matcher). The scan's ground-truth pose rides along
+    # for the perturbed initial estimate in _bench_bnb.
+    qi = 200
+    velocity = direction * 10.0 / 30.0
+    query_pose = np.array(
+        [qi * 0.05 * velocity[0], qi * 0.05 * velocity[1], 0.0], np.float64
+    )
     cloud = adaptive_voxel_filter(
-        PointCloud(measurements[-1].ranges.points),
+        PointCloud(measurements[qi].ranges.points),
         AdaptiveVoxelFilterOptions(
             max_length=0.9, min_num_points=100, max_range=50.0
         ),
@@ -616,6 +632,7 @@ def _make_bnb_workload(path: str) -> None:
         origin=np.asarray(grid.origin),
         resolution=np.float32(grid.resolution),
         cloud=np.asarray(cloud, np.float32),
+        query_pose=query_pose,
     )
 
 

@@ -68,7 +68,13 @@ struct SearchSpec {
 
 struct Matcher {
   const SearchSpec& s;
-  std::vector<std::vector<int32_t>> dx, dy, base;  // base = dy*w + dx
+  // Flat per-angle discretized coordinates, stride n (one allocation
+  // each instead of 3 x num_scans vectors). base = dy*w + dx.
+  std::vector<int32_t> dx, dy, base;
+  // Per-angle coordinate bounds [minx, maxx, miny, maxy]: a candidate
+  // whose whole offset window stays in-grid skips the per-lane bounds
+  // masks (the common case for overlapping loop closures).
+  std::vector<int32_t> bbox;
   std::vector<float> angles;
   int num_linear = 0;
 
@@ -88,22 +94,37 @@ struct Matcher {
     int num_angular = (int)std::ceil(s.angular_window / step);
     int num_scans = 2 * num_angular + 1;
     angles.resize(num_scans);
-    dx.assign(num_scans, std::vector<int32_t>(s.n));
-    dy.assign(num_scans, std::vector<int32_t>(s.n));
-    base.assign(num_scans, std::vector<int32_t>(s.n));
+    dx.resize(size_t(num_scans) * s.n);
+    dy.resize(size_t(num_scans) * s.n);
+    base.resize(size_t(num_scans) * s.n);
+    bbox.resize(size_t(num_scans) * 4);
     const int w = s.pyr->w;
     for (int a = 0; a < num_scans; ++a) {
       angles[a] = (a - num_angular) * step;
       float t = s.itheta + angles[a];
       float c = std::cos(t), sn = std::sin(t);
+      int32_t* ax = dx.data() + size_t(a) * s.n;
+      int32_t* ay = dy.data() + size_t(a) * s.n;
+      int32_t* ab = base.data() + size_t(a) * s.n;
+      const float inv_res = 1.0f / s.resolution;
+      int32_t mnx = INT32_MAX, mxx = INT32_MIN;
+      int32_t mny = INT32_MAX, mxy = INT32_MIN;
       for (int i = 0; i < s.n; ++i) {
         float px = s.points[2 * i], py = s.points[2 * i + 1];
         float wx = c * px - sn * py + s.ix;
         float wy = sn * px + c * py + s.iy;
-        dx[a][i] = (int32_t)std::floor((wx - s.ox) / s.resolution);
-        dy[a][i] = (int32_t)std::floor((wy - s.oy) / s.resolution);
-        base[a][i] = dy[a][i] * w + dx[a][i];
+        ax[i] = (int32_t)std::floor((wx - s.ox) * inv_res);
+        ay[i] = (int32_t)std::floor((wy - s.oy) * inv_res);
+        ab[i] = ay[i] * w + ax[i];
+        mnx = std::min(mnx, ax[i]);
+        mxx = std::max(mxx, ax[i]);
+        mny = std::min(mny, ay[i]);
+        mxy = std::max(mxy, ay[i]);
       }
+      bbox[size_t(a) * 4 + 0] = mnx;
+      bbox[size_t(a) * 4 + 1] = mxx;
+      bbox[size_t(a) * 4 + 2] = mny;
+      bbox[size_t(a) * 4 + 3] = mxy;
     }
     num_linear = (int)std::ceil(s.linear_window / s.resolution);
     num_linear = std::min(num_linear, std::max(s.pyr->h, s.pyr->w) + 1);
@@ -115,8 +136,8 @@ struct Matcher {
 
   int ScoreScalarTail(int level, const Candidate& c, int i0) const {
     const auto& pool = s.pyr->levels[level];
-    const auto& sx = dx[c.angle];
-    const auto& sy = dy[c.angle];
+    const int32_t* sx = dx.data() + size_t(c.angle) * s.n;
+    const int32_t* sy = dy.data() + size_t(c.angle) * s.n;
     const int h = s.pyr->h, w = s.pyr->w;
     int sum = 0;
     for (int i = i0; i < s.n; ++i) {
@@ -126,66 +147,106 @@ struct Matcher {
     return sum;
   }
 
-  // Score a run of 1-4 candidates sharing one angle in a single pass
+  // Score a run of 1-8 candidates sharing one angle in a single pass
   // over the discretized coordinates. AVX-512: the in-grid test becomes
   // the gather mask (unsigned compare catches negatives), so lanes off
-  // the grid never load and contribute 0.
+  // the grid never load and contribute 0; when the angle's whole
+  // coordinate bbox plus every candidate offset stays in-grid (the
+  // common case for overlapping loop closures) the per-lane bounds
+  // masks are skipped entirely. The last partial block runs with a lane
+  // mask instead of a scalar tail.
   void ScoreRun(int level, Candidate* cs, int k) const {
-    int sums[4] = {0, 0, 0, 0};
-    int i0 = 0;
 #ifdef __AVX512F__
     const uint8_t* pool = s.pyr->levels[level].data();
-    const int32_t* px = dx[cs[0].angle].data();
-    const int32_t* py = dy[cs[0].angle].data();
-    const int32_t* pb = base[cs[0].angle].data();
-    const int n = s.n, w = s.pyr->w;
-    const __m512i vw = _mm512_set1_epi32(w);
-    const __m512i vh = _mm512_set1_epi32(s.pyr->h);
+    const size_t astride = size_t(cs[0].angle) * s.n;
+    const int32_t* px = dx.data() + astride;
+    const int32_t* py = dy.data() + astride;
+    const int32_t* pb = base.data() + astride;
+    const int n = s.n, w = s.pyr->w, h = s.pyr->h;
+    const int32_t* bb = bbox.data() + size_t(cs[0].angle) * 4;
+    bool allin = true;
+    for (int j = 0; j < k; ++j)
+      allin = allin && bb[0] + cs[j].x >= 0 && bb[1] + cs[j].x < w &&
+              bb[2] + cs[j].y >= 0 && bb[3] + cs[j].y < h;
     const __m512i m255 = _mm512_set1_epi32(0xFF);
     const __m512i zero = _mm512_setzero_si512();
-    __m512i ox[4], oy[4], ob[4], acc[4];
+    __m512i ob[8], acc[8];
     for (int j = 0; j < k; ++j) {
-      ox[j] = _mm512_set1_epi32(cs[j].x);
-      oy[j] = _mm512_set1_epi32(cs[j].y);
       ob[j] = _mm512_set1_epi32(cs[j].y * w + cs[j].x);
       acc[j] = zero;
     }
-    for (; i0 + 16 <= n; i0 += 16) {
-      const __m512i x = _mm512_loadu_si512(px + i0);
-      const __m512i y = _mm512_loadu_si512(py + i0);
-      const __m512i b = _mm512_loadu_si512(pb + i0);
+    const int full = n & ~15;
+    int i = 0;
+    if (allin) {
+      for (; i < full; i += 16) {
+        const __m512i b = _mm512_loadu_si512(pb + i);
+        for (int j = 0; j < k; ++j) {
+          const __m512i g = _mm512_i32gather_epi32(
+              _mm512_add_epi32(b, ob[j]), pool, 1);
+          acc[j] = _mm512_add_epi32(acc[j], _mm512_and_si512(g, m255));
+        }
+      }
+    } else {
+      const __m512i vw = _mm512_set1_epi32(w);
+      const __m512i vh = _mm512_set1_epi32(h);
+      __m512i ox[8], oy[8];
       for (int j = 0; j < k; ++j) {
-        const __mmask16 m = _mm512_cmplt_epu32_mask(
-            _mm512_add_epi32(x, ox[j]), vw)
-            & _mm512_cmplt_epu32_mask(_mm512_add_epi32(y, oy[j]), vh);
+        ox[j] = _mm512_set1_epi32(cs[j].x);
+        oy[j] = _mm512_set1_epi32(cs[j].y);
+      }
+      for (; i < full; i += 16) {
+        const __m512i x = _mm512_loadu_si512(px + i);
+        const __m512i y = _mm512_loadu_si512(py + i);
+        const __m512i b = _mm512_loadu_si512(pb + i);
+        for (int j = 0; j < k; ++j) {
+          const __mmask16 m = _mm512_cmplt_epu32_mask(
+              _mm512_add_epi32(x, ox[j]), vw)
+              & _mm512_cmplt_epu32_mask(_mm512_add_epi32(y, oy[j]), vh);
+          const __m512i g = _mm512_mask_i32gather_epi32(
+              zero, m, _mm512_add_epi32(b, ob[j]), pool, 1);
+          acc[j] = _mm512_add_epi32(acc[j], _mm512_and_si512(g, m255));
+        }
+      }
+    }
+    if (i < n) {
+      // Lane-masked tail (maskz loads also keep the reads inside the
+      // coordinate buffers at the last angle).
+      const __mmask16 lane = (__mmask16)((1u << (n - i)) - 1u);
+      const __m512i x = _mm512_maskz_loadu_epi32(lane, px + i);
+      const __m512i y = _mm512_maskz_loadu_epi32(lane, py + i);
+      const __m512i b = _mm512_maskz_loadu_epi32(lane, pb + i);
+      const __m512i vw = _mm512_set1_epi32(w);
+      const __m512i vh = _mm512_set1_epi32(h);
+      for (int j = 0; j < k; ++j) {
+        const __mmask16 m = lane
+            & _mm512_cmplt_epu32_mask(
+                _mm512_add_epi32(x, _mm512_set1_epi32(cs[j].x)), vw)
+            & _mm512_cmplt_epu32_mask(
+                _mm512_add_epi32(y, _mm512_set1_epi32(cs[j].y)), vh);
         const __m512i g = _mm512_mask_i32gather_epi32(
             zero, m, _mm512_add_epi32(b, ob[j]), pool, 1);
         acc[j] = _mm512_add_epi32(acc[j], _mm512_and_si512(g, m255));
       }
     }
-    for (int j = 0; j < k; ++j) sums[j] = _mm512_reduce_add_epi32(acc[j]);
-#endif
     for (int j = 0; j < k; ++j)
-      cs[j].score = Normalize(sums[j] + ScoreScalarTail(level, cs[j], i0));
+      cs[j].score = Normalize(_mm512_reduce_add_epi32(acc[j]));
+#else
+    for (int j = 0; j < k; ++j)
+      cs[j].score = Normalize(ScoreScalarTail(level, cs[j], 0));
+#endif
   }
 
-  // Score candidates grouped into same-angle runs of up to four, then
-  // sort by descending score. `cands` is generated angle-major so runs
-  // are contiguous.
-  void ScoreAndSort(int level, std::vector<Candidate>* cands) const {
+  // Score candidates grouped into same-angle runs (angle-major input).
+  void ScoreAll(int level, std::vector<Candidate>* cands) const {
     size_t i = 0;
     const size_t m = cands->size();
     while (i < m) {
       size_t j = i + 1;
-      while (j < m && j - i < 4 && (*cands)[j].angle == (*cands)[i].angle)
+      while (j < m && j - i < 8 && (*cands)[j].angle == (*cands)[i].angle)
         ++j;
       ScoreRun(level, cands->data() + i, int(j - i));
       i = j;
     }
-    std::sort(cands->begin(), cands->end(),
-              [](const Candidate& a, const Candidate& b) {
-                return a.score > b.score;
-              });
   }
 
   float BranchAndBound(const Candidate* cands, int count, int level,
@@ -237,10 +298,25 @@ struct Matcher {
       for (int x = -num_linear; x <= num_linear; x += stride)
         for (int y = -num_linear; y <= num_linear; y += stride)
           top.push_back({a, x, y, 0});
-    ScoreAndSort(depth - 1, &top);
+    ScoreAll(depth - 1, &top);
+    // Max-heap with lazy pops instead of a full sort: BnB consumes the
+    // top candidates in descending-score order only until one scores
+    // below the best leaf, which is typically a tiny prefix of the
+    // thousands of top-level candidates (same consumption order as the
+    // sorted loop; ties are unordered in both).
+    const auto heap_less = [](const Candidate& a, const Candidate& b) {
+      return a.score < b.score;
+    };
+    std::make_heap(top.begin(), top.end(), heap_less);
     Candidate best{-1, 0, 0, 0};
-    float score = BranchAndBound(top.data(), (int)top.size(), depth - 1,
-                                 s.min_score, &best);
+    float score = s.min_score;
+    while (!top.empty()) {
+      std::pop_heap(top.begin(), top.end(), heap_less);
+      const Candidate c = top.back();
+      top.pop_back();
+      if (c.score <= score) break;
+      score = BranchAndBound(&c, 1, depth - 1, score, &best);
+    }
     *found = best.angle >= 0 ? 1 : 0;
     if (best.angle >= 0) {
       out_pose[0] = s.ix + best.x * s.resolution;
