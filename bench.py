@@ -102,6 +102,7 @@ def main() -> None:
     # reports the framework, not one stall, while every segment rate
     # stays in the artifact for attribution.
     segment_rates = []
+    segment_counts = []
     count = 0
     pos = warm_done
     for _ in range(3):
@@ -120,10 +121,18 @@ def main() -> None:
         count += seg_count
         if seg_count:
             segment_rates.append(round(seg_count / dt, 2))
+            segment_counts.append(seg_count)
         if pos >= len(measurements):
             break
     n += len(builder.flush())
-    scans_per_sec = max(segment_rates) if segment_rates else 0.0
+    # Headline = MEDIAN of the segment rates (segments shorter than two
+    # chunks are dropped first — a tiny tail segment can spike): the
+    # median reports the sustained rate; the max stays in the artifact as
+    # a separately-labeled best-window field for link-health attribution.
+    full_segments = [
+        r for r, c in zip(segment_rates, segment_counts) if c >= 2 * chunk
+    ] or segment_rates
+    scans_per_sec = float(np.median(full_segments)) if full_segments else 0.0
     assert n > min(count, warmup) // 2, "pipeline produced too few results"
 
     # Attribution probe: per-chunk wall time WITHOUT upload/compute
@@ -160,6 +169,9 @@ def main() -> None:
         "link": _link_probe(),
         "serialized_chunk_ms": serialized_chunk_ms,
         "segment_scans_per_sec": segment_rates,
+        "best_segment_scans_per_sec": (
+            max(segment_rates) if segment_rates else 0.0
+        ),
         "chunk_size": chunk,
     }
     if degraded:
@@ -168,7 +180,52 @@ def main() -> None:
             "understates steady-state throughput"
         )
     record["extras"] = _extras(degraded)
+    # Full record first (for humans / the repo log)...
     print(json.dumps(record))
+    # ...then a COMPACT summary as the LAST line: the driver records only
+    # the last ~2000 chars of output, so every headline number must
+    # survive in the tail on its own (VERDICT r4 weak #7).
+    print(json.dumps(_compact_summary(record)))
+
+
+def _compact_summary(record: dict) -> dict:
+    """Every headline number from the full record, under ~1500 chars."""
+    ex = record.get("extras", {})
+
+    def pick(d, *keys):
+        if not isinstance(d, dict):
+            return {"error": str(d)[:120]}
+        out = {}
+        for k in keys:
+            if k in d:
+                out[k] = d[k]
+        if not out and "error" in d:
+            out["error"] = str(d["error"])[:120]
+        return out
+
+    summary = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "vs_baseline": record["vs_baseline"],
+        "segments": record.get("segment_scans_per_sec"),
+        "local_slam_3d": pick(
+            ex.get("local_slam_3d_scans_per_sec", {}), "value", "vs_baseline"
+        ),
+        "loop_closure": pick(
+            ex.get("loop_closure_batched_matches_per_sec", {}),
+            "value", "vs_baseline", "vs_baseline_search_only",
+            "device_seconds", "cpu_anchor_matches_per_sec",
+        ),
+        "spa": pick(ex.get("spa_solve_seconds", {}), "1000_nodes", "10000_nodes"),
+        "scaled_world": pick(
+            ex.get("scaled_world", {}),
+            "aligned_ate_mean_m", "aligned_ate_max_m",
+            "relations_abs_translational_error_m", "num_inter_constraints",
+            "real_time_ratio", "feed_stall_p99_s",
+        ),
+    }
+    return summary
 
 
 def _extras(degraded: bool) -> dict:
@@ -503,14 +560,18 @@ def _bench_bnb() -> dict:
             enqueue(cb, n_nodes, n_submaps)
             found = cb.run_pending()  # warm: compiles + pyramid builds
             best = None
+            timings = None
             for _ in range(2):
                 enqueue(cb, n_nodes, n_submaps)
                 t0 = time.perf_counter()
                 found = cb.run_pending()
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                if best is None or dt < best:
+                    # Keep the phase timings PAIRED with the repeat that
+                    # produced the headline (best) drain time.
+                    best = dt
+                    timings = getattr(cb, "last_drain_timings", None)
             rate = batch / best
-            timings = getattr(cb, "last_drain_timings", None)
             sweep[f"{backend}_drain_{batch}"] = {
                 "matches_per_sec": round(rate, 2),
                 "drain_seconds": round(best, 3),

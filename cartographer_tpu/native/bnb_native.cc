@@ -156,6 +156,9 @@ struct Matcher {
   // masks are skipped entirely. The last partial block runs with a lane
   // mask instead of a scalar tail.
   void ScoreRun(int level, Candidate* cs, int k) const {
+    // Guard: cs[0].angle is read below even when every j-loop is empty,
+    // so an empty run must not touch the (uninitialized) array.
+    if (k <= 0) return;
 #ifdef __AVX512F__
     const uint8_t* pool = s.pyr->levels[level].data();
     const size_t astride = size_t(cs[0].angle) * s.n;

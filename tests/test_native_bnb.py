@@ -101,10 +101,12 @@ def test_native_backend_respects_min_score():
 
 
 def test_native_fast_path_agrees_with_anchor_at_grid_edge():
-    """The windowed fast path (padded levels + margin clamping,
-    bnb_native.cc) must score identically to the branchy scalar anchor
-    when the search window and many cloud points fall OFF the grid —
-    the case the zero margin and the always-out clamp encode."""
+    """The AVX-512 masked-gather fast path (bnb_native.cc ScoreRun) must
+    score identically to the branchy scalar anchor when the search
+    window and many cloud points fall OFF the grid — off-grid lanes are
+    masked out of the gather (contributing 0 == MIN_PROBABILITY) and the
+    per-angle bbox shortcut must correctly decline for windows that
+    cross the boundary."""
     from tools.cpu_anchor.run_anchor import run_anchor
 
     grid, scan, _ = _make_workload()
