@@ -138,14 +138,23 @@ class ConstraintBuilder2D:
     def notify_end_of_node(self) -> None:
         self._num_finished_nodes += 1
 
+    # Searches per pipeline stage: the host (threaded C++) searches chunk
+    # k+1 WHILE the device refines chunk k's accepted matches — the
+    # dispatched refinement program executes asynchronously and is only
+    # fetched after the last chunk, so at steady state the chip's LM
+    # refinement work rides entirely inside the host search wall.
+    _DRAIN_CHUNK = 256
+
     def run_pending(self) -> List[Constraint]:
         """Execute queued searches; returns found constraints (WhenDone).
 
-        Batched in two device phases — all BnB searches dispatched then
-        fetched as ONE stacked array, and likewise all Gauss-Newton
-        refinements — so a batch of K searches costs two host round trips
-        instead of 2K (the searches are independent, the reference runs
-        them as concurrent thread-pool tasks)."""
+        Pipelined hybrid placement: the branch-and-bound searches run
+        threaded across host cores (or batched on device), and every
+        chunk's accepted matches are immediately dispatched as ONE
+        vmapped device refinement program (match_log_odds_batch_packed)
+        that overlaps the NEXT chunk's host search — the reference runs
+        both phases as concurrent thread-pool tasks per pair
+        (constraint_builder_2d.cc:102-136, :246-249)."""
         import time as _time
 
         results: List[Constraint] = []
@@ -154,62 +163,110 @@ class ConstraintBuilder2D:
             return results
 
         _t0 = _time.perf_counter()
-        if self._use_native_backend():
-            decoded = self._run_searches_native(pending)
-        else:
-            decoded = self._run_searches_device(pending)
-        _t_search = _time.perf_counter() - _t0
+        use_native = self._use_native_backend()
+        chunk_size = self._DRAIN_CHUNK if use_native else len(pending)
+        _t_search = 0.0
+        _t_refine_dispatch = 0.0
+        # Per chunk: (refine rows [(search, pose|None)], device jobs,
+        # dispatched device rows handle).
+        staged = []
+        for c0 in range(0, len(pending), chunk_size):
+            chunk = pending[c0: c0 + chunk_size]
+            _ts = _time.perf_counter()
+            if use_native:
+                decoded = self._run_searches_native(chunk)
+            else:
+                decoded = self._run_searches_device(chunk)
+            _t_search += _time.perf_counter() - _ts
+            refine = []
+            device_jobs = []  # (refine row, search, BnB result)
+            for search, result in decoded:
+                if result is None:
+                    continue
+                self._score_histogram.add(result.score)
+                metrics.constraint_scores.observe(result.score)
+                grid = self._submap_grids[search.submap_id]
+                if not hasattr(grid, "log_odds"):  # TSDF grid: serial path
+                    cloud = (
+                        search.constant_data
+                        .filtered_gravity_aligned_point_cloud
+                    )
+                    refined_pose, _ = self._ceres_matcher.match(
+                        result.pose[:2], result.pose, cloud, grid
+                    )
+                    refine.append((search, refined_pose))
+                    continue
+                device_jobs.append((len(refine), search, result))
+                refine.append((search, None))
+            handle = None
+            if device_jobs:
+                _tr = _time.perf_counter()
+                handle = self._batch_refine_dispatch(device_jobs)
+                try:
+                    # Start the device->host copy NOW: on remote-attached
+                    # backends dispatch alone can stay lazily enqueued
+                    # until the first fetch, which would serialize the
+                    # refinement after the host searches instead of
+                    # under them.
+                    handle.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+                _t_refine_dispatch += _time.perf_counter() - _tr
+            staged.append((refine, device_jobs, handle))
 
-        # Phase 2: refine ALL accepted matches as ONE vmapped device
-        # program (match_log_odds_batch_packed) — a drain of K searches
-        # costs two device programs total (search batch + refinement
-        # batch) regardless of K.
-        refine = []
-        device_jobs = []  # (refine row, search, BnB result)
-        for search, result in decoded:
-            if result is None:
+        # Fetch the refinement programs (most have already executed under
+        # later chunks' host searches) and assemble constraints.
+        _t_refine_wait = 0.0
+        for refine, device_jobs, handle in staged:
+            if handle is not None:
+                _tw = _time.perf_counter()
+                rows = np.asarray(handle)
+                _t_refine_wait += _time.perf_counter() - _tw
+                poses = rows[: len(device_jobs), :3].astype(np.float64)
+                poses[:, 2] = rigid2.normalize_angle(poses[:, 2])
+                for (i, _, __), pose in zip(device_jobs, poses):
+                    refine[i] = (refine[i][0], pose)
+            if not refine:
                 continue
-            self._score_histogram.add(result.score)
-            metrics.constraint_scores.observe(result.score)
-            cloud = search.constant_data.filtered_gravity_aligned_point_cloud
-            grid = self._submap_grids[search.submap_id]
-            if not hasattr(grid, "log_odds"):  # TSDF grid: serial path
-                refined_pose, _ = self._ceres_matcher.match(
-                    result.pose[:2], result.pose, cloud, grid
-                )
-                refine.append((search, refined_pose))
-                continue
-            device_jobs.append((len(refine), search, result))
-            refine.append((search, None))
-        if device_jobs:
-            for (i, _, __), pose in zip(
-                device_jobs, self._batch_refine(device_jobs)
-            ):
-                refine[i] = (refine[i][0], pose)
-        if refine:
-            for search, refined_pose in refine:
-                submap_local_pose = self._submap_local_pose(search.submap_id)
-                zbar_ij = rigid2.compose(
-                    rigid2.inverse(submap_local_pose), refined_pose
-                )
+            # Vectorized zbar = inverse(submap_local_pose) o refined_pose.
+            sub = np.stack(
+                [
+                    self._submap_local_pose(search.submap_id)
+                    for search, _ in refine
+                ]
+            ).astype(np.float64)
+            ref = np.stack([pose for _, pose in refine]).astype(np.float64)
+            ct, st = np.cos(-sub[:, 2]), np.sin(-sub[:, 2])
+            dx = ref[:, 0] - sub[:, 0]
+            dy = ref[:, 1] - sub[:, 1]
+            zx = ct * dx - st * dy
+            zy = st * dx + ct * dy
+            zt = rigid2.normalize_angle(ref[:, 2] - sub[:, 2])
+            tw = self._options.loop_closure_translation_weight
+            rw = self._options.loop_closure_rotation_weight
+            for (search, _), x, y, t in zip(refine, zx, zy, zt):
                 results.append(
                     Constraint(
                         submap_id=search.submap_id,
                         node_id=search.node_id,
                         pose=ConstraintPose(
-                            zbar_ij=zbar_ij,
-                            translation_weight=self._options.loop_closure_translation_weight,
-                            rotation_weight=self._options.loop_closure_rotation_weight,
+                            zbar_ij=np.array([x, y, t]),
+                            translation_weight=tw,
+                            rotation_weight=rw,
                         ),
                         tag=INTER_SUBMAP,
                     )
                 )
         metrics.constraints_found.increment(len(results))
         # Drain phase timings (observability; bench.py reports the
-        # search-phase rate against the search-only CPU anchor).
+        # search-phase rate against the search-only CPU anchor, and the
+        # refine wait shows how much chip time did NOT overlap the host
+        # searches).
         self.last_drain_timings = {
             "searches": len(pending),
             "search_s": _t_search,
+            "refine_dispatch_s": _t_refine_dispatch,
+            "refine_wait_s": _t_refine_wait,
             "total_s": _time.perf_counter() - _t0,
         }
         return results
@@ -246,8 +303,11 @@ class ConstraintBuilder2D:
             cloud = search.constant_data.filtered_gravity_aligned_point_cloud
             staged = self._node_clouds.get(search.node_id)
             if staged is None or staged[0].shape[0] < cloud.shape[0]:
-                staged = FastCorrelativeScanMatcher2D.stage_points(cloud)
+                staged = FastCorrelativeScanMatcher2D.stage_points(cloud) + (
+                    np.ascontiguousarray(cloud[:, :2], np.float32),
+                )
                 self._node_clouds[search.node_id] = staged
+            staged = staged[:2]
             if search.initial_relative_pose is None:
                 initial_pose = None
                 min_score = self._options.global_localization_min_score
@@ -287,11 +347,17 @@ class ConstraintBuilder2D:
 
         opts = self._options.fast_correlative_scan_matcher
         depth = opts.branch_and_bound_depth
+        n = len(pending)
+        metrics.constraints_searched.increment(n)
         pyramids = []
         clouds = []
-        params = np.zeros((len(pending), 9), np.float32)
+        params = np.zeros((n, 9), np.float32)
+        # Vectorized initial-pose assembly: compose(submap_local_pose,
+        # initial_relative_pose) batched over the chunk.
+        sub = np.zeros((n, 3), np.float64)
+        rel = np.zeros((n, 3), np.float64)
+        is_global = np.zeros(n, bool)
         for i, search in enumerate(pending):
-            metrics.constraints_searched.increment()
             sid = search.submap_id
             pyr = self._native_pyramids.get(sid)
             if pyr is None:
@@ -311,45 +377,56 @@ class ConstraintBuilder2D:
                 )
             origin, resolution = self._native_origins[sid]
             cloud = search.constant_data.filtered_gravity_aligned_point_cloud
-            clouds.append(np.asarray(cloud[:, :2], np.float32))
             staged = self._node_clouds.get(search.node_id)
             if staged is None or staged[0].shape[0] < cloud.shape[0]:
-                # The device-batched refinement phase reads staged clouds.
-                self._node_clouds[search.node_id] = (
-                    FastCorrelativeScanMatcher2D.stage_points(cloud)
+                # The device-batched refinement phase reads staged
+                # clouds; the native layer deduplicates the flat upload
+                # by the f32 array's identity, so the 2-column cast is
+                # cached alongside.
+                staged = FastCorrelativeScanMatcher2D.stage_points(cloud) + (
+                    np.ascontiguousarray(cloud[:, :2], np.float32),
                 )
+                self._node_clouds[search.node_id] = staged
+            clouds.append(staged[2])
             if search.initial_relative_pose is None:
+                is_global[i] = True
                 center = origin + 0.5 * resolution * np.array(
                     [pyr.w, pyr.h]
                 )
-                initial = rigid2.make(center, 0.0)
-                linear, angular = 1e6 * resolution, math.pi
-                min_score = self._options.global_localization_min_score
-            else:
-                initial = rigid2.compose(
-                    self._submap_local_pose(sid),
-                    search.initial_relative_pose,
+                sub[i] = rigid2.make(center, 0.0)
+                params[i, 6:9] = (
+                    1e6 * resolution,
+                    math.pi,
+                    self._options.global_localization_min_score,
                 )
-                linear = opts.linear_search_window
-                angular = opts.angular_search_window
-                min_score = self._options.min_score
-            params[i] = [
-                origin[0], origin[1], resolution,
-                initial[0], initial[1], initial[2],
-                linear, angular, min_score,
-            ]
+            else:
+                sub[i] = self._submap_local_pose(sid)
+                rel[i] = search.initial_relative_pose
+                params[i, 6:9] = (
+                    opts.linear_search_window,
+                    opts.angular_search_window,
+                    self._options.min_score,
+                )
+            params[i, 0:2] = origin
+            params[i, 2] = resolution
             pyramids.append(pyr)
+        ct, st = np.cos(sub[:, 2]), np.sin(sub[:, 2])
+        params[:, 3] = sub[:, 0] + ct * rel[:, 0] - st * rel[:, 1]
+        params[:, 4] = sub[:, 1] + st * rel[:, 0] + ct * rel[:, 1]
+        params[:, 5] = sub[:, 2] + rel[:, 2]
         out_rows, found = native_bnb.match_batch(pyramids, clouds, params)
+        thetas = rigid2.normalize_angle(out_rows[:, 3].astype(np.float64))
         out = []
-        for search, row, ok in zip(pending, out_rows, found):
-            if not ok:
+        for i, search in enumerate(pending):
+            if not found[i]:
                 out.append((search, None))
                 continue
             pose = np.array(
-                [row[1], row[2], rigid2.normalize_angle(float(row[3]))],
-                np.float64,
+                [out_rows[i, 1], out_rows[i, 2], thetas[i]], np.float64
             )
-            out.append((search, MatchResult(score=float(row[0]), pose=pose)))
+            out.append(
+                (search, MatchResult(score=float(out_rows[i, 0]), pose=pose))
+            )
         return out
 
     def _batch_refine_dispatch(self, jobs):
@@ -397,7 +474,8 @@ class ConstraintBuilder2D:
 
         points = np.zeros((u_pad, n_pad, 2), np.float32)
         pmask = np.zeros((u_pad, n_pad), bool)
-        for r, (pts, mask) in enumerate(clouds):
+        for r, staged in enumerate(clouds):
+            pts, mask = staged[0], staged[1]
             points[r, : pts.shape[0]] = pts
             pmask[r, : mask.shape[0]] = mask
         origins = np.zeros((k, 2), np.float32)

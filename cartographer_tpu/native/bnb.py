@@ -69,6 +69,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32),
@@ -116,18 +117,34 @@ def match_batch(
 ):
     """Run n independent searches across host threads.
 
+    Clouds are deduplicated by object identity (one node is searched
+    against many submaps per drain) before the flat upload to the C++
+    layer — searches carry (offset, count) references into the unique
+    concatenation.
+
     Returns (out [n, 4] f32: score/x/y/theta, found [n] i32)."""
     lib = _load()
     assert lib is not None, "native BnB backend unavailable"
     n = len(pyramids)
     handles = (ctypes.c_void_p * n)(*[p.handle for p in pyramids])
-    offsets = np.zeros(n + 1, np.int64)
+    offsets = np.zeros(n, np.int64)
+    counts = np.zeros(n, np.int32)
+    uniq: dict = {}
+    flat_parts = []
+    total = 0
     for i, c in enumerate(clouds):
-        offsets[i + 1] = offsets[i] + len(c)
+        key = id(c)
+        hit = uniq.get(key)
+        if hit is None:
+            part = np.ascontiguousarray(c[:, :2], np.float32)
+            hit = (total, len(part))
+            uniq[key] = hit
+            flat_parts.append(part)
+            total += len(part)
+        offsets[i], counts[i] = hit
     flat = (
-        np.concatenate([np.ascontiguousarray(c[:, :2], np.float32)
-                        for c in clouds])
-        if n
+        np.concatenate(flat_parts)
+        if flat_parts
         else np.zeros((0, 2), np.float32)
     )
     flat = np.ascontiguousarray(flat, np.float32)
@@ -141,6 +158,7 @@ def match_batch(
         n,
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         params.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         found.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -302,6 +302,45 @@ struct Matcher {
         for (int y = -num_linear; y <= num_linear; y += stride)
           top.push_back({a, x, y, 0});
     ScoreAll(depth - 1, &top);
+    // Incumbent seeding: every candidate's (x, y) is itself a valid
+    // leaf, so scoring the most promising top-level candidates at FULL
+    // resolution yields true lower bounds before the DFS starts —
+    // exactly the device matcher's leaf probe (fast_correlative_2d.py
+    // probe_and_update). The DFS then prunes against a near-final
+    // incumbent instead of growing one from min_score. Exactness is
+    // untouched (the incumbent is a real leaf score).
+    Candidate seeded{-1, 0, 0, 0};
+    float seed_score = s.min_score;
+    {
+      constexpr int kProbe = 8;
+      Candidate probe[kProbe];
+      int np = 0;
+      for (const Candidate& c : top) {
+        if (np < kProbe) {
+          probe[np++] = c;
+          if (np == kProbe)
+            std::sort(probe, probe + kProbe,
+                      [](const Candidate& a, const Candidate& b) {
+                        return a.score > b.score;
+                      });
+        } else if (c.score > probe[kProbe - 1].score) {
+          int j = kProbe - 1;
+          while (j > 0 && probe[j - 1].score < c.score) {
+            probe[j] = probe[j - 1];
+            --j;
+          }
+          probe[j] = c;
+        }
+      }
+      for (int j = 0; j < np; ++j) {
+        Candidate leaf = probe[j];
+        ScoreRun(0, &leaf, 1);
+        if (leaf.score > seed_score) {
+          seed_score = leaf.score;
+          seeded = leaf;
+        }
+      }
+    }
     // Max-heap with lazy pops instead of a full sort: BnB consumes the
     // top candidates in descending-score order only until one scores
     // below the best leaf, which is typically a tiny prefix of the
@@ -311,8 +350,8 @@ struct Matcher {
       return a.score < b.score;
     };
     std::make_heap(top.begin(), top.end(), heap_less);
-    Candidate best{-1, 0, 0, 0};
-    float score = s.min_score;
+    Candidate best = seeded;
+    float score = seed_score;
     while (!top.empty()) {
       std::pop_heap(top.begin(), top.end(), heap_less);
       const Candidate c = top.back();
@@ -376,16 +415,19 @@ void bnb_pyramid_destroy(void* handle) { delete (Pyramid*)handle; }
 
 // Batch of independent searches fanned across threads.
 //   pyramids:   [n] handles (may repeat)
-//   clouds:     concatenated [sum(counts), 2] f32 gravity-aligned points
-//   offsets:    [n+1] prefix offsets into clouds (in points)
+//   clouds:     concatenated [*, 2] f32 gravity-aligned points (UNIQUE
+//               clouds — many searches may point into the same one)
+//   offsets:    [n] start offsets into clouds (in points; may repeat)
+//   counts:     [n] point counts per search
 //   params:     [n, 9] f32: origin_x, origin_y, resolution, init_x,
 //               init_y, init_theta, linear_window, angular_window,
 //               min_score
 //   out:        [n, 4] f32: score, x, y, theta
 //   out_found:  [n] i32
 void bnb_match_batch(void** pyramids, int n, const float* clouds,
-                     const int64_t* offsets, const float* params,
-                     float* out, int32_t* out_found, int num_threads) {
+                     const int64_t* offsets, const int32_t* counts,
+                     const float* params, float* out, int32_t* out_found,
+                     int num_threads) {
   std::atomic<int> next(0);
   auto worker = [&]() {
     for (;;) {
@@ -395,7 +437,7 @@ void bnb_match_batch(void** pyramids, int n, const float* clouds,
       SearchSpec spec{
           (const Pyramid*)pyramids[i],
           clouds + 2 * offsets[i],
-          (int)(offsets[i + 1] - offsets[i]),
+          counts[i],
           pr[0], pr[1], pr[2], pr[3], pr[4], pr[5], pr[6], pr[7], pr[8],
       };
       Matcher m(spec);
