@@ -35,6 +35,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
+#include <numeric>
 #include <thread>
 #include <vector>
 
@@ -50,7 +52,64 @@ struct Pyramid {
   // 32-bit words at byte granularity, so the last cell's load overreads
   // 3 bytes.
   std::vector<std::vector<uint8_t>> levels;
+
+  // Lazily-built TOP-LEVEL PATCH TABLE for windowed searches: row
+  // (y + nl, x + nl) holds the top-level pooled value at every
+  // candidate-lattice offset (x + ox_j, y + oy_j), zero where that
+  // lands off-grid. Top-level scoring then reads ONE contiguous
+  // 32-byte row per (angle, point) and does ONE SIMD widen+add into 32
+  // lane-parallel candidate accumulators — versus 25+ scattered
+  // gathers — turning the profiled-hottest phase (~52% of a match)
+  // into a streaming pass. Built once per (submap, window) and shared
+  // by every search against this submap; windows whose lattice exceeds
+  // 32 offsets (full-submap searches, depth < 6 configs) use the
+  // legacy gather scorer.
+  std::mutex patch_mu;
+  std::vector<uint8_t> patch;  // [(h+2nl)*(w+2nl), 32]
+  int patch_nl = -1;
+  int patch_noff = 0, patch_th = 0, patch_tw = 0;
 };
+
+constexpr int kPatchLanes = 32;
+constexpr size_t kMaxPatchBytes = 64ull << 20;  // per-submap table cap
+
+// Builds (or reuses) the top-level patch table for window radius nl
+// (cells). Returns false when the lattice does not fit kPatchLanes or
+// the table would exceed the memory cap.
+bool EnsurePatchTable(Pyramid* p, int nl) {
+  const int stride = 1 << (p->depth - 1);
+  const int noff = (2 * nl) / stride + 1;
+  if (noff * noff > kPatchLanes) return false;
+  const int th = p->h + 2 * nl, tw = p->w + 2 * nl;
+  if (size_t(th) * tw * kPatchLanes > kMaxPatchBytes) return false;
+  std::lock_guard<std::mutex> lock(p->patch_mu);
+  if (p->patch_nl == nl) return true;
+  const auto& pool = p->levels[p->depth - 1];
+  p->patch.assign(size_t(th) * tw * kPatchLanes, 0);
+  // Candidate push order in Match is x-major then y; offset j maps to
+  // (ox, oy) = (offs[j / noff], offs[j % noff]) with offs = -nl + k*stride.
+  for (int ty = 0; ty < th; ++ty) {
+    const int y = ty - nl;
+    for (int j = 0; j < noff * noff; ++j) {
+      const int oy = -nl + (j % noff) * stride;
+      const int yy = y + oy;
+      if (yy < 0 || yy >= p->h) continue;
+      const int ox = -nl + (j / noff) * stride;
+      const uint8_t* src = pool.data() + size_t(yy) * p->w;
+      uint8_t* dst = p->patch.data() + size_t(ty) * tw * kPatchLanes + j;
+      // Valid tx range: 0 <= x + ox < w  =>  tx in [nl - ox, nl - ox + w).
+      const int tx0 = std::max(0, nl - ox);
+      const int tx1 = std::min(tw, nl - ox + p->w);
+      for (int tx = tx0; tx < tx1; ++tx)
+        dst[size_t(tx) * kPatchLanes] = src[tx - nl + ox];
+    }
+  }
+  p->patch_nl = nl;
+  p->patch_noff = noff;
+  p->patch_th = th;
+  p->patch_tw = tw;
+  return true;
+}
 
 struct Candidate {
   int angle, x, y;
@@ -99,6 +158,18 @@ struct Matcher {
     base.resize(size_t(num_scans) * s.n);
     bbox.resize(size_t(num_scans) * 4);
     const int w = s.pyr->w;
+    const float inv_res = 1.0f / s.resolution;
+#ifdef __AVX512F__
+    // Deinterleave the [n, 2] point layout once; the per-angle loop is
+    // then pure 16-lane rotate/discretize (mul/sub/add in the same
+    // order as the scalar path; floor via round-down conversion).
+    std::vector<float> px_v(size_t(s.n + 15) & ~size_t(15), 0.0f);
+    std::vector<float> py_v(px_v.size(), 0.0f);
+    for (int i = 0; i < s.n; ++i) {
+      px_v[i] = s.points[2 * i];
+      py_v[i] = s.points[2 * i + 1];
+    }
+#endif
     for (int a = 0; a < num_scans; ++a) {
       angles[a] = (a - num_angular) * step;
       float t = s.itheta + angles[a];
@@ -106,10 +177,59 @@ struct Matcher {
       int32_t* ax = dx.data() + size_t(a) * s.n;
       int32_t* ay = dy.data() + size_t(a) * s.n;
       int32_t* ab = base.data() + size_t(a) * s.n;
-      const float inv_res = 1.0f / s.resolution;
       int32_t mnx = INT32_MAX, mxx = INT32_MIN;
       int32_t mny = INT32_MAX, mxy = INT32_MIN;
-      for (int i = 0; i < s.n; ++i) {
+      int i = 0;
+#ifdef __AVX512F__
+      const __m512 vc = _mm512_set1_ps(c);
+      const __m512 vs = _mm512_set1_ps(sn);
+      const __m512 vix = _mm512_set1_ps(s.ix);
+      const __m512 viy = _mm512_set1_ps(s.iy);
+      const __m512 vox = _mm512_set1_ps(s.ox);
+      const __m512 voy = _mm512_set1_ps(s.oy);
+      const __m512 vinv = _mm512_set1_ps(inv_res);
+      const __m512i vw = _mm512_set1_epi32(w);
+      __m512i vmnx = _mm512_set1_epi32(INT32_MAX);
+      __m512i vmxx = _mm512_set1_epi32(INT32_MIN);
+      __m512i vmny = _mm512_set1_epi32(INT32_MAX);
+      __m512i vmxy = _mm512_set1_epi32(INT32_MIN);
+      const int full = s.n & ~15;
+      for (; i < full; i += 16) {
+        const __m512 px = _mm512_loadu_ps(px_v.data() + i);
+        const __m512 py = _mm512_loadu_ps(py_v.data() + i);
+        // Same evaluation order as the scalar path below (and the
+        // device matcher): rotate + translate, THEN shift by the grid
+        // origin and scale — reassociating would flip floor() results
+        // at cell boundaries.
+        const __m512 wx = _mm512_add_ps(
+            _mm512_sub_ps(_mm512_mul_ps(vc, px), _mm512_mul_ps(vs, py)),
+            vix);
+        const __m512 wy = _mm512_add_ps(
+            _mm512_add_ps(_mm512_mul_ps(vs, px), _mm512_mul_ps(vc, py)),
+            viy);
+        const __m512i gx = _mm512_cvt_roundps_epi32(
+            _mm512_mul_ps(_mm512_sub_ps(wx, vox), vinv),
+            _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+        const __m512i gy = _mm512_cvt_roundps_epi32(
+            _mm512_mul_ps(_mm512_sub_ps(wy, voy), vinv),
+            _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+        _mm512_storeu_si512(ax + i, gx);
+        _mm512_storeu_si512(ay + i, gy);
+        _mm512_storeu_si512(
+            ab + i, _mm512_add_epi32(_mm512_mullo_epi32(gy, vw), gx));
+        vmnx = _mm512_min_epi32(vmnx, gx);
+        vmxx = _mm512_max_epi32(vmxx, gx);
+        vmny = _mm512_min_epi32(vmny, gy);
+        vmxy = _mm512_max_epi32(vmxy, gy);
+      }
+      if (i > 0) {
+        mnx = _mm512_reduce_min_epi32(vmnx);
+        mxx = _mm512_reduce_max_epi32(vmxx);
+        mny = _mm512_reduce_min_epi32(vmny);
+        mxy = _mm512_reduce_max_epi32(vmxy);
+      }
+#endif
+      for (; i < s.n; ++i) {
         float px = s.points[2 * i], py = s.points[2 * i + 1];
         float wx = c * px - sn * py + s.ix;
         float wy = sn * px + c * py + s.iy;
@@ -239,6 +359,68 @@ struct Matcher {
 #endif
   }
 
+  // Top-level lattice scoring through the patch table: per (angle,
+  // point) ONE contiguous 32-byte row load + ONE SIMD widen/add into 32
+  // lane-parallel candidate accumulators. Candidates must be in Match's
+  // push order (angle-major, then x-major, then y). Scores are
+  // bit-identical to ScoreAll: the table encodes the same pooled values
+  // with off-grid cells already zero.
+  void ScoreTopPatch(std::vector<Candidate>* cands) const {
+    const Pyramid* p = s.pyr;
+    const int noff = p->patch_noff;
+    const int c = noff * noff;
+    const int th = p->patch_th, tw = p->patch_tw, nl = p->patch_nl;
+    const uint8_t* table = p->patch.data();
+    const int num_scans = (int)angles.size();
+    int32_t acc[kPatchLanes];
+    for (int a = 0; a < num_scans; ++a) {
+      const int32_t* sx = dx.data() + size_t(a) * s.n;
+      const int32_t* sy = dy.data() + size_t(a) * s.n;
+#ifdef __AVX512F__
+      __m512i a16 = _mm512_setzero_si512();
+      __m512i a32lo = _mm512_setzero_si512();
+      __m512i a32hi = _mm512_setzero_si512();
+      int since = 0;
+      auto flush = [&]() {
+        a32lo = _mm512_add_epi32(
+            a32lo, _mm512_cvtepu16_epi32(_mm512_castsi512_si256(a16)));
+        a32hi = _mm512_add_epi32(
+            a32hi,
+            _mm512_cvtepu16_epi32(_mm512_extracti64x4_epi64(a16, 1)));
+        a16 = _mm512_setzero_si512();
+        since = 0;
+      };
+      for (int i = 0; i < s.n; ++i) {
+        const uint32_t py = uint32_t(sy[i] + nl);
+        const uint32_t px = uint32_t(sx[i] + nl);
+        if (py >= uint32_t(th) || px >= uint32_t(tw)) continue;
+        const uint8_t* row =
+            table + (size_t(py) * tw + px) * kPatchLanes;
+        a16 = _mm512_add_epi16(
+            a16,
+            _mm512_cvtepu8_epi16(
+                _mm256_loadu_si256((const __m256i*)row)));
+        if (++since == 250) flush();  // 250 * 255 < 65535
+      }
+      flush();
+      _mm512_storeu_si512(acc, a32lo);
+      _mm512_storeu_si512(acc + 16, a32hi);
+#else
+      std::memset(acc, 0, sizeof(acc));
+      for (int i = 0; i < s.n; ++i) {
+        const uint32_t py = uint32_t(sy[i] + nl);
+        const uint32_t px = uint32_t(sx[i] + nl);
+        if (py >= uint32_t(th) || px >= uint32_t(tw)) continue;
+        const uint8_t* row =
+            table + (size_t(py) * tw + px) * kPatchLanes;
+        for (int j = 0; j < c; ++j) acc[j] += row[j];
+      }
+#endif
+      Candidate* out = cands->data() + size_t(a) * c;
+      for (int j = 0; j < c; ++j) out[j].score = Normalize(acc[j]);
+    }
+  }
+
   // Score candidates grouped into same-angle runs (angle-major input).
   void ScoreAll(int level, std::vector<Candidate>* cands) const {
     size_t i = 0;
@@ -301,7 +483,10 @@ struct Matcher {
       for (int x = -num_linear; x <= num_linear; x += stride)
         for (int y = -num_linear; y <= num_linear; y += stride)
           top.push_back({a, x, y, 0});
-    ScoreAll(depth - 1, &top);
+    if (EnsurePatchTable(const_cast<Pyramid*>(s.pyr), num_linear))
+      ScoreTopPatch(&top);
+    else
+      ScoreAll(depth - 1, &top);
     // Incumbent seeding: every candidate's (x, y) is itself a valid
     // leaf, so scoring the most promising top-level candidates at FULL
     // resolution yields true lower bounds before the DFS starts —
@@ -428,11 +613,21 @@ void bnb_match_batch(void** pyramids, int n, const float* clouds,
                      const int64_t* offsets, const int32_t* counts,
                      const float* params, float* out, int32_t* out_found,
                      int num_threads) {
+  // Submap-grouped processing order: drains arrive node-major (each
+  // node against many submaps), which would alternate pyramids and
+  // patch tables in cache every search; grouping by pyramid keeps one
+  // submap's tables hot across consecutive searches.
+  std::vector<int> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+    return pyramids[a] < pyramids[b];
+  });
   std::atomic<int> next(0);
   auto worker = [&]() {
     for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) return;
+      int oi = next.fetch_add(1);
+      if (oi >= n) return;
+      const int i = order[oi];
       const float* pr = params + size_t(i) * 9;
       SearchSpec spec{
           (const Pyramid*)pyramids[i],
