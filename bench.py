@@ -215,7 +215,8 @@ def _compact_summary(record: dict) -> dict:
         "loop_closure": pick(
             ex.get("loop_closure_batched_matches_per_sec", {}),
             "value", "vs_baseline", "vs_baseline_search_only",
-            "device_seconds", "cpu_anchor_matches_per_sec",
+            "refine_device_seconds", "refine_wait_seconds",
+            "cpu_anchor_matches_per_sec",
         ),
         "spa": pick(ex.get("spa_solve_seconds", {}), "1000_nodes", "10000_nodes"),
         "scaled_world": pick(
@@ -572,7 +573,7 @@ def _bench_bnb() -> dict:
                     best = dt
                     timings = getattr(cb, "last_drain_timings", None)
             rate = batch / best
-            sweep[f"{backend}_drain_{batch}"] = {
+            row = {
                 "matches_per_sec": round(rate, 2),
                 "drain_seconds": round(best, 3),
                 # Search phase alone (the quantity the CPU anchor
@@ -584,16 +585,51 @@ def _bench_bnb() -> dict:
                 "constraints_found": len(found),
                 "shape": f"{n_nodes} nodes x {n_submaps} submaps",
             }
+            if timings and "refine_wait_s" in timings:
+                # Chip time the drain actually BLOCKED on — the rest of
+                # the refinement executed under later host searches.
+                row["refine_wait_seconds"] = round(
+                    timings["refine_wait_s"], 3
+                )
+            sweep[f"{backend}_drain_{batch}"] = row
             if backend == "native":
                 rate_headline = rate
                 if timings and timings["search_s"] > 0:
                     search_rate = batch / timings["search_s"]
-                    sweep[f"{backend}_drain_{batch}"][
-                        "search_matches_per_sec"
-                    ] = round(search_rate, 2)
+                    row["search_matches_per_sec"] = round(search_rate, 2)
+                if batch >= 1024:
+                    # Device-time column: one serialized drain where each
+                    # chunk's refinement program is fetched eagerly, so
+                    # the chip's LM-refinement execution time is measured
+                    # instead of overlapped (VERDICT r4 item 1: show the
+                    # chip doing real scan-matching work in the drain).
+                    cb.serialize_refine = True
+                    enqueue(cb, n_nodes, n_submaps)
+                    cb.run_pending()
+                    t_ser = getattr(cb, "last_drain_timings", None)
+                    cb.serialize_refine = False
+                    if t_ser:
+                        row["refine_device_seconds_serialized"] = round(
+                            t_ser["refine_wait_s"], 3
+                        )
     out["drain_sweep"] = sweep
     out["host_cores"] = _os2.cpu_count()
     out["link"] = _link_probe()
+
+    # Search-formulation evidence (VERDICT r4 item 1): measure, on this
+    # round's chip, the best-known DEVICE formulation of the top-level
+    # candidate scoring next to the host doing the WHOLE search. Keeps
+    # the placement decision (BnB on host cores, LM refinement + frontend
+    # + SPA on the chip) auditable from the artifact alone each round.
+    if time.perf_counter() - t_begin < 420.0:
+        try:
+            out["search_placement_evidence"] = _device_scoring_probe(
+                data, depth
+            )
+        except Exception as e:  # pragma: no cover - defensive
+            out["search_placement_evidence"] = {
+                "error": f"{type(e).__name__}: {e}"
+            }
 
     if rate_headline is not None:
         out["value"] = round(rate_headline, 2)
@@ -617,15 +653,160 @@ def _bench_bnb() -> dict:
                     / anchor["matches_per_sec"],
                     3,
                 )
+        largest = sweep.get("native_drain_1024") or sweep.get(
+            "native_drain_256"
+        )
+        if isinstance(largest, dict):
+            if "refine_device_seconds_serialized" in largest:
+                out["refine_device_seconds"] = largest[
+                    "refine_device_seconds_serialized"
+                ]
+            if "refine_wait_seconds" in largest:
+                out["refine_wait_seconds"] = largest["refine_wait_seconds"]
         out["note"] = (
             f"largest native-backend drain (threaded C++ BnB depth-{depth} "
-            f"{linear:.0f} m/30 deg searches across host cores + "
-            "device-batched GN refinements — the production "
-            "hybrid-placement configuration); vs_baseline anchored to the "
+            f"{linear:.0f} m/30 deg searches across host cores, PIPELINED "
+            "with the chip's vmapped GN refinement of each chunk — "
+            "refine_device_seconds is the chip's measured scan-matching "
+            "work per drain, refine_wait_seconds how much of it failed to "
+            "hide under the host searches); vs_baseline anchored to the "
             "measured SINGLE-core C++ reference algorithm on this host "
             "(tools/cpu_anchor), so it scales with host core count"
         )
     return out
+
+
+def _device_scoring_probe(data, depth: int) -> dict:
+    """Measures the strongest known DEVICE formulation of BnB top-level
+    candidate scoring — the patch-table block gather (each (angle,
+    point) reads one contiguous 32-byte row holding every lattice
+    offset's pooled value; ~40x faster than XLA's scalar gathers) —
+    against one host core running the ENTIRE search (discretize +
+    top-level + seeded DFS) through the native backend. The recorded
+    ratio is the measured basis for hybrid placement: the chip takes the
+    LM refinement, frontend, and SPA; the host cores take the
+    gather-bound search. Slope-forced timing (docs/STATUS.md: lazy
+    block_until_ready on remote-attached backends)."""
+    import math
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cartographer_tpu.native import bnb as native_bnb
+
+    prob = np.where(
+        data["known"], 1.0 / (1.0 + np.exp(-data["log_odds"])), 0.1
+    ).astype(np.float32)
+    h, w = prob.shape
+    res = float(data["resolution"])
+    cloud = data["cloud"].astype(np.float32)
+    n = len(cloud)
+    initial = (
+        np.asarray(data["query_pose"], np.float64)
+        + np.array([1.5, -0.9, 0.12])
+    ).astype(np.float32)
+    top_stride = 1 << (depth - 1)
+    nl = int(math.ceil(7.0 / res))
+    noff = (2 * nl) // top_stride + 1
+    c_pad = 32
+    assert noff * noff <= c_pad
+    # uint8 top-level pool (same quantization as the matchers).
+    u8 = 255.0 / 0.8
+    q = np.clip(np.round((prob - 0.1) * u8), 0, 255).astype(np.uint8)
+    cur = q
+    for l in range(1, depth):
+        s = 1 << (l - 1)
+        padx = np.zeros_like(cur)
+        padx[:, : w - s] = cur[:, s:]
+        row = np.maximum(cur, padx)
+        pady = np.zeros_like(row)
+        pady[: h - s] = row[s:]
+        cur = np.maximum(row, pady)
+    # Patch table T[y, x, c] = pool_top[y + oy_c, x + ox_c] (0 off-grid).
+    th, tw = h + 2 * nl, w + 2 * nl
+    table = np.zeros((th, tw, c_pad), np.uint8)
+    offs = np.arange(-nl, nl + 1, top_stride, dtype=np.int32)
+    big = np.zeros((h + 4 * nl, w + 4 * nl), np.uint8)
+    big[2 * nl: 2 * nl + h, 2 * nl: 2 * nl + w] = cur
+    for j in range(noff * noff):
+        oy, ox = int(offs[j % noff]), int(offs[j // noff])
+        table[:, :, j] = big[nl + oy: nl + oy + th, nl + ox: nl + ox + tw]
+    max_range = float(np.max(np.linalg.norm(cloud, axis=1)))
+    step = (1.0 - 1e-3) * math.acos(
+        1.0 - res * res / (2.0 * max_range * max_range)
+    )
+    na = int(math.ceil(math.radians(30.0) / step))
+    a_pad = 1 << (2 * na).bit_length()
+    angles = ((np.arange(a_pad) - na) * step).astype(np.float32)
+    origin = np.asarray(data["origin"], np.float32)
+    B = 32
+
+    @jax.jit
+    def toplevel(table_d, pts, init_b):
+        def one(init):
+            ca = jnp.cos(init[2] + angles)[:, None]
+            sa = jnp.sin(init[2] + angles)[:, None]
+            wx = ca * pts[None, :, 0] - sa * pts[None, :, 1] + init[0]
+            wy = sa * pts[None, :, 0] + ca * pts[None, :, 1] + init[1]
+            ix = jnp.floor((wx - origin[0]) / res).astype(jnp.int32) + nl
+            iy = jnp.floor((wy - origin[1]) / res).astype(jnp.int32) + nl
+            inb = (ix >= 0) & (ix < tw) & (iy >= 0) & (iy < th)
+            ty = jnp.clip(iy, 0, th - 1)
+            tx = jnp.clip(ix, 0, tw - 1)
+
+            def read(y, x):
+                return jax.lax.dynamic_slice(
+                    table_d, (y, x, 0), (1, 1, c_pad)
+                )[0, 0]
+
+            rows = jax.vmap(jax.vmap(read))(ty, tx)
+            rows = jnp.where(inb[:, :, None], rows, 0)
+            return jnp.sum(rows.astype(jnp.int32), axis=1)
+
+        return jax.vmap(one)(init_b)
+
+    table_d = jnp.asarray(table)
+    pts_d = jnp.asarray(cloud)
+    init_b = jnp.asarray(np.broadcast_to(initial, (B, 3)).copy())
+    np.asarray(jnp.zeros(()) + 1)  # de-lazify block_until_ready
+    out1 = toplevel(table_d, pts_d, init_b)
+    np.asarray(out1.reshape(-1)[:1])
+    t0 = time.perf_counter()
+    np.asarray(toplevel(table_d, pts_d, init_b).reshape(-1)[:1])
+    dt1 = time.perf_counter() - t0
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out1 = toplevel(table_d, pts_d, init_b)
+    np.asarray(out1.reshape(-1)[:1])
+    slope = (time.perf_counter() - t0 - dt1) / (reps - 1)
+    device_us = 1e6 * slope / B
+
+    # Host single core, ENTIRE search (native backend).
+    pyr = native_bnb.NativePyramid(prob, depth)
+    nb = 256
+    params = np.zeros((nb, 9), np.float32)
+    params[:] = [
+        origin[0], origin[1], res, initial[0], initial[1], initial[2],
+        7.0, math.radians(30.0), 0.3,
+    ]
+    clouds = [cloud] * nb
+    native_bnb.match_batch([pyr] * nb, clouds, params, num_threads=1)
+    t0 = time.perf_counter()
+    native_bnb.match_batch([pyr] * nb, clouds, params, num_threads=1)
+    host_us = 1e6 * (time.perf_counter() - t0) / nb
+    return {
+        "device_patch_gather_toplevel_us_per_search": round(device_us, 1),
+        "host_1core_FULL_search_us_per_search": round(host_us, 1),
+        "note": (
+            "device number covers ONLY the top-level lattice scoring "
+            "(the search's cheapest-to-batch phase, best known XLA "
+            "formulation); the host number is the complete seeded BnB "
+            "search on one core — measured basis for running the search "
+            "on host cores while the chip takes refinement/frontend/SPA"
+        ),
+    }
 
 
 def _make_bnb_workload(path: str) -> None:

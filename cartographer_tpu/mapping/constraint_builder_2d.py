@@ -171,6 +171,7 @@ class ConstraintBuilder2D:
         ]
         _t_search = 0.0
         _t_refine_dispatch = 0.0
+        _t_refine_wait = 0.0
         # Native path: the C++ search releases the GIL, so chunk k+1's
         # threaded search runs on a worker thread WHILE the main thread
         # decodes chunk k and dispatches its device refinement (which in
@@ -243,6 +244,17 @@ class ConstraintBuilder2D:
             if device_jobs:
                 _tr = _time.perf_counter()
                 handle = self._batch_refine_dispatch(device_jobs)
+                if getattr(self, "serialize_refine", False):
+                    # Measurement mode: block on each chunk's refinement
+                    # program so its DEVICE execution time lands in
+                    # refine_wait_s instead of hiding under later host
+                    # searches (bench.py's device-time column).
+                    _tw = _time.perf_counter()
+                    np.asarray(handle)
+                    _t_refine_wait += _time.perf_counter() - _tw
+                    _t_refine_dispatch += _time.perf_counter() - _tr
+                    staged.append((refine, device_jobs, handle))
+                    continue
                 try:
                     # Start the device->host copy NOW: on remote-attached
                     # backends dispatch alone can stay lazily enqueued
@@ -257,7 +269,6 @@ class ConstraintBuilder2D:
 
         # Fetch the refinement programs (most have already executed under
         # later chunks' host searches) and assemble constraints.
-        _t_refine_wait = 0.0
         for refine, device_jobs, handle in staged:
             if handle is not None:
                 _tw = _time.perf_counter()
