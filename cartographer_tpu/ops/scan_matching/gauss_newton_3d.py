@@ -282,6 +282,60 @@ def match_3d(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iterations",
+        "only_optimize_yaw",
+        "use_nonmonotonic_steps",
+    ),
+)
+def match_3d_batch(
+    high_prob,  # [K, D, H, W] per-lane high-res volumes
+    high_origin,  # [K, 3]
+    low_prob,  # [K, Dl, Hl, Wl]
+    low_origin,  # [K, 3]
+    initial_translation,  # [K, 3]
+    initial_quat,  # [K, 4]
+    target_translation,  # [K, 3]
+    high_points,  # [K, N, 3]
+    high_mask,  # [K, N]
+    low_points,  # [K, Nl, 3]
+    low_mask,  # [K, Nl]
+    high_resolution,  # [K]
+    low_resolution,  # [K]
+    occupied_space_weight_0: float,
+    occupied_space_weight_1: float,
+    translation_weight: float,
+    rotation_weight: float,
+    max_iterations: int = 12,
+    only_optimize_yaw: bool = False,
+    use_nonmonotonic_steps: bool = False,
+):
+    """Vmapped dual-grid LM refinement over a drain's accepted matches:
+    one device program refines every (node, submap) match of a chunk —
+    the reference refines each on its own ThreadPool task
+    (constraint_builder_3d.cc). Returns [K, 8] packed rows
+    [t(3), q(4), cost]."""
+
+    def one(hv, ho, lv, lo, t, q, tt, p, pm, lp_, lm_, hr, lr):
+        return _match_3d_impl(
+            hv, ho, lv, lo, t, q, tt, p, pm, lp_, lm_, hr, lr,
+            occupied_space_weight_0, occupied_space_weight_1,
+            translation_weight, rotation_weight,
+            max_iterations, only_optimize_yaw,
+            extra_block=None,
+            use_nonmonotonic_steps=use_nonmonotonic_steps,
+        )
+
+    return jax.vmap(one)(
+        high_prob, high_origin, low_prob, low_origin,
+        initial_translation, initial_quat, target_translation,
+        high_points, high_mask, low_points, low_mask,
+        high_resolution, low_resolution,
+    )
+
+
 def _match_3d_impl(
     high_prob,
     high_origin,

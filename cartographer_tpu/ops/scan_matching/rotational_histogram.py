@@ -115,14 +115,28 @@ def match_angles(
     initial_angle: float,
     angles: np.ndarray,
 ) -> np.ndarray:
-    """Batched RotationalScanMatcher::Match over candidate angles."""
-    return np.array(
-        [
-            match_histograms(
-                submap_histogram,
-                rotate_histogram(scan_histogram, initial_angle + a),
-            )
-            for a in angles
-        ],
-        np.float32,
+    """Batched RotationalScanMatcher::Match over candidate angles —
+    vectorized over the whole angle axis (one fancy-gather instead of a
+    Python rotate/dot per angle; identical numerics to rotate_histogram
+    + match_histograms)."""
+    n = len(scan_histogram)
+    angles = np.asarray(angles, np.float64)
+    if n == 0 or len(angles) == 0:
+        return np.ones(len(angles), np.float32)
+    rb = -(initial_angle + angles) * n / np.pi
+    full = np.floor(rb + 0.5 - 0.5).astype(np.int64)  # RoundToInt(x - 0.5)
+    fraction = (rb - full)[:, None]
+    base = np.arange(n)
+    idx0 = (base[None, :] + full[:, None]) % n
+    rotated = (1.0 - fraction) * scan_histogram[idx0] + (
+        fraction * scan_histogram[(idx0 + 1) % n]
     )
+    normalization = np.linalg.norm(rotated, axis=1) * np.linalg.norm(
+        submap_histogram
+    )
+    scores = np.where(
+        normalization < 1e-3,
+        1.0,
+        rotated @ submap_histogram / np.maximum(normalization, 1e-12),
+    )
+    return scores.astype(np.float32)
