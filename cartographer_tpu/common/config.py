@@ -405,15 +405,17 @@ class ConstraintBuilderOptions(ConfigBase):
     max_constraint_distance: float = 15.0
     min_score: float = 0.55
     global_localization_min_score: float = 0.6
-    # Where the 2D branch-and-bound search runs: "device" (vmapped TPU
-    # program) or "native" (threaded C++ across host cores,
-    # native/bnb_native.cc — hybrid placement: BnB is cache-resident
-    # pointer-chasing that host cores run 1-2 orders of magnitude faster
-    # per search than the gather-bound XLA formulation; the GN refinement
-    # batch stays on device either way). Extension beyond the reference's
-    # Lua schema; "native" silently falls back to "device" if no C++
-    # toolchain is available.
-    loop_closure_backend: str = "device"
+    # Where the branch-and-bound loop-closure search runs: "auto"
+    # (DEFAULT — native when the C++ toolchain built the library, else
+    # device), "device" (vmapped TPU program), or "native" (threaded C++
+    # across host cores, native/bnb_native.cc + bnb3d_native.cc — hybrid
+    # placement: BnB is cache-resident pointer-chasing that host cores
+    # run 1-2 orders of magnitude faster per search than the
+    # gather-bound XLA formulation; the GN refinement batch stays on
+    # device either way). Extension beyond the reference's Lua schema;
+    # "native" warns and falls back to "device" if no C++ toolchain is
+    # available, "auto" falls back silently.
+    loop_closure_backend: str = "auto"
     loop_closure_translation_weight: float = 1.1e4
     loop_closure_rotation_weight: float = 1e5
     log_matches: bool = True
@@ -527,10 +529,12 @@ class MapBuilderOptions(ConfigBase):
     num_background_threads: int = 4
     pose_graph: PoseGraphOptions = field(default_factory=PoseGraphOptions)
     collate_by_trajectory: bool = False
-    # TPU addition: when True, loop closure + optimization drain on a
-    # background thread pool (the reference's DrainWorkQueue behavior);
-    # when False the work queue drains deterministically inline.
-    async_pose_graph: bool = False
+    # TPU addition: when True (DEFAULT — the production configuration,
+    # the reference's DrainWorkQueue behavior, pose_graph_2d.cc:520-544)
+    # loop closure + optimization drain on a background thread pool so
+    # the sensor feed never blocks on a drain; when False the work queue
+    # drains deterministically inline (useful for tests and debugging).
+    async_pose_graph: bool = True
 
 
 # Optional nested sub-configs whose dataclass type cannot be inferred from a

@@ -164,11 +164,31 @@ class ConstraintBuilder2D:
 
         _t0 = _time.perf_counter()
         use_native = self._use_native_backend()
-        chunk_size = self._DRAIN_CHUNK if use_native else len(pending)
+        # The native C++ scorer reads log-odds probability pyramids; TSDF
+        # submaps have no log-odds table, so their searches take the
+        # device path even under "native"/"auto" (mixed drains split).
+        if use_native:
+            native_pending = [
+                s
+                for s in pending
+                if hasattr(self._submap_grids[s.submap_id], "log_odds")
+            ]
+            device_pending = [
+                s
+                for s in pending
+                if not hasattr(self._submap_grids[s.submap_id], "log_odds")
+            ]
+        else:
+            native_pending, device_pending = [], pending
+        # Native chunks first (they drive the search-worker pipeline),
+        # then ONE device chunk — the device path vmaps a whole batch.
         chunks = [
-            pending[c0: c0 + chunk_size]
-            for c0 in range(0, len(pending), chunk_size)
+            ("native", native_pending[c0: c0 + self._DRAIN_CHUNK])
+            for c0 in range(0, len(native_pending), self._DRAIN_CHUNK)
         ]
+        n_native_chunks = len(chunks)
+        if device_pending:
+            chunks.append(("device", device_pending))
         _t_search = 0.0
         _t_refine_dispatch = 0.0
         _t_refine_wait = 0.0
@@ -183,9 +203,13 @@ class ConstraintBuilder2D:
         # engages where there is headroom.
         import os as _os
 
-        use_search_worker = use_native and (_os.cpu_count() or 1) >= 4
+        use_search_worker = (
+            use_native
+            and n_native_chunks > 0
+            and (_os.cpu_count() or 1) >= 4
+        )
         future = None
-        if use_search_worker and chunks:
+        if use_search_worker:
             from cartographer_tpu.native import bnb as native_bnb
 
             if not hasattr(self, "_search_pool"):
@@ -195,7 +219,7 @@ class ConstraintBuilder2D:
                     max_workers=1, thread_name_prefix="bnb-search"
                 )
             _ts = _time.perf_counter()
-            prep = self._prepare_native(chunks[0])
+            prep = self._prepare_native(chunks[0][1])
             future = self._search_pool.submit(
                 native_bnb.match_batch,
                 prep["pyramids"], prep["clouds"], prep["params"],
@@ -204,21 +228,21 @@ class ConstraintBuilder2D:
         # Per chunk: (refine rows [(search, pose|None)], device jobs,
         # dispatched device rows handle).
         staged = []
-        for ci, chunk in enumerate(chunks):
+        for ci, (kind, chunk) in enumerate(chunks):
             _ts = _time.perf_counter()
-            if use_search_worker:
+            if kind == "device":
+                decoded = self._run_searches_device(chunk)
+            elif use_search_worker:
                 out_rows, found = future.result()
-                if ci + 1 < len(chunks):
-                    prep = self._prepare_native(chunks[ci + 1])
+                if ci + 1 < n_native_chunks:
+                    prep = self._prepare_native(chunks[ci + 1][1])
                     future = self._search_pool.submit(
                         native_bnb.match_batch,
                         prep["pyramids"], prep["clouds"], prep["params"],
                     )
                 decoded = self._decode_native(chunk, out_rows, found)
-            elif use_native:
-                decoded = self._run_searches_native(chunk)
             else:
-                decoded = self._run_searches_device(chunk)
+                decoded = self._run_searches_native(chunk)
             _t_search += _time.perf_counter() - _ts
             refine = []
             device_jobs = []  # (refine row, search, BnB result)
@@ -324,12 +348,14 @@ class ConstraintBuilder2D:
         return results
 
     def _use_native_backend(self) -> bool:
-        if self._options.loop_closure_backend != "native":
+        if self._options.loop_closure_backend not in ("native", "auto"):
             return False
         from cartographer_tpu.native import bnb as native_bnb
 
         if not native_bnb.available():
-            if not getattr(self, "_warned_no_native", False):
+            if self._options.loop_closure_backend == "native" and not getattr(
+                self, "_warned_no_native", False
+            ):
                 self._warned_no_native = True
                 import logging
 

@@ -428,8 +428,21 @@ class PoseGraph2D:
         self._thread_pool.schedule(task)
 
     def _locked_handle_work_queue(self) -> None:
+        # The loop-closure searches are the multi-second part of a drain
+        # and they operate purely on data staged at enqueue time (popped
+        # pending list, frozen finished-submap grids, builder-side
+        # caches touched only by drain threads) — run them OUTSIDE the
+        # work lock so add_node never blocks on a search. Only the
+        # merge + optimization + trimming phase mutates shared pose
+        # graph state and takes the lock. This is what makes the async
+        # backend actually hide drain latency from the sensor feed
+        # (reference: constraint searches are thread-pool tasks and
+        # HandleWorkQueue holds the mutex only for bookkeeping,
+        # constraint_builder_2d.cc:102-136, pose_graph_2d.cc:520-544).
+        new_constraints = self._constraint_builder.run_pending()
         with self._work_lock:
-            self._handle_work_queue()
+            self._merge_constraints(new_constraints)
+            self._finish_work_queue()
 
     def wait_for_all_computations(self, timeout: float = 600.0) -> None:
         """Reference WaitForAllComputations (pose_graph_2d.cc:546-620):
@@ -558,7 +571,9 @@ class PoseGraph2D:
                 self._compute_constraint(node_id, submap_id)
 
     def _drain_constraints(self) -> None:
-        new_constraints = self._constraint_builder.run_pending()
+        self._merge_constraints(self._constraint_builder.run_pending())
+
+    def _merge_constraints(self, new_constraints) -> None:
         for c in new_constraints:
             self._constraints.append(c)
             if c.node_id.trajectory_id != c.submap_id.trajectory_id:
@@ -577,6 +592,9 @@ class PoseGraph2D:
         """Reference HandleWorkQueue: merge found constraints, optimize,
         update connectivity, run trimmers."""
         self._drain_constraints()
+        self._finish_work_queue()
+
+    def _finish_work_queue(self) -> None:
         self.run_optimization()
         self._num_nodes_since_last_loop_closure = 0
         for trimmer in list(self._trimmers):

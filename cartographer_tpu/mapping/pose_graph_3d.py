@@ -356,8 +356,14 @@ class PoseGraph3D:
         self._thread_pool.schedule(task)
 
     def _locked_handle_work_queue(self) -> None:
+        # Searches run OUTSIDE the work lock (pure compute over data
+        # staged at enqueue time) so add_node never blocks on a drain;
+        # only the merge/optimize/trim phase takes the lock. See the 2D
+        # twin for the full rationale (pose_graph_2d.py).
+        new_constraints = self._constraint_builder.run_pending()
         with self._work_lock:
-            self._handle_work_queue()
+            self._merge_constraints(new_constraints)
+            self._finish_work_queue()
 
     def wait_for_all_computations(self, timeout: float = 600.0) -> None:
         """Reference WaitForAllComputations (pose_graph_3d.cc): block on
@@ -483,7 +489,9 @@ class PoseGraph3D:
                 self._compute_constraint(node_id, submap_id)
 
     def _drain_constraints(self) -> None:
-        new_constraints = self._constraint_builder.run_pending()
+        self._merge_constraints(self._constraint_builder.run_pending())
+
+    def _merge_constraints(self, new_constraints) -> None:
         for c in new_constraints:
             self._constraints.append(c)
             if c.node_id.trajectory_id != c.submap_id.trajectory_id:
@@ -494,6 +502,9 @@ class PoseGraph3D:
 
     def _handle_work_queue(self) -> None:
         self._drain_constraints()
+        self._finish_work_queue()
+
+    def _finish_work_queue(self) -> None:
         self.run_optimization()
         self._num_nodes_since_last_loop_closure = 0
         from cartographer_tpu.mapping.pose_graph_2d import TrimmingHandle

@@ -54,6 +54,10 @@ def run_production_drain_2d(mesh, travel: float = 0.9, duration: float = 4.5):
         )
     )
     pose_graph.constraint_builder.sampling_ratio = 0.5
+    # This dryrun certifies the SHARDED DEVICE search path across the
+    # mesh; pin it explicitly (the default "auto" prefers the native
+    # host backend wherever the C++ toolchain built it).
+    pose_graph.constraint_builder.loop_closure_backend = "device"
     options = MapBuilderOptions(
         use_trajectory_builder_2d=True, pose_graph=pose_graph
     )
@@ -156,6 +160,8 @@ def run_production_drain_3d(mesh, travel: float = 0.8, duration: float = 4.0):
             min_rotational_score=0.1,
         )
     )
+    # Pin the sharded device search path (see the 2D twin above).
+    pose_graph.constraint_builder.loop_closure_backend = "device"
     options = MapBuilderOptions(
         use_trajectory_builder_3d=True, pose_graph=pose_graph
     )

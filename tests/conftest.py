@@ -24,6 +24,18 @@ jax.config.update("jax_platforms", "cpu")
 
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
+    xla_flags = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Crash mitigation, pinned after forensics (tools/run_tests.py
+# docstring): XLA:CPU segfaults nondeterministically inside
+# backend_compile_and_load deep into long runs. The compile path
+# JIT-compiles split LLVM modules on a thread pool
+# (parallel_codegen_split_count defaults to 32); serializing codegen
+# removes the multi-threaded ORC-JIT window the crashes point at, at a
+# small compile-time cost on this 2-core host.
+if "xla_cpu_parallel_codegen_split_count" not in xla_flags:
+    xla_flags = (
+        xla_flags + " --xla_cpu_parallel_codegen_split_count=1"
+    ).strip()
+os.environ["XLA_FLAGS"] = xla_flags

@@ -157,3 +157,56 @@ class TestAsyncPoseGraph3D:
             )
         assert len(errs) > 10
         assert max(errs) < 0.1 * np.linalg.norm(translation) + 0.05
+
+
+class TestDrainLockDiscipline:
+    @pytest.mark.parametrize("dim", ["2d", "3d"])
+    def test_drain_searches_do_not_hold_the_work_lock(self, dim):
+        """The async backend's entire purpose is that the sensor feed
+        never blocks on a loop-closure drain — so the multi-second
+        search phase must run OUTSIDE the work lock (taken by add_node),
+        with only merge+optimize locked. Regression test for the
+        round-4 finding that the drain held the lock end to end and the
+        feed stalled anyway (reference: searches are thread-pool tasks,
+        HandleWorkQueue locks bookkeeping only,
+        constraint_builder_2d.cc:102-136)."""
+        import threading
+        import time
+
+        if dim == "2d":
+            options = map_builder_options()
+        else:
+            import tests.test_map_builder_3d as t3d
+
+            options = t3d.map_builder_options()
+        options.async_pose_graph = True
+        mb = MapBuilder(options)
+        pg = mb.pose_graph
+        cb = pg._constraint_builder
+        orig = cb.run_pending
+        in_search = threading.Event()
+        release = threading.Event()
+
+        def slow_run_pending():
+            in_search.set()
+            release.wait(timeout=10.0)
+            return orig()
+
+        cb.run_pending = slow_run_pending
+        try:
+            pg._dispatch_work_queue()
+            assert in_search.wait(timeout=10.0), "drain task never ran"
+            # While the search phase is in flight, the work lock must be
+            # immediately acquirable (else every add_node would stall for
+            # the search duration).
+            t0 = time.perf_counter()
+            acquired = pg._work_lock.acquire(timeout=2.0)
+            dt = time.perf_counter() - t0
+            if acquired:
+                pg._work_lock.release()
+        finally:
+            release.set()
+            cb.run_pending = orig
+        pg.wait_for_all_computations()
+        assert acquired, "work lock held during the drain's search phase"
+        assert dt < 1.0
