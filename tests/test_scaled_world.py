@@ -147,6 +147,23 @@ def test_loop_closes_after_drift():
     assert float(np.mean(opt_ate)) < 0.10, (
         f"aligned ATE mean {np.mean(opt_ate):.3f} m"
     )
+    # The ATE MAX is asserted with its structure (tools/ate_forensics.py,
+    # round-5 forensics): the worst nodes are the FIRST ~5 — an
+    # odometry-free startup transient. The synthetic platform is already
+    # at full speed at t=0 with no IMU/odometry, so the extrapolator has
+    # no velocity estimate and the first scans unwarp wrongly and insert
+    # into the nascent first submap at biased poses; final optimization
+    # cannot undo what was inserted (the reference behaves the same at
+    # bootstrap). Measured decay in this world: 1.8, 1.1, 0.55, 0.27,
+    # 0.13, then <= ~0.05 m — geometric, gone within ~8 nodes (~4% of
+    # the run; CPU/TPU float paths shift the decay by a couple nodes).
+    # Steady state must be of the same order as the mean.
+    assert float(np.max(opt_ate[8:])) < 0.15, (
+        f"post-startup aligned ATE max {np.max(opt_ate[8:]):.3f} m"
+    )
+    assert float(np.max(opt_ate[:8])) < 2.5, (
+        f"startup transient {np.max(opt_ate[:8]):.3f} m exceeded its bound"
+    )
     opt_median = float(np.median(opt_rel))
     assert opt_median < 0.13, f"revisit relation median {opt_median:.3f} m"
 

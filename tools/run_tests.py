@@ -9,12 +9,14 @@ Why split is the default: XLA:CPU segfaults (exit 139) inside
 fleet — reproduced both from dispatcher worker threads AND from the
 main thread (e.g. compiling the 3D SPA solve ~110 tests in), so it is a
 long-lived-process compiler failure, not a threading bug in this
-repository. Two in-tree mitigations reduce exposure (feed-thread
-compilation of chunk programs in chunked_frontend_{2d,3d}._dispatch,
-and the disabled XLA:CPU persistent cache, tests/conftest.py); the
-split runner is the certification-grade containment — each group gets a
-fresh runtime, and a crash is contained and reported per group instead
-of killing the run.
+repository. Three in-tree mitigations reduce exposure (feed-thread
+compilation of chunk programs in chunked_frontend_{2d,3d}._dispatch;
+the disabled XLA:CPU persistent cache; and — round 5 — pinned
+`--xla_cpu_parallel_codegen_split_count=1`, which serializes the
+multi-threaded ORC-JIT codegen the crash stacks point at, all in
+tests/conftest.py); the split runner is the certification-grade
+containment — each group gets a fresh runtime, and a crash is contained
+and reported per group instead of killing the run.
 """
 
 from __future__ import annotations
