@@ -71,7 +71,7 @@ def main() -> None:
     direction = np.array([2.0, 1.0, 0.0])
     direction /= np.linalg.norm(direction)
     measurements = generate_fake_range_measurements(
-        translation=direction * 10.0, duration=120.0, time_step=0.05
+        translation=direction * 10.0, duration=240.0, time_step=0.05
     )
 
     builder = ChunkedLocalTrajectoryBuilder2D(
@@ -105,10 +105,18 @@ def main() -> None:
     segment_counts = []
     count = 0
     pos = warm_done
+    # Three segments of EQUAL SCAN COUNT (chunk-aligned), each also
+    # time-capped for degraded links: at healthy rates the whole
+    # measurement set completes in a few seconds, so time-budget
+    # segmentation would collapse into one segment and a single
+    # transient link stall would own the headline; equal-count segments
+    # keep the median robust to one stall.
+    remaining = len(measurements) - pos
+    seg_len = max(chunk, ((remaining // 3) // chunk) * chunk)
     for _ in range(3):
         t0 = time.perf_counter()
         seg_count = 0
-        for m in measurements[pos:]:
+        for m in measurements[pos: pos + seg_len]:
             n += len(builder.add_range_data("range", m))
             seg_count += 1
             if (
