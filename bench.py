@@ -1046,11 +1046,13 @@ def _bench_bnb3() -> dict:
         lc = [low_cloud] * nb
         al = [angles_kept] * nb
         native_bnb3.match_batch(
-            [ns] * nb, hc, lc, al, pb, num_threads=1, seed=False
+            [ns] * nb, hc, lc, al, pb, num_threads=1, seed=False,
+            simd=False,
         )
         t0 = time.perf_counter()
         o, f = native_bnb3.match_batch(
-            [ns] * nb, hc, lc, al, pb, num_threads=1, seed=False
+            [ns] * nb, hc, lc, al, pb, num_threads=1, seed=False,
+            simd=False,
         )
         anchor_rate = nb / (time.perf_counter() - t0)
         out["cpu_anchor_matches_per_sec"] = round(anchor_rate, 2)

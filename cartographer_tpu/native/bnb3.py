@@ -70,7 +70,7 @@ def _load() -> Optional[ctypes.CDLL]:
             _F, _I64, _I32,
             _F, _I64, _I32,
             _F, _I64, _I32,
-            _F, _F, _I32, ctypes.c_int, ctypes.c_int,
+            _F, _F, _I32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         _lib = lib
         return _lib
@@ -145,11 +145,14 @@ def match_batch(
     params: np.ndarray,  # [n, 19] f32 (see bnb3d_native.cc)
     num_threads: int = 0,
     seed: bool = True,
+    simd: bool = True,
 ):
     """Run n independent 3D searches across host threads.
 
-    `seed=False` disables the leaf-probe incumbent seeding — the exact
-    reference DFS, used by the bench's single-core anchor.
+    `seed=False` disables the leaf-probe incumbent seeding, and
+    `simd=False` pins the scalar scoring loops — together the exact
+    reference DFS per core, used by the bench's single-core anchor
+    (the production path keeps both on).
 
     Returns (out [n, 6] f32: score/low_score/a/x/y/z, found [n] i32)."""
     lib = _load()
@@ -184,6 +187,6 @@ def match_batch(
         cnt_a.ctypes.data_as(_I32),
         params.ctypes.data_as(_F),
         out.ctypes.data_as(_F), found.ctypes.data_as(_I32),
-        int(num_threads), int(bool(seed)),
+        int(num_threads), int(bool(seed)), int(bool(simd)),
     )
     return out, found

@@ -32,6 +32,10 @@
 #include <thread>
 #include <vector>
 
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr float kMinProbability = 0.1f;
@@ -40,6 +44,9 @@ constexpr float kU8Scale = 255.0f / (kMaxProbability - kMinProbability);
 
 struct Vol {
   int d = 0, h = 0, w = 0;
+  // 4 bytes of tail slack: the AVX-512 path gathers 32-bit words at
+  // byte granularity, so the last valid byte index may read 3 bytes
+  // past it (see AddGatherSlack).
   std::vector<uint8_t> v;
   uint8_t at(int z, int y, int x) const {
     if (uint32_t(z) >= uint32_t(d) || uint32_t(y) >= uint32_t(h) ||
@@ -48,6 +55,10 @@ struct Vol {
     return v[(size_t(z) * h + y) * w + x];
   }
 };
+
+void AddGatherSlack(Vol* vol) {
+  vol->v.resize(size_t(vol->d) * vol->h * vol->w + 4, 0);
+}
 
 struct Submap3 {
   int depth = 0;
@@ -179,12 +190,22 @@ struct SearchSpec {
   int nl_xy, nl_z;
   float min_score, min_low;
   bool seed = true;
+  bool simd = true;  // false pins the scalar scoring path (bench anchor)
 };
 
 struct Matcher3 {
   const SearchSpec& s;
   // Per-angle discretized high-res cells, stride n (x, y, z planes).
   std::vector<int32_t> cx, cy, cz;
+  // Per-angle linear base index into the (shared-shape) full-res
+  // levels at candidate (0,0,0): fb = ((az+pad)*Hf + ay+pad)*Wf +
+  // ax+pad — a candidate offsets every lane by ONE constant, so the
+  // AVX-512 path is one vector load + gather + add per 16 points.
+  std::vector<int32_t> fb;
+  // Per-angle coordinate bbox (min/max of ax, ay, az): when the whole
+  // bbox plus a candidate offset stays in-grid the per-lane bounds
+  // masks are skipped.
+  std::vector<int32_t> bbox;  // [na, 6]: mnx, mxx, mny, mxy, mnz, mxz
   // Per-angle fractional low-res base cells (lazy; leaf evals only).
   std::vector<float> lbx, lby, lbz;
   std::vector<uint8_t> low_ready;
@@ -221,17 +242,25 @@ struct Matcher3 {
     cx.resize(size_t(s.na) * s.n);
     cy.resize(size_t(s.na) * s.n);
     cz.resize(size_t(s.na) * s.n);
+    fb.resize(size_t(s.na) * s.n);
+    bbox.resize(size_t(s.na) * 6);
     lbx.resize(size_t(s.na) * s.nl);
     lby.resize(size_t(s.na) * s.nl);
     lbz.resize(size_t(s.na) * s.nl);
     low_ready.assign(s.na, 0);
     const float inv = 1.0f / s.res;
+    const int pad = s.sm->pad;
+    const Vol& f0 = s.sm->full_levels[0];
+    const int Hf = f0.h, Wf = f0.w;
     for (int a = 0; a < s.na; ++a) {
       float q[4];
       AngleQuat(a, q);
       int32_t* ax = cx.data() + size_t(a) * s.n;
       int32_t* ay = cy.data() + size_t(a) * s.n;
       int32_t* az = cz.data() + size_t(a) * s.n;
+      int32_t* ab = fb.data() + size_t(a) * s.n;
+      int32_t mn[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
+      int32_t mx[3] = {INT32_MIN, INT32_MIN, INT32_MIN};
       for (int i = 0; i < s.n; ++i) {
         float wpt[3];
         Rotate(q, s.high + 3 * i, wpt);
@@ -241,7 +270,21 @@ struct Matcher3 {
             (wpt[1] + s.t0[1] - s.origin[1]) * inv + 0.5f);
         az[i] = (int32_t)std::floor(
             (wpt[2] + s.t0[2] - s.origin[2]) * inv + 0.5f);
+        ab[i] = ((az[i] + pad) * Hf + (ay[i] + pad)) * Wf + (ax[i] + pad);
+        mn[0] = std::min(mn[0], ax[i]);
+        mx[0] = std::max(mx[0], ax[i]);
+        mn[1] = std::min(mn[1], ay[i]);
+        mx[1] = std::max(mx[1], ay[i]);
+        mn[2] = std::min(mn[2], az[i]);
+        mx[2] = std::max(mx[2], az[i]);
       }
+      int32_t* bb = bbox.data() + size_t(a) * 6;
+      bb[0] = mn[0];
+      bb[1] = mx[0];
+      bb[2] = mn[1];
+      bb[3] = mx[1];
+      bb[4] = mn[2];
+      bb[5] = mx[2];
     }
   }
 
@@ -294,6 +337,152 @@ struct Matcher3 {
       sum += vol.at((az[i] + c.z + pm) >> k, (ay[i] + c.y + pm) >> k,
                     (ax[i] + c.x + pm) >> k);
     return Normalize(sum, s.n);
+  }
+
+  // Score a run of 1-8 candidates sharing ONE angle in a single pass
+  // over the discretized coordinates (same design as the 2D backend's
+  // ScoreRun): the per-point coordinate/base loads amortize across the
+  // sibling candidates, bounds checks become gather masks (unsigned
+  // compares catch negatives), and when the angle's coordinate bbox
+  // plus every candidate offset stays in-grid the per-lane masks are
+  // skipped entirely. Integer sums — results identical to Score().
+  void ScoreRun(int level, Candidate* cs, int k) const {
+    if (k <= 0) return;
+#ifdef __AVX512F__
+    if (!s.simd) {
+      for (int j = 0; j < k; ++j) cs[j].score = Score(level, cs[j]);
+      return;
+    }
+    const int a = cs[0].a;
+    const int32_t* ax = cx.data() + size_t(a) * s.n;
+    const int32_t* ay = cy.data() + size_t(a) * s.n;
+    const int32_t* az = cz.data() + size_t(a) * s.n;
+    const int32_t* bb = bbox.data() + size_t(a) * 6;
+    const int n = s.n;
+    const int full = n & ~15;
+    const __m512i m255 = _mm512_set1_epi32(0xFF);
+    const __m512i zero = _mm512_setzero_si512();
+    __m512i acc[8];
+    for (int j = 0; j < k; ++j) acc[j] = zero;
+    int sums[8] = {0};
+    if (level < s.sm->full_depth) {
+      const Vol& vol = s.sm->full_levels[level];
+      const uint8_t* pool = vol.v.data();
+      const int pad = s.sm->pad;
+      const int Df = vol.d, Hf = vol.h, Wf = vol.w;
+      const int32_t* pb = fb.data() + size_t(a) * s.n;
+      bool allin = true;
+      for (int j = 0; j < k; ++j)
+        allin = allin && bb[0] + cs[j].x + pad >= 0 &&
+                bb[1] + cs[j].x + pad < Wf &&
+                bb[2] + cs[j].y + pad >= 0 &&
+                bb[3] + cs[j].y + pad < Hf &&
+                bb[4] + cs[j].z + pad >= 0 &&
+                bb[5] + cs[j].z + pad < Df;
+      __m512i ob[8];
+      for (int j = 0; j < k; ++j)
+        ob[j] = _mm512_set1_epi32(
+            (cs[j].z * Hf + cs[j].y) * Wf + cs[j].x);
+      int i = 0;
+      if (allin) {
+        for (; i < full; i += 16) {
+          const __m512i b = _mm512_loadu_si512(pb + i);
+          for (int j = 0; j < k; ++j) {
+            const __m512i g = _mm512_i32gather_epi32(
+                _mm512_add_epi32(b, ob[j]), pool, 1);
+            acc[j] = _mm512_add_epi32(acc[j], _mm512_and_si512(g, m255));
+          }
+        }
+        if (i < n) {
+          const __mmask16 lanes = (__mmask16)((1u << (n - i)) - 1u);
+          const __m512i b = _mm512_maskz_loadu_epi32(lanes, pb + i);
+          for (int j = 0; j < k; ++j) {
+            const __m512i g = _mm512_mask_i32gather_epi32(
+                zero, lanes, _mm512_add_epi32(b, ob[j]), pool, 1);
+            acc[j] = _mm512_add_epi32(acc[j], _mm512_and_si512(g, m255));
+          }
+        }
+      } else {
+        const __m512i vw = _mm512_set1_epi32(Wf);
+        const __m512i vh = _mm512_set1_epi32(Hf);
+        const __m512i vd = _mm512_set1_epi32(Df);
+        __m512i ox[8], oy[8], oz[8];
+        for (int j = 0; j < k; ++j) {
+          ox[j] = _mm512_set1_epi32(cs[j].x + pad);
+          oy[j] = _mm512_set1_epi32(cs[j].y + pad);
+          oz[j] = _mm512_set1_epi32(cs[j].z + pad);
+        }
+        for (; i < n; i += 16) {
+          const __mmask16 lanes =
+              i + 16 <= n ? (__mmask16)0xFFFF
+                          : (__mmask16)((1u << (n - i)) - 1u);
+          const __m512i x = _mm512_maskz_loadu_epi32(lanes, ax + i);
+          const __m512i y = _mm512_maskz_loadu_epi32(lanes, ay + i);
+          const __m512i z = _mm512_maskz_loadu_epi32(lanes, az + i);
+          const __m512i b = _mm512_maskz_loadu_epi32(lanes, pb + i);
+          for (int j = 0; j < k; ++j) {
+            const __mmask16 m =
+                lanes &
+                _mm512_cmplt_epu32_mask(_mm512_add_epi32(x, ox[j]), vw) &
+                _mm512_cmplt_epu32_mask(_mm512_add_epi32(y, oy[j]), vh) &
+                _mm512_cmplt_epu32_mask(_mm512_add_epi32(z, oz[j]), vd);
+            const __m512i g = _mm512_mask_i32gather_epi32(
+                zero, m, _mm512_add_epi32(b, ob[j]), pool, 1);
+            acc[j] = _mm512_add_epi32(acc[j], _mm512_and_si512(g, m255));
+          }
+        }
+      }
+    } else {
+      // Subsampled coarse level: per-axis pad_max shift + arithmetic
+      // right shift by the octave count, then mul-add linearization.
+      const int ks = level - s.sm->full_depth + 1;
+      const int pm = s.sm->pad_max;
+      const Vol& vol = s.sm->coarse_levels[level];
+      const uint8_t* pool = vol.v.data();
+      const __m512i vw = _mm512_set1_epi32(vol.w);
+      const __m512i vh = _mm512_set1_epi32(vol.h);
+      const __m512i vd = _mm512_set1_epi32(vol.d);
+      __m512i ox[8], oy[8], oz[8];
+      for (int j = 0; j < k; ++j) {
+        ox[j] = _mm512_set1_epi32(cs[j].x + pm);
+        oy[j] = _mm512_set1_epi32(cs[j].y + pm);
+        oz[j] = _mm512_set1_epi32(cs[j].z + pm);
+      }
+      for (int i = 0; i < n; i += 16) {
+        const __mmask16 lanes =
+            i + 16 <= n ? (__mmask16)0xFFFF
+                        : (__mmask16)((1u << (n - i)) - 1u);
+        const __m512i x = _mm512_maskz_loadu_epi32(lanes, ax + i);
+        const __m512i y = _mm512_maskz_loadu_epi32(lanes, ay + i);
+        const __m512i z = _mm512_maskz_loadu_epi32(lanes, az + i);
+        for (int j = 0; j < k; ++j) {
+          const __m512i xx =
+              _mm512_srai_epi32(_mm512_add_epi32(x, ox[j]), ks);
+          const __m512i yy =
+              _mm512_srai_epi32(_mm512_add_epi32(y, oy[j]), ks);
+          const __m512i zz =
+              _mm512_srai_epi32(_mm512_add_epi32(z, oz[j]), ks);
+          const __mmask16 m = lanes &
+                              _mm512_cmplt_epu32_mask(xx, vw) &
+                              _mm512_cmplt_epu32_mask(yy, vh) &
+                              _mm512_cmplt_epu32_mask(zz, vd);
+          const __m512i idx = _mm512_add_epi32(
+              _mm512_mullo_epi32(
+                  _mm512_add_epi32(_mm512_mullo_epi32(zz, vh), yy), vw),
+              xx);
+          const __m512i g =
+              _mm512_mask_i32gather_epi32(zero, m, idx, pool, 1);
+          acc[j] = _mm512_add_epi32(acc[j], _mm512_and_si512(g, m255));
+        }
+      }
+    }
+    for (int j = 0; j < k; ++j) {
+      sums[j] = _mm512_reduce_add_epi32(acc[j]);
+      cs[j].score = Normalize(sums[j], s.n);
+    }
+#else
+    for (int j = 0; j < k; ++j) cs[j].score = Score(level, cs[j]);
+#endif
   }
 
   // Low-resolution veto score (low_resolution_matcher.cc; device
@@ -350,9 +539,9 @@ struct Matcher3 {
         const int z = c.z + (k & 4 ? half : 0);
         if (x > s.nl_xy || y > s.nl_xy || z > s.nl_z) continue;
         children[m] = {c.a, x, y, z, 0};
-        children[m].score = Score(level - 1, children[m]);
         ++m;
       }
+      ScoreRun(level - 1, children, m);
       std::sort(children, children + m,
                 [](const Candidate& a, const Candidate& b) {
                   return a.score > b.score;
@@ -382,7 +571,16 @@ struct Matcher3 {
       for (int x : oxy)
         for (int y : oxy)
           for (int z : oz) topc.push_back({a, x, y, z, 0});
-    for (auto& c : topc) c.score = Score(depth - 1, c);
+    // Angle-major order -> contiguous same-angle runs of up to 8 score
+    // in one coordinate pass each.
+    for (size_t c0 = 0; c0 < topc.size();) {
+      size_t c1 = c0 + 1;
+      while (c1 < topc.size() && c1 - c0 < 8 &&
+             topc[c1].a == topc[c0].a)
+        ++c1;
+      ScoreRun(depth - 1, topc.data() + c0, int(c1 - c0));
+      c0 = c1;
+    }
 
     // Leaf-probe incumbent seeding (same rationale as the 2D backend).
     Candidate best{-1, 0, 0, 0, 0};
@@ -462,9 +660,11 @@ void* bnb3_submap_create(const float* high_prob, int dh, int hh, int wh,
     if (l > 0) rolling = PoolWindowDouble(rolling, 1 << (l - 1));
     if (l < sm->full_depth) {
       sm->full_levels.push_back(CropPad(rolling, sm->pad_max, sm->pad));
+      AddGatherSlack(&sm->full_levels.back());
     } else {
       Vol c = rolling;
       for (int k = 0; k < l - sm->full_depth + 1; ++k) c = PoolOctave(c);
+      AddGatherSlack(&c);
       sm->coarse_levels[l] = std::move(c);
     }
   }
@@ -491,7 +691,7 @@ void bnb3_match_batch(void** submaps, int n, const float* high,
                       const int64_t* off_a, const int32_t* cnt_a,
                       const float* params, float* out,
                       int32_t* out_found, int num_threads,
-                      int enable_seed) {
+                      int enable_seed, int enable_simd) {
   // Submap-grouped order (see bnb_native.cc): keeps one submap's
   // pyramid hot in cache across consecutive searches.
   std::vector<int> order(n);
@@ -525,6 +725,7 @@ void bnb3_match_batch(void** submaps, int n, const float* high,
       spec.min_score = pr[17];
       spec.min_low = pr[18];
       spec.seed = enable_seed != 0;
+      spec.simd = enable_simd != 0;
       Matcher3 m(spec);
       out_found[i] = m.Match(out + size_t(i) * 6);
     }
