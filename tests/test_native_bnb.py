@@ -189,3 +189,67 @@ def test_native_global_localization_agrees_with_device():
     ) < 0.02
     # And it actually localized at the true placement.
     np.testing.assert_allclose(found["native"][:2], center, atol=0.15)
+
+
+def test_mixed_tsdf_and_probability_drain_under_auto():
+    """Under the default backend "auto" the native C++ scorer handles
+    log-odds submaps only; TSDF submaps in the SAME drain must route to
+    the device search (the native scorer has no TSD table) and both
+    searches must land. Regression test for the round-5 finding that
+    'auto' crashed the drain thread on TSDF grids."""
+    import jax.numpy as jnp
+
+    from cartographer_tpu.mapping.tsdf_2d import TSDF2D
+
+    grid, scan, center = _make_workload()
+    # A TSDF twin of the same wall: tsd=0 on wall cells (probability()
+    # -> 0.9), truncation elsewhere; sprinkle known free space.
+    size, res = grid.log_odds.shape[0], grid.resolution
+    trunc = 0.3
+    tsd = np.full((size, size), trunc, np.float32)
+    weight = np.zeros((size, size), np.float32)
+    wall_world = scan + center
+    ix = np.clip(np.floor(wall_world[:, 0] / res).astype(int), 0, size - 1)
+    iy = np.clip(np.floor(wall_world[:, 1] / res).astype(int), 0, size - 1)
+    tsd[iy, ix] = 0.0
+    weight[iy, ix] = 1.0
+    rng = np.random.default_rng(7)
+    free = rng.integers(0, size, size=(4000, 2))
+    fy, fx = free[:, 0], free[:, 1]
+    miss = weight[fy, fx] == 0.0
+    weight[fy[miss], fx[miss]] = 1.0  # known free: tsd stays at trunc
+    tsdf = TSDF2D(
+        tsd=jnp.asarray(tsd),
+        weight=jnp.asarray(weight),
+        origin=jnp.asarray(np.asarray(grid.origin)),
+        resolution=res,
+        truncation_distance=trunc,
+        max_weight=10.0,
+    )
+
+    cloud3 = np.concatenate(
+        [scan[:, :2], np.zeros((len(scan), 1))], axis=1
+    ).astype(np.float32)
+    node = TrajectoryNodeData(
+        time=0.0,
+        gravity_alignment=np.array([1.0, 0, 0, 0]),
+        filtered_gravity_aligned_point_cloud=cloud3,
+        local_pose=rigid3.identity(),
+    )
+    cb = _builder("auto")
+    assert cb._use_native_backend(), "native library should be available"
+    initial = rigid2.make(
+        np.asarray([center[0] + 0.3, center[1] - 0.2]), 0.04
+    )
+    for s, g in ((SubmapId(0, 0), grid), (SubmapId(0, 1), tsdf)):
+        cb.set_submap_local_pose(s, np.zeros(3))
+        cb.maybe_add_constraint(s, g, NodeId(0, 0), node, initial)
+    results = cb.run_pending()
+    assert len(results) == 2, (
+        f"expected constraints against BOTH submaps, got {len(results)}"
+    )
+    for c in results:
+        # Both placements must recover ~the true pose (node at center,
+        # submaps at origin 0 local pose).
+        err = np.linalg.norm(np.asarray(c.pose.zbar_ij[:2]) - center)
+        assert err < 0.15, f"{c.submap_id}: pose error {err:.3f} m"
