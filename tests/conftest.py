@@ -27,15 +27,27 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     xla_flags = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Crash mitigation, pinned after forensics (tools/run_tests.py
-# docstring): XLA:CPU segfaults nondeterministically inside
-# backend_compile_and_load deep into long runs. The compile path
-# JIT-compiles split LLVM modules on a thread pool
-# (parallel_codegen_split_count defaults to 32); serializing codegen
-# removes the multi-threaded ORC-JIT window the crashes point at, at a
-# small compile-time cost on this 2-core host.
+# Crash mitigations (tools/run_tests.py docstring): XLA:CPU segfaults
+# nondeterministically inside backend_compile_and_load deep into long
+# single-process runs. (1) Serialize the multi-threaded ORC-JIT codegen
+# (parallel_codegen_split_count defaults to 32) — round-5 measurement:
+# reduces but does NOT eliminate the crash (reproduced once with the
+# flag set, ~120 tests in, compiling on the main thread). (2) Shed
+# accumulated JIT state between test modules (the autouse fixture
+# below): every crash observed has been deep into a long-lived process
+# with hundreds of live compiled executables; clearing per module keeps
+# the executable population small. The split runner remains the
+# certification-grade containment.
 if "xla_cpu_parallel_codegen_split_count" not in xla_flags:
     xla_flags = (
         xla_flags + " --xla_cpu_parallel_codegen_split_count=1"
     ).strip()
 os.environ["XLA_FLAGS"] = xla_flags
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _shed_jax_jit_state_per_module():
+    yield
+    jax.clear_caches()

@@ -9,14 +9,20 @@ Why split is the default: XLA:CPU segfaults (exit 139) inside
 fleet — reproduced both from dispatcher worker threads AND from the
 main thread (e.g. compiling the 3D SPA solve ~110 tests in), so it is a
 long-lived-process compiler failure, not a threading bug in this
-repository. Three in-tree mitigations reduce exposure (feed-thread
+repository. Four in-tree mitigations reduce exposure (feed-thread
 compilation of chunk programs in chunked_frontend_{2d,3d}._dispatch;
 the disabled XLA:CPU persistent cache; and — round 5 — pinned
-`--xla_cpu_parallel_codegen_split_count=1`, which serializes the
-multi-threaded ORC-JIT codegen the crash stacks point at, all in
-tests/conftest.py); the split runner is the certification-grade
-containment — each group gets a fresh runtime, and a crash is contained
-and reported per group instead of killing the run.
+`--xla_cpu_parallel_codegen_split_count=1` plus per-module
+`jax.clear_caches()`, all in tests/conftest.py). Round-5 forensics: a
+full single-process run WITH the codegen flag still crashed once ~120
+tests in (main thread, compiling the 2D GN refinement batch after
+hundreds of prior compiles — stack in the session log), so the flag
+alone is insufficient; every observed crash has been deep into a
+long-lived process with hundreds of live executables, hence the
+per-module JIT-state shedding. The split runner is the
+certification-grade containment — each group gets a fresh runtime, and
+a crash is contained and reported per group instead of killing the
+run.
 """
 
 from __future__ import annotations
