@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from cartographer_tpu.mapping import probability_values as pv
+from cartographer_tpu.mapping.hybrid_grid import LOG_ODDS_SCALE
 from cartographer_tpu.mapping.paged_grid_3d import gather_probability
 from cartographer_tpu.ops.scan_matching.gauss_newton_2d import (
     nonmonotonic_accepted,
@@ -91,6 +92,73 @@ def _corners_pack(prob, origin, res, points, t, q):
             corner(1, 0, 0), corner(1, 0, 1), corner(1, 1, 0), corner(1, 1, 1),
         ]
     )  # [8, N]
+    return (iu, iv, iw, jax.lax.stop_gradient(corners))
+
+
+def _pack_corner_volume(vol_i8):
+    """[D, H, W] int8 log-odds -> [D, H+1, W+1] int32 byte-packing the
+    2x2 (y, x) corner neighborhood of every base cell: byte k of
+    packed[z, y+1, x+1] is the cell at (z, y + (k>>1), x + (k&1)), with
+    out-of-volume neighbors encoded as byte 0 == unknown ==
+    MIN_PROBABILITY (exactly gather_probability's OOB fill). Trilinear
+    corner extraction then costs TWO int32 gathers per point (z and
+    z+1) instead of eight byte gathers — the LM refinement is
+    gather-bound on TPU (~150 M lookups/s), so this is a direct ~4x cut
+    of the dominant cost. Elementwise to build (one pass over the
+    volume, done once per solve)."""
+    d, h, w = vol_i8.shape
+    b = vol_i8.astype(jnp.int32) & 0xFF
+    e = jnp.zeros((d, h + 2, w + 2), jnp.int32).at[:, 1: h + 1, 1: w + 1].set(b)
+    return (
+        e[:, :-1, :-1]
+        | (e[:, :-1, 1:] << 8)
+        | (e[:, 1:, :-1] << 16)
+        | (e[:, 1:, 1:] << 24)
+    )
+
+
+def _corners_pack_packed(qvol, shape, origin, res, points, t, q):
+    """_corners_pack twin reading a _pack_corner_volume table: identical
+    corner probabilities (same int8 values, same OOB/unknown fill,
+    bit-equal sigmoid inputs), two gathers per point."""
+    d, h, w = shape
+    world = _quat_rotate(q[None, :], points) + t[None, :]
+    u = (world[:, 0] - origin[0]) / res
+    v = (world[:, 1] - origin[1]) / res
+    w_ = (world[:, 2] - origin[2]) / res
+    iu = jnp.floor(u).astype(jnp.int32)
+    iv = jnp.floor(v).astype(jnp.int32)
+    iw = jnp.floor(w_).astype(jnp.int32)
+
+    def zgather(dz):
+        zz = iw + dz
+        yy = iv + 1
+        xx = iu + 1
+        oob = (
+            (zz < 0) | (zz >= d) | (yy < 0) | (yy > h) | (xx < 0) | (xx > w)
+        )
+        g = qvol[
+            jnp.clip(zz, 0, d - 1), jnp.clip(yy, 0, h), jnp.clip(xx, 0, w)
+        ]
+        return jnp.where(oob, 0, g)
+
+    g0 = zgather(0)
+    g1 = zgather(1)
+
+    def byte(g, k):
+        bval = (g >> (8 * k)) & 0xFF
+        val = bval - jnp.where(bval > 127, 256, 0)
+        l = val.astype(jnp.float32) * LOG_ODDS_SCALE
+        return jnp.where(
+            val != 0, 1.0 / (1.0 + jnp.exp(-l)), pv.MIN_PROBABILITY
+        )
+
+    corners = jnp.stack(
+        [
+            byte(g0, 0), byte(g0, 1), byte(g0, 2), byte(g0, 3),
+            byte(g1, 0), byte(g1, 1), byte(g1, 2), byte(g1, 3),
+        ]
+    )  # [8, N] — same (dz, dy, dx) order as _corners_pack
     return (iu, iv, iw, jax.lax.stop_gradient(corners))
 
 
@@ -376,14 +444,32 @@ def _match_3d_impl(
         q = _quat_multiply(initial_quat, _quat_exp(r))
         return t, q / jnp.linalg.norm(q), r
 
+    # Dense int8 log-odds volumes get the byte-packed corner tables
+    # (two gathers per point instead of eight — see _pack_corner_volume);
+    # paged and f32 volumes keep the per-corner gather path.
+    def _packable(vol):
+        return hasattr(vol, "dtype") and vol.dtype == jnp.int8
+
+    high_packed = _pack_corner_volume(high_prob) if _packable(high_prob) else None
+    low_packed = _pack_corner_volume(low_prob) if _packable(low_prob) else None
+
+    def _pack_grid(vol, packed, origin, res, points, t, q):
+        if packed is not None:
+            return _corners_pack_packed(
+                packed, vol.shape, origin, res, points, t, q
+            )
+        return _corners_pack(vol, origin, res, points, t, q)
+
     def extract_all(x):
         t, q, _ = decode(x)
         packs = [
-            _corners_pack(
-                high_prob, high_origin, high_resolution, high_points, t, q
+            _pack_grid(
+                high_prob, high_packed, high_origin, high_resolution,
+                high_points, t, q,
             ),
-            _corners_pack(
-                low_prob, low_origin, low_resolution, low_points, t, q
+            _pack_grid(
+                low_prob, low_packed, low_origin, low_resolution,
+                low_points, t, q,
             ),
         ]
         if extra_block is not None:
