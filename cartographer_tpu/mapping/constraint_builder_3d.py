@@ -465,18 +465,23 @@ class ConstraintBuilder3D:
                 self._native_node_clouds = {}
             cached = self._native_node_clouds.get(search.node_id)
             if cached is None:
-                # Stable per-node arrays: the native layer deduplicates
-                # the flat upload by array identity.
+                # Stable per-node arrays (the native layer deduplicates
+                # the flat upload by array identity) + the node's cached
+                # max range so the prep loop does no per-search norms.
+                hc = np.ascontiguousarray(
+                    cd.high_resolution_point_cloud[:, :3], np.float32
+                )
                 cached = (
-                    np.ascontiguousarray(
-                        cd.high_resolution_point_cloud[:, :3], np.float32
-                    ),
+                    hc,
                     np.ascontiguousarray(
                         cd.low_resolution_point_cloud[:, :3], np.float32
                     ),
+                    float(
+                        np.max(np.linalg.norm(hc, axis=1), initial=0.0)
+                    ),
                 )
                 self._native_node_clouds[search.node_id] = cached
-            cloud, low_cloud = cached
+            cloud, low_cloud, cloud_max_range = cached
             shape = self._native_submaps[sid].shape
             if search.global_node_pose is None:
                 initial = rigid3.make(
@@ -492,11 +497,7 @@ class ConstraintBuilder3D:
                 linear_z = opts.linear_z_search_window
                 angular = opts.angular_search_window
                 min_score = self._options.min_score
-            max_range = float(
-                np.max(
-                    np.linalg.norm(cloud, axis=1), initial=3.0 * res
-                )
-            )
+            max_range = max(cloud_max_range, 3.0 * res)
             step = compute_angular_step(res, max_range)
             num_angular = int(math.ceil(angular / step))
             angles = (np.arange(2 * num_angular + 1) - num_angular) * step

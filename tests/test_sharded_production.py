@@ -39,7 +39,12 @@ class TestSharded2DEndToEnd:
         batches0 = metrics.sharded_constraint_batches.value()
         solves0 = metrics.sharded_spa_solves.value()
 
-        mb = MapBuilder(map_builder_options(), mesh=mesh)
+        options = map_builder_options()
+        # This test certifies the SHARDED DEVICE search path across the
+        # mesh; pin it (the default "auto" prefers the native host
+        # backend wherever the C++ toolchain built it).
+        options.pose_graph.constraint_builder.loop_closure_backend = "device"
+        mb = MapBuilder(options, mesh=mesh)
         tid = mb.add_trajectory_builder({"range"}, trajectory_options())
         builder = mb.get_trajectory_builder(tid)
         direction = np.array([2.0, 1.0, 0.0])
@@ -207,6 +212,9 @@ class TestSharded3DEndToEnd:
 
         mb_options = mb3d_options()
         mb_options.pose_graph.constraint_builder.sampling_ratio = 1.0
+        # Pin the sharded device search path (see the 2D twin above).
+        mb_options.pose_graph.constraint_builder.loop_closure_backend = "device"
+
         # Dense nodes + small submaps so submaps FINISH and the drain has
         # (node, finished submap) pairs to search (the base chunked-3D
         # options only ever produce INTRA constraints).
