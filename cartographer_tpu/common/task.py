@@ -90,16 +90,25 @@ class Task:
         with self._lock:
             assert self._state == TaskState.DEPENDENCIES_COMPLETED
             self._state = TaskState.RUNNING
-        if self._work_item is not None:
-            self._work_item()
-        dependents = []
-        with self._lock:
-            self._state = TaskState.COMPLETED
-            dependents = list(self._dependent_tasks)
-            self._dependent_tasks.clear()
-        self._completed.set()
-        for task in dependents:
-            task._on_dependency_completed()
+        try:
+            if self._work_item is not None:
+                self._work_item()
+        finally:
+            # The task COMPLETES even when the work item raises: a task
+            # stuck in RUNNING forever would wedge every Task.wait (the
+            # pose graph's WaitForAllComputations burns its full timeout
+            # per call — measured as a multi-minute suite hang, round 5).
+            # The exception still propagates to the executor: inline
+            # (sync) callers see it directly; pool workers log it and
+            # keep the thread alive (_work_loop).
+            dependents = []
+            with self._lock:
+                self._state = TaskState.COMPLETED
+                dependents = list(self._dependent_tasks)
+                self._dependent_tasks.clear()
+            self._completed.set()
+            for task in dependents:
+                task._on_dependency_completed()
 
     def wait(self, timeout: Optional[float] = None) -> bool:
         """Block until this task completes; True if it did within the
@@ -164,7 +173,15 @@ class ThreadPool:
                 if not self._running and not self._ready:
                     return
                 task = self._ready.popleft()
-            task._execute()
+            try:
+                task._execute()
+            except Exception:  # noqa: BLE001 - worker must survive
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "Task work item raised on a pool worker; the task is "
+                    "marked completed and the worker continues."
+                )
 
     def shutdown(self) -> None:
         with self._cv:

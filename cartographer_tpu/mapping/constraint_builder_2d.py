@@ -159,6 +159,22 @@ class ConstraintBuilder2D:
 
         results: List[Constraint] = []
         pending, self._pending = self._pending, []
+        # Drop searches whose submap was trimmed while they sat queued:
+        # with the async backend the trimmers (locked drain phase) race
+        # the enqueue side, and a stale search would otherwise crash the
+        # drain on the evicted grid. The reference likewise never
+        # computes constraints against trimmed submaps.
+        stale = [s for s in pending if s.submap_id not in self._submap_grids]
+        if stale:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "Dropping %d queued constraint searches against trimmed "
+                "submaps.", len(stale),
+            )
+            pending = [
+                s for s in pending if s.submap_id in self._submap_grids
+            ]
         if not pending:
             return results
 

@@ -133,6 +133,17 @@ class ConstraintBuilder3D:
 
         results: List[Constraint] = []
         pending, self._pending = self._pending, []
+        # Drop searches whose submap was trimmed while queued (see the
+        # 2D twin — the async drain races the trimmers).
+        stale = [s for s in pending if s.submap_id not in self._submaps]
+        if stale:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "Dropping %d queued constraint searches against trimmed "
+                "submaps.", len(stale),
+            )
+            pending = [s for s in pending if s.submap_id in self._submaps]
         if not pending:
             return results
         import jax.numpy as jnp

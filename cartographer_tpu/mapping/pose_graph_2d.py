@@ -707,10 +707,18 @@ class TrimmingHandle:
         pg._constraints = constraints
         pg._submap_data.trim(submap_id)
         pg._optimization_problem.trim_submap(submap_id)
-        pg._constraint_builder._matchers.pop(submap_id, None)
-        pg._constraint_builder._submap_grids.pop(submap_id, None)
-        pg._constraint_builder._native_pyramids.pop(submap_id, None)
-        pg._constraint_builder._native_origins.pop(submap_id, None)
+        # Evict every per-submap builder cache that exists — the handle
+        # serves both the 2D builder (_submap_grids/_native_pyramids/...)
+        # and the 3D builder (_submaps/_native_submaps/_native_meta).
+        cb = pg._constraint_builder
+        for attr in (
+            "_matchers", "_submap_grids", "_native_pyramids",
+            "_native_origins", "_submaps", "_native_submaps",
+            "_native_meta",
+        ):
+            cache = getattr(cb, attr, None)
+            if cache is not None:
+                cache.pop(submap_id, None)
         for node_id in orphaned:
             pg._trajectory_nodes.trim(node_id)
             pg._optimization_problem.trim_trajectory_node(node_id)
